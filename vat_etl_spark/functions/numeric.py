@@ -1,0 +1,53 @@
+"""Numeric helpers for cross-engine-exact aggregation.
+
+Floating-point sums are accumulation-order-dependent, so a Spark sum and a
+DuckDB sum of the same 60k doubles can differ in the last ulps — enough to
+flip a ``round(·, 2)`` at a boundary and break the driver's value-hash gate.
+The fix is exact arithmetic: the testdata money columns are 2-decimal values
+(discount/tax 2dp ⇒ derived net has ≤4, vat ≤6 decimals), so casting the
+double expression to ``DECIMAL(30,6)`` recovers the exact decimal value in
+both engines, decimal sums are exact and order-independent, and the final
+``round(2) → DOUBLE`` is bit-identical.
+
+This also matches the engine's own recommendation (SURVEY.md §1.3): money
+should be decimal, not float — float money is a reference wart.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(30,6)"
+
+
+def dsum(expr: Column, scale: int = 2) -> Column:
+    """Exact decimal sum of a (≤6-decimal-place) numeric expression, rounded
+    to ``scale`` and returned as double. NULL-safe: empty/all-NULL → 0.0
+    (pandas ``.sum()`` compat, quirk Q9)."""
+    return F.coalesce(
+        F.round(F.sum(expr.cast(DEC)), scale).cast("double"), F.lit(0.0)
+    )
+
+
+def dsum_sql(expr: str, scale: int = 2) -> str:
+    """DuckDB twin of :func:`dsum`."""
+    return (
+        f"coalesce(cast(round(sum(cast(({expr}) AS DECIMAL(30,6))), {scale}) "
+        f"AS DOUBLE), 0.0)"
+    )
+
+
+def davg(expr: Column, scale: int = 6) -> Column:
+    """Order-independent average: exact decimal sum ÷ count in double, then
+    round. Identical in both engines because the sum is exact."""
+    return F.round(
+        F.sum(expr.cast(DEC)).cast("double") / F.count(expr), scale
+    )
+
+
+def davg_sql(expr: str, scale: int = 6) -> str:
+    return (
+        f"round(cast(sum(cast(({expr}) AS DECIMAL(30,6))) AS DOUBLE) "
+        f"/ count({expr}), {scale})"
+    )

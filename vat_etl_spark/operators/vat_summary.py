@@ -1,0 +1,151 @@
+"""The flagship query: per-period VAT box summary.
+
+Reference: ``/root/reference/fianl2.py:167-195`` (``calculate_summary``) — a
+Python loop over distinct periods × 3 re-filtered ``.sum()`` passes, i.e.
+O(periods × rows) with full re-scans. Here it is ONE hash aggregate:
+
+    groupBy(Year, MonthNum, Month)
+      → 6 conditional sums (sum(when(box-pred, value)))
+      → derived Box D = vatA − vatC
+      → inline-explode to the 4-row (A/B/C/D) output shape
+      → orderBy(Year, MonthNum)
+
+One shuffle, linear scan, map-side partial aggregation; at 100 TB the only
+cost is the scan plus a tiny per-period shuffle (group cardinality = number
+of periods, a few thousand at most).
+
+Compat quirks reproduced (SURVEY.md §8): substring box matching (Q1), NULL
+box → "NAN" string → matches "A" (Q2), all-NULL sums → 0.0 not NULL (Q9),
+round-to-2dp on output (Q10).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from vat_etl_spark.functions.numeric import dsum
+
+BOX_DESCRIPTIONS: dict[str, str] = {
+    "Box A": "Standard Rated Supplies (5%)",
+    "Box B": "Zero Rated Supplies (0%)",
+    "Box C": "Recoverable Input VAT",
+    "Box D": "Net VAT Payable (BoxA_VAT - BoxC_VAT)",
+}
+
+
+def box_pred_compat(box_col: Column, letter: str) -> Column:
+    """Compat box selector: substring containment over the stringified,
+    upper-cased box value, with NULL → "NAN" (quirks Q1+Q2: a NULL box
+    contains "A"; "BOX C" matches B and C)."""
+    s = F.upper(F.trim(F.coalesce(box_col.cast("string"), F.lit("nan"))))
+    return s.contains(F.lit(letter))
+
+
+def box_pred_sane(box_col: Column, letter: str) -> Column:
+    """Sane box selector: exact standalone-letter match."""
+    return F.regexp_extract(F.upper(F.trim(box_col.cast("string"))), r"\b([A-D])\b", 1) == letter
+
+
+def vat_box_summary(
+    df: DataFrame,
+    *,
+    net_col: str = "Supply/Purchase Value",
+    vat_col: str = "VAT Value",
+    box_col: str = "Box",
+    month_col: str = "Month",
+    monthnum_col: str = "MonthNum",
+    year_col: str = "Year",
+    compat: bool = True,
+) -> DataFrame:
+    """Compute the 4-rows-per-period VAT summary from a normalized
+    transaction DataFrame. Output schema = the golden ``vat_summary`` table
+    (FIXTURES.md §A2): Period, FTA Box, Description, Net Value, VAT Value,
+    Net VAT Payable.
+    """
+    pred = box_pred_compat if compat else box_pred_sane
+    net, vat, box = F.col(net_col), F.col(vat_col), F.col(box_col)
+
+    def s(value: Column, letter: str) -> Column:
+        # exact decimal sum (cross-engine stable); empty/all-NULL → 0.0 (Q9)
+        return dsum(F.when(pred(box, letter), value))
+
+    agg = df.groupBy(year_col, monthnum_col, month_col).agg(
+        s(net, "A").alias("netA"),
+        s(vat, "A").alias("vatA"),
+        s(net, "B").alias("netB"),
+        s(vat, "B").alias("vatB"),
+        s(net, "C").alias("netC"),
+        s(vat, "C").alias("vatC"),
+    )
+    agg = agg.withColumn("vatD", F.col("vatA") - F.col("vatC"))
+    period = F.concat_ws(" ", F.col(month_col), F.col(year_col).cast("string"))
+
+    def row(box_name: str, net_v: Column, vat_v: Column, payable: Column) -> Column:
+        return F.struct(
+            F.lit(box_name).alias("FTA Box"),
+            F.lit(BOX_DESCRIPTIONS[box_name]).alias("Description"),
+            F.round(net_v, 2).cast("double").alias("Net Value"),
+            F.round(vat_v, 2).cast("double").alias("VAT Value"),
+            F.round(payable, 2).cast("double").alias("Net VAT Payable"),
+        )
+
+    zero = F.lit(0.0)
+    boxes = F.array(
+        row("Box A", F.col("netA"), F.col("vatA"), zero),
+        row("Box B", F.col("netB"), F.col("vatB"), zero),
+        row("Box C", F.col("netC"), F.col("vatC"), zero),
+        row("Box D", zero, F.col("vatD"), F.col("vatD")),
+    )
+    out = (
+        agg.select(
+            F.col(year_col),
+            F.col(monthnum_col),
+            period.alias("Period"),
+            F.inline(boxes),
+        )
+        .orderBy(F.col(year_col), F.col(monthnum_col), F.col("FTA Box"))
+        .drop(year_col, monthnum_col)
+    )
+    return out
+
+
+def lineitem_as_vat_transactions(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
+    """Map the driver's TPC-H-ish tables onto the VAT transaction shape
+    (FIXTURES.md §B mapping): period = month/year of o_orderdate; box from
+    returnflag/tax bands (returns → C, taxed → A, zero-tax → B);
+    net = extendedprice × (1 − discount); vat = net × tax.
+
+    The join shuffles both sides on orderkey — at 100 TB both tables would be
+    bucketed/co-partitioned on orderkey so this becomes a shuffle-free
+    sort-merge; at bench scale AQE picks a broadcast for the orders side
+    projection when it fits.
+    """
+    o = orders.select("o_orderkey", "o_orderdate")
+    j = lineitem.join(o, lineitem["l_orderkey"] == o["o_orderkey"], "inner")
+    # double math here is bit-identical across engines; the exact-decimal
+    # conversion happens inside the aggregate (functions.numeric.dsum)
+    net = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    vat = net * F.col("l_tax")
+    box = (
+        F.when(F.col("l_returnflag") == "R", F.lit("C"))
+        .when(F.col("l_tax") > 0, F.lit("A"))
+        .otherwise(F.lit("B"))
+    )
+    month_abbrevs = F.array(
+        *[F.lit(m) for m in ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                             "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]]
+    )
+    return j.select(
+        box.alias("Box"),
+        net.alias("Supply/Purchase Value"),
+        vat.alias("VAT Value"),
+        F.element_at(month_abbrevs, F.month("o_orderdate")).alias("Month"),
+        F.month("o_orderdate").alias("MonthNum"),
+        F.year("o_orderdate").alias("Year"),
+    )
+
+
+def vat_flagship(lineitem: DataFrame, orders: DataFrame, compat: bool = True) -> DataFrame:
+    """End-to-end flagship: testdata → VAT transaction shape → box summary."""
+    return vat_box_summary(lineitem_as_vat_transactions(lineitem, orders), compat=compat)

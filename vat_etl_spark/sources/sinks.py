@@ -1,0 +1,53 @@
+"""Sinks: parquet (scale path), SQLite (reference S6 parity,
+fianl2.py:253-258), xlsx (reference S5 parity, fianl2.py:241-250).
+
+The reference's two export sinks operate on the tiny summary frame (4 rows
+per period), so collect-to-driver is correct there; anything row-scale goes
+through ``df.write`` (partitioned parquet).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def write_sqlite(df: DataFrame, db_path: str, table: str = "vat_summary") -> None:
+    """Full-replace SQLite table (compat with ``to_sql(if_exists="replace")``).
+
+    Collect-and-insert via the stdlib driver — the summary is tiny by
+    construction; large frames should use parquet or a real JDBC warehouse.
+    """
+    import sqlite3
+
+    rows = df.collect()
+    cols = df.columns
+    conn = sqlite3.connect(db_path)
+    try:
+        qcols = ", ".join(f'"{c}"' for c in cols)
+        conn.execute(f'DROP TABLE IF EXISTS "{table}"')
+        defs = ", ".join(f'"{c}"' for c in cols)
+        conn.execute(f'CREATE TABLE "{table}" ({defs})')
+        ph = ", ".join("?" for _ in cols)
+        conn.executemany(
+            f'INSERT INTO "{table}" ({qcols}) VALUES ({ph})',
+            [tuple(r[c] for c in cols) for r in rows],
+        )
+        conn.commit()
+    finally:
+        conn.close()
+
+
+def write_xlsx(df: DataFrame, path: str, sheet_name: str = "VAT_Summary") -> None:
+    """Excel export of a small result frame (reference S5)."""
+    pdf = df.toPandas()
+    try:
+        pdf.to_excel(path, sheet_name=sheet_name, index=False)
+    except (ImportError, ModuleNotFoundError) as e:  # engine not in container
+        raise NotImplementedError("xlsx writer engine not installed") from e
