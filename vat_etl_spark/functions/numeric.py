@@ -38,16 +38,15 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
     )
 
 
-def davg(expr: Column, scale: int = 6) -> Column:
-    """Order-independent average: exact decimal sum ÷ count in double, then
-    round. Identical in both engines because the sum is exact."""
-    return F.round(
-        F.sum(expr.cast(DEC)).cast("double") / F.count(expr), scale
-    )
+def davg(expr: Column) -> Column:
+    """Order-independent average: exact decimal sum, cast to double, divided
+    by count. Both operands are bit-identical across engines, and IEEE
+    division is deterministic, so the quotient is bit-identical too — no
+    rounding needed (rounding would *add* repr-boundary risk)."""
+    return F.sum(expr.cast(DEC)).cast("double") / F.count(expr)
 
 
-def davg_sql(expr: str, scale: int = 6) -> str:
+def davg_sql(expr: str) -> str:
     return (
-        f"round(cast(sum(cast(({expr}) AS DECIMAL(30,6))) AS DOUBLE) "
-        f"/ count({expr}), {scale})"
+        f"cast(sum(cast(({expr}) AS DECIMAL(30,6))) AS DOUBLE) / count({expr})"
     )

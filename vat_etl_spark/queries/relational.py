@@ -1,1 +1,347 @@
-"""Placeholder — populated in this round."""
+"""General relational surface (SURVEY.md §7 tier 3): joins (broadcast /
+sort-merge / semi / anti / outer / non-equi range), aggregation variants,
+set operations, rollup/cube, pivot, top-k. The reference has zero relational
+joins (SURVEY.md §2.5) — its dict lookups are broadcast joins against tiny
+dims — but the engine class requires the full surface; all of it is built-in
+DataFrame API, so the work here is surface + oracle parity.
+
+Scale notes (100 TB): fact-fact joins (lineitem⋈orders) shuffle on the join
+key — on a real cluster both sides would be bucketed on orderkey making this
+a shuffle-free sort-merge; dim joins (region/nation/customer-sized) are
+explicitly broadcast. Aggregates use map-side partial aggregation for free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vat_etl_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from vat_etl_spark.queries import query
+from vat_etl_spark.sources.catalog import read_table as _t
+
+
+# --- Q1-style pricing summary: the canonical wide aggregate -----------------
+
+_Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+  {dsum_sql("l_quantity")} AS sum_qty,
+  {dsum_sql("l_extendedprice")} AS sum_base_price,
+  {dsum_sql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+  {dsum_sql("(l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)")} AS sum_charge,
+  {davg_sql("l_quantity")} AS avg_qty,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=_Q1_SQL)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style grouped aggregate; filter pushed to the parquet scan,
+    partial aggregation map-side (one shuffle of 4 groups)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    charge = disc_price * (F.lit(1.0) + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --- multi-way join + top-k -------------------------------------------------
+
+_TOPK_SQL = f"""
+SELECT c.c_custkey, c.c_name,
+  {dsum_sql("o.o_totalprice")} AS total_spend,
+  count(*) AS n_orders
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY c.c_custkey, c.c_name
+ORDER BY total_spend DESC, c.c_custkey
+LIMIT 10
+"""
+
+
+@query("topk_customers", oracle=_TOPK_SQL)
+def topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + deterministic top-k (Catalyst rewrites the
+    orderBy+limit to TakeOrderedAndProject — no global sort)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(F.col("o_totalprice")).alias("total_spend"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(10)
+    )
+
+
+# --- Q5-style region revenue: 6-way join with broadcast dims ----------------
+
+_Q5_SQL = f"""
+SELECT r_name AS region, n_name AS nation,
+  {dsum_sql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY r_name, n_name
+"""
+
+
+@query("q5_region_revenue", oracle=_Q5_SQL)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-style: two fact tables shuffled on orderkey; customer /
+    supplier / nation / region explicitly broadcast (all dim-sized)."""
+    li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
+    c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
+    n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
+    o = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        j.groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+# --- semi / anti / outer joins ----------------------------------------------
+
+_SEMI_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND year(o_orderdate) = 1997
+)
+GROUP BY c_mktsegment
+"""
+
+
+@query("join_semi_active_customers", oracle=_SEMI_SQL)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi = EXISTS; never duplicates the left side."""
+    c, o = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders")
+    active = o.filter(F.year("o_orderdate") == 1997)
+    return (
+        c.join(active, c["c_custkey"] == active["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_ANTI_SQL = """
+SELECT n_name AS nation, count(*) AS n_inactive
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+"""
+
+
+@query("join_anti_inactive_customers", oracle=_ANTI_SQL)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti = NOT EXISTS."""
+    c, o, n = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "nation")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_inactive"))
+    )
+
+
+_OUTER_SQL = """
+SELECT o_orderpriority, count(*) AS n_orders,
+       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_lineless
+FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey AND l_linenumber = 1
+GROUP BY o_orderpriority
+"""
+
+
+@query("join_outer_order_lines", oracle=_OUTER_SQL)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join with a compound condition; counts preserved rows."""
+    o, li = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
+    li1 = li.filter(F.col("l_linenumber") == 1)
+    return (
+        o.join(li1, o["o_orderkey"] == li1["l_orderkey"], "left")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).alias("n_lineless"),
+        )
+    )
+
+
+# --- non-equi range join ----------------------------------------------------
+
+_RANGE_SQL = f"""
+WITH bands(band, lo, hi) AS (
+  VALUES ('small', 0.0, 15.0), ('medium', 15.0, 30.0),
+         ('large', 30.0, 45.0), ('jumbo', 45.0, 1e9)
+)
+SELECT band, count(*) AS n_items, {dsum_sql("l_extendedprice")} AS band_value
+FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+GROUP BY band
+"""
+
+
+@query("join_range_quantity_bands", oracle=_RANGE_SQL)
+def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range) join against a tiny broadcast bands dim — the
+    broadcast-nested-loop pattern for interval lookups."""
+    li = _t(spark, sf_dir, "lineitem")
+    bands = li.sparkSession.createDataFrame(
+        [("small", 0.0, 15.0), ("medium", 15.0, 30.0),
+         ("large", 30.0, 45.0), ("jumbo", 45.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    j = li.join(
+        F.broadcast(bands),
+        (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+    )
+    return j.groupBy("band").agg(
+        F.count("*").alias("n_items"), dsum(F.col("l_extendedprice")).alias("band_value")
+    )
+
+
+# --- set operations ---------------------------------------------------------
+
+_SETOP_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+"""
+
+
+@query("setop_except_customers", oracle=_SETOP_SQL)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct): customers active in 1996 but not 1997."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.year("o_orderdate") == 1996).select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.year("o_orderdate") == 1997).select(F.col("o_custkey").alias("custkey"))
+    return a.distinct().exceptAll(b.distinct())
+
+
+_INTERSECT_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+@query("setop_intersect_customers", oracle=_INTERSECT_SQL)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    b = o.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+# --- rollup / cube / pivot --------------------------------------------------
+
+_ROLLUP_SQL = f"""
+SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon,
+  {dsum_sql("o_totalprice")} AS revenue, count(*) AS n
+FROM orders GROUP BY ROLLUP (year(o_orderdate), month(o_orderdate))
+"""
+
+
+@query("agg_rollup_period", oracle=_ROLLUP_SQL)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (year, month): per-month, per-year subtotal, grand total."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup(F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon"))
+        .agg(dsum(F.col("o_totalprice")).alias("revenue"), F.count("*").alias("n"))
+    )
+
+
+_CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus, {dsum_sql("l_quantity")} AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_cube_flags", oracle=_CUBE_SQL)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(dsum(F.col("l_quantity")).alias("qty"))
+
+
+_PIVOT_SQL = f"""
+SELECT year(o_orderdate) AS yr,
+  {dsum_sql("CASE WHEN o_orderstatus = 'O' THEN o_totalprice END")} AS status_O,
+  {dsum_sql("CASE WHEN o_orderstatus = 'F' THEN o_totalprice END")} AS status_F,
+  {dsum_sql("CASE WHEN o_orderstatus = 'P' THEN o_totalprice END")} AS status_P
+FROM orders GROUP BY year(o_orderdate)
+"""
+
+
+@query("agg_pivot_status", oracle=_PIVOT_SQL)
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot with explicit value list (avoids the extra distinct-values job —
+    at scale always pass the pivot values)."""
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(dsum(F.col("o_totalprice")))
+    )
+    # a pivot cell with zero input rows is NULL (the aggregate never runs);
+    # the SQL twin's CASE-sum coalesces to 0.0, so match that here
+    return out.select(
+        "yr",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("status_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("status_F"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("status_P"),
+    )
+
+
+# --- distinct-count surface -------------------------------------------------
+
+_DISTINCT_SQL = """
+SELECT l_returnflag,
+  count(DISTINCT l_orderkey) AS n_orders,
+  count(DISTINCT l_partkey) AS n_parts
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_count_distinct", oracle=_DISTINCT_SQL)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (expand + two-phase agg under the hood).
+    approx_count_distinct is the 100 TB path but is engine-specific, so the
+    oracle pins the exact variant; the approx variant is exposed in
+    operators and benched separately."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )

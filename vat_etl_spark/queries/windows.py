@@ -1,1 +1,129 @@
-"""Placeholder — populated in this round."""
+"""Window-function surface (SURVEY.md §2.8 — absent from the reference,
+required of the engine class): ranking, running totals, lag/lead, frames.
+
+Cross-engine note: running sums accumulate in frame order, so to keep the
+oracle hash-stable the accumulated value is cast to exact DECIMAL before the
+window sum (order-independent exactness), rounded after.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from vat_etl_spark.queries import query
+from vat_etl_spark.sources.catalog import read_table as _t
+
+_DEC = "decimal(30,6)"
+
+
+_RANK_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@query("window_top3_orders_per_customer", oracle=_RANK_SQL)
+def window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via row_number (deterministic tie-break on orderkey).
+    At scale this is one shuffle on the partition key; no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+  cast(round(sum(cast(o_totalprice AS DECIMAL(30,6)))
+             OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+       AS DOUBLE) AS running_spend
+FROM orders
+"""
+
+
+@query("window_running_spend", oracle=_RUNNING_SQL)
+def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    running = F.round(F.sum(F.col("o_totalprice").cast(_DEC)).over(w), 2).cast("double")
+    return o.select("o_custkey", "o_orderkey", running.alias("running_spend"))
+
+
+_LAG_SQL = """
+SELECT user_id, event_id,
+  cast(round(cast(value AS DECIMAL(18,2))
+             - lag(cast(value AS DECIMAL(18,2)), 1)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id), 2)
+       AS DOUBLE) AS value_delta
+FROM events
+"""
+
+
+@query("window_lag_value_delta", oracle=_LAG_SQL)
+def window_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() — per-user deltas over the event stream (batch form; the
+    streaming twin lives in vat_etl_spark.streaming)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    v = F.col("value").cast("decimal(18,2)")
+    delta = F.round(v - F.lag(v, 1).over(w), 2).cast("double")
+    return e.select("user_id", "event_id", delta.alias("value_delta"))
+
+
+_DENSE_SQL = """
+SELECT s_nationkey, s_suppkey, s_acctbal,
+  dense_rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC) AS bal_rank,
+  cast(ntile(4) OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey)
+       AS INTEGER) AS bal_quartile
+FROM supplier
+"""
+
+
+@query("window_dense_rank_ntile", oracle=_DENSE_SQL)
+def window_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"))
+    wt = W.partitionBy("s_nationkey").orderBy(F.desc("s_acctbal"), F.asc("s_suppkey"))
+    return s.select(
+        "s_nationkey",
+        "s_suppkey",
+        "s_acctbal",
+        F.dense_rank().over(w).alias("bal_rank"),
+        F.ntile(4).over(wt).alias("bal_quartile"),
+    )
+
+
+_FRAME_SQL = """
+SELECT user_id, event_id,
+  cast(sum(cast(value AS DECIMAL(18,2)))
+       OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+  / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS moving_avg3
+FROM events
+"""
+
+
+@query("window_moving_avg", oracle=_FRAME_SQL)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded ROWS frame (3-row moving average) as exact-decimal sum ÷
+    frame count — bit-identical across engines with no rounding."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, W.currentRow)
+    mv = F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double") / F.count(
+        F.lit(1)
+    ).over(w)
+    return e.select("user_id", "event_id", mv.alias("moving_avg3"))

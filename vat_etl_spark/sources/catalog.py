@@ -19,12 +19,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
+    rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long
+    (legacy conf, set at runtime so it works under any session) and convert
+    to a microsecond TimestampType — the same truncation DuckDB applies when
+    casting ns→µs, so oracle comparisons agree."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, "events"))
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
+    )
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return read_events(spark, sf_dir)
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: list[str] | None = None
 ) -> dict[str, DataFrame]:
     """Load the driver parquet tables as lazy DataFrames."""
     return {
-        name: spark.read.parquet(table_path(sf_dir, name))
+        name: read_table(spark, sf_dir, name)
         for name in (names or TESTDATA_TABLES)
         if os.path.exists(table_path(sf_dir, name))
     }
