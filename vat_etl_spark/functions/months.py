@@ -57,7 +57,12 @@ def month_expr(col: Column) -> tuple[Column, Column]:
     assert num is not None and name is not None
     fallback_num = F.regexp_extract(s, r"\b(0?[1-9]|1[0-2])\b", 1).try_cast("int")
     abbrevs = [datetime(2000, m, 1).strftime("%b") for m in range(1, 13)]
-    fallback_name = F.element_at(F.array(*[F.lit(a) for a in abbrevs]), fallback_num)
+    # guard: Spark 4.1's element_at(arr, NULL) yields the LAST element, not
+    # NULL — wrap in an explicit null check
+    fallback_name = F.when(
+        fallback_num.isNotNull(),
+        F.element_at(F.array(*[F.lit(a) for a in abbrevs]), fallback_num),
+    )
     out_num = F.coalesce(num, fallback_num, F.lit(0))
     out_name = F.coalesce(name, fallback_name, F.lit("Unknown"))
     return out_name, out_num

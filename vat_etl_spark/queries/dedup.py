@@ -1,1 +1,220 @@
-"""Placeholder — populated in this round."""
+"""Deduplication operators over ``documents`` (north-star extension,
+SURVEY.md §2.9): exact (hash-groupBy), n-gram Jaccard, SimHash, MinHash-LSH,
+embedding-cosine near-dup. Exact + Jaccard + cosine are oracle-verified;
+SimHash/MinHash use Spark-specific hashing (xxhash64 / ml.feature) and get
+rows-only checks plus determinism pytest coverage.
+
+Scale notes: exact dedup is one hash aggregate on the fingerprint (the only
+shuffle). Pairwise ops (Jaccard, cosine) are written as token-/bucket-joins
+so candidate generation is key-partitioned, never a full cross join; at
+100 TB you additionally band the LSH signatures so each bucket's pair list
+fits an executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vat_etl_spark.queries import query
+from vat_etl_spark.queries.text import tokens_expr
+from vat_etl_spark.sources.catalog import read_table as _t
+
+
+_EXACT_SQL = """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM documents
+)
+SELECT fp, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+FROM keyed GROUP BY fp
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint,
+    deterministic survivor (min doc_id) — unlike dropDuplicates, which keeps
+    an arbitrary row per key."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast("binary")
+    )
+    return (
+        d.select(fp.alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+_KEYED_SQL = """
+SELECT lang, source, min(doc_id) AS keep_doc_id, count(*) AS n_in_group
+FROM documents GROUP BY lang, source
+"""
+
+
+@query("dedup_by_key", oracle=_KEYED_SQL)
+def dedup_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-key dedup (keep-first per (lang, source)) — the deterministic
+    form of dropDuplicates([cols])."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_in_group")
+    )
+
+
+_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, common, sa.n AS n_a, sb.n AS n_b,
+  cast(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE cast(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by token-set Jaccard ≥ 0.6, candidate pairs
+    generated via an inverted-index token join (key-partitioned — no cross
+    join; hot tokens are the skew risk at scale, where a doc-frequency cap
+    or LSH banding bounds the blowup)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", "common", "n_a", "n_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+_COSDUP_SQL = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+  list_cosine_similarity(cast(a.embedding AS DOUBLE[]),
+                         cast(b.embedding AS DOUBLE[])) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.label = b.label
+  AND list_cosine_similarity(cast(a.embedding AS DOUBLE[]),
+                             cast(b.embedding AS DOUBLE[])) >= 0.3
+"""
+
+
+def cosine_expr(a, b):
+    """Cosine similarity between two array<double> columns as a native fold
+    (bit-identical to DuckDB's list_cosine_similarity on DOUBLE[] — probed)."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def _dbl(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+@query("dedup_embedding_cosine", oracle=_COSDUP_SQL)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.3) with label-blocking — the
+    blocking key stands in for the LSH bucket that bounds candidate pairs at
+    scale."""
+    em = _t(spark, sf_dir, "embeddings")
+    a = em.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("la"),
+                  _dbl(F.col("embedding")).alias("ea"))
+    b = em.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("lb"),
+                  _dbl(F.col("embedding")).alias("eb"))
+    j = a.join(b, (F.col("vec_a") < F.col("vec_b")) & (F.col("la") == F.col("lb")))
+    cos = cosine_expr(F.col("ea"), F.col("eb"))
+    return j.select("vec_a", "vec_b", cos.alias("cosine")).filter(F.col("cosine") >= 0.3)
+
+
+@query("dedup_minhash_lsh")  # rows-only: ml.feature hashing is Spark-specific
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup candidates: shingle → HashingTF → MinHashLSH →
+    approxSimilarityJoin (Jaccard distance ≤ 0.4). The production-scale path
+    for fuzzy dedup: candidate pairs come from banded signature buckets, so
+    cost is per-bucket, not quadratic."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+")
+    ng = NGram(n=3, inputCol="toks", outputCol="shingles")
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    shingled = ng.transform(tok.transform(d)).filter(F.size("shingles") > 0)
+    staged = tf.transform(shingled)
+    mh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
+    model = mh.fit(staged)
+    pairs = model.approxSimilarityJoin(staged, staged, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("jaccard_dist"),
+        )
+    )
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 is Spark-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from token hashes — near-dup docs land on
+    nearby signatures; grouping on a signature prefix gives cheap candidate
+    blocks. Pure native expressions (xxhash64 + bit ops + fold)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens_expr(F.col("text")))
+    hashed = F.transform(toks, lambda t: F.xxhash64(t))
+    # 64 literal bit masks (bit 63 is the sign bit in two's complement)
+    masks = [1 << i for i in range(63)] + [-(1 << 63)]
+    mask_arr = F.array(*[F.lit(m).cast("long") for m in masks])
+    # For each bit: +1 if set else -1, summed over token hashes; sign → bit.
+    bit_votes = F.transform(
+        mask_arr,
+        lambda m: F.aggregate(
+            hashed,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            bit_votes, mask_arr,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    sig = d.select("doc_id", simhash.alias("simhash"))
+    return sig.select(
+        "doc_id", "simhash", F.shiftrightunsigned("simhash", 48).alias("block16")
+    )

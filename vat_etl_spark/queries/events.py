@@ -1,1 +1,123 @@
-"""Placeholder — populated in this round."""
+"""Event-time operators over the ``events`` table — the batch twins of the
+structured-streaming surface (vat_etl_spark/streaming/). Tumbling / sliding /
+session windows and keep-earliest dedup, all oracle-verified; the streaming
+module reuses the same builders over ``readStream``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from vat_etl_spark.functions.numeric import dsum, dsum_sql
+from vat_etl_spark.queries import query
+from vat_etl_spark.sources.catalog import read_table as _t
+
+
+_TUMBLING_SQL = f"""
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS win_start, event_type,
+  count(*) AS n_events, {dsum_sql("value")} AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+@query("events_tumbling_window", oracle=_TUMBLING_SQL)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute event-time windows (batch form of the streaming
+    windowed aggregation; add withWatermark on a stream)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+
+
+_SLIDING_SQL = f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS w, value FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes' AS w, value
+  FROM events
+)
+SELECT w AS win_start, count(*) AS n_events, {dsum_sql("value")} AS total_value
+FROM assigned GROUP BY w
+"""
+
+
+@query("events_sliding_window", oracle=_SLIDING_SQL)
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (10 min length, 5 min slide): each event lands in two
+    windows; the SQL twin materializes the same assignment via UNION ALL."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "total_value")
+    )
+
+
+_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL '30 minutes'
+         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_last, count(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+@query("events_sessionize", oracle=_SESSION_SQL)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute inactivity gap) per user, via the native
+    session_window operator — on a stream this becomes stateful session
+    aggregation with watermark-driven eviction."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+    )
+
+
+_DEDUP_SQL = """
+SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+FROM (
+  SELECT user_id, event_type, event_id, ts,
+    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+@query("events_dedup_earliest", oracle=_DEDUP_SQL)
+def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-earliest dedup per (user, event_type) — deterministic alternative
+    to dropDuplicates (which keeps an arbitrary row); the streaming twin is
+    dropDuplicatesWithinWatermark."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select(
+            "user_id", "event_type",
+            F.col("event_id").alias("first_event_id"),
+            F.col("ts").alias("first_ts"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

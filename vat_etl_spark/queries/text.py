@@ -1,1 +1,230 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis operators over the ``documents`` table (north-star
+extension, SURVEY.md §2.9): corpus stats, token frequencies, per-document
+quality scoring, heuristic language ID, and content fingerprinting — all as
+native expressions (split/filter/aggregate/explode), no Python UDFs, so the
+hot path scales to a 100 TB corpus as a scan + one shuffle per aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vat_etl_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
+from vat_etl_spark.queries import query
+from vat_etl_spark.sources.catalog import read_table as _t
+
+_WS = r"\s+"
+STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "it", "on", "for"]
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def tokens_expr(col):
+    """Whitespace tokenization as a column expression."""
+    return F.split(F.trim(col), _WS)
+
+
+_NTOK_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
+
+_STATS_SQL = f"""
+SELECT lang, source, count(*) AS n_docs,
+  {davg_sql("n_chars")} AS avg_chars,
+  {dsum_sql(_NTOK_SQL, 0)} AS total_tokens,
+  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+@query("text_corpus_stats", oracle=_STATS_SQL)
+def text_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (lang, source) corpus statistics incl. token counts."""
+    d = _t(spark, sf_dir, "documents")
+    ntok = F.size(tokens_expr(F.col("text")))
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        davg(F.col("n_chars")).alias("avg_chars"),
+        dsum(ntok, 0).alias("total_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_TOP_SQL = """
+SELECT word, count(*) AS freq FROM (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word FROM documents
+) GROUP BY word ORDER BY freq DESC, word LIMIT 25
+"""
+
+
+@query("text_top_words", oracle=_TOP_SQL)
+def text_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word frequencies via explode + count + deterministic top-k. At 100 TB
+    the explode fan-out is large but map-side partial aggregation collapses
+    it before the shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_expr(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(25)
+    )
+
+
+_QUALITY_SQL = f"""
+WITH feat AS (
+  SELECT doc_id, n_chars,
+    len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+    len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                    w -> list_contains({_STOP_SQL}, w))) AS n_stop,
+    length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct
+  FROM documents
+)
+SELECT doc_id, n_words, n_stop, n_punct,
+  cast(n_chars AS DOUBLE) / n_words AS avg_word_span,
+  cast(n_stop AS DOUBLE) / n_words AS stopword_ratio,
+  cast(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+  0.5 * least(cast(n_words AS DOUBLE) / 100.0, 1.0)
+    + 0.3 * (cast(n_stop AS DOUBLE) / n_words)
+    + 0.2 * (1.0 - cast(n_punct AS DOUBLE) / n_chars) AS quality_score
+FROM feat
+"""
+
+
+@query("text_quality_score", oracle=_QUALITY_SQL)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (length / stopword / punctuation
+    ratios) + a combined score — the classic pretraining-data filter."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    n_words = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(F.lit(STOPWORDS), w)))
+    n_punct = F.length(F.regexp_replace(F.col("text"), r"[^.,;:!?]", ""))
+    feat = d.select("doc_id", "n_chars", n_words.alias("n_words"),
+                    n_stop.alias("n_stop"), n_punct.alias("n_punct"))
+    wd = F.col("n_words").cast("double")
+    return feat.select(
+        "doc_id", "n_words", "n_stop", "n_punct",
+        (F.col("n_chars").cast("double") / wd).alias("avg_word_span"),
+        (F.col("n_stop").cast("double") / wd).alias("stopword_ratio"),
+        (F.col("n_punct").cast("double") / F.col("n_chars")).alias("punct_ratio"),
+        (
+            F.lit(0.5) * F.least(wd / F.lit(100.0), F.lit(1.0))
+            + F.lit(0.3) * (F.col("n_stop").cast("double") / wd)
+            + F.lit(0.2) * (F.lit(1.0) - F.col("n_punct").cast("double") / F.col("n_chars"))
+        ).alias("quality_score"),
+    )
+
+
+# Heuristic language ID: count distinctive function words per language and
+# take the argmax through a fixed preference order (deterministic).
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "is", "of"],
+    "es": ["el", "la", "de", "que"],
+    "de": ["der", "die", "und", "ist"],
+    "fr": ["le", "la", "et", "est"],
+}
+
+
+def _marker_count(toks, words: list[str]):
+    return F.size(F.filter(toks, lambda w: F.array_contains(F.lit(words), w)))
+
+
+def _marker_count_sql(words: list[str]) -> str:
+    lst = "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    return (
+        f"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+        f"w -> list_contains({lst}, w)))"
+    )
+
+
+_LANGID_SQL = f"""
+WITH scores AS (
+  SELECT doc_id, lang AS labeled_lang,
+    {_marker_count_sql(_LANG_MARKERS["en"])} AS s_en,
+    {_marker_count_sql(_LANG_MARKERS["es"])} AS s_es,
+    {_marker_count_sql(_LANG_MARKERS["de"])} AS s_de,
+    {_marker_count_sql(_LANG_MARKERS["fr"])} AS s_fr
+  FROM documents
+)
+SELECT doc_id, labeled_lang,
+  CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+       WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+       WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+       WHEN s_de >= s_fr THEN 'de'
+       ELSE 'fr' END AS predicted_lang
+FROM scores
+"""
+
+
+@query("text_language_id", oracle=_LANGID_SQL)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/function-word language-ID heuristic (deterministic argmax)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    s = {k: _marker_count(toks, v) for k, v in _LANG_MARKERS.items()}
+    scored = d.select(
+        "doc_id", F.col("lang").alias("labeled_lang"),
+        s["en"].alias("s_en"), s["es"].alias("s_es"),
+        s["de"].alias("s_de"), s["fr"].alias("s_fr"),
+    )
+    pred = (
+        F.when(
+            (F.col("s_en") == 0) & (F.col("s_es") == 0)
+            & (F.col("s_de") == 0) & (F.col("s_fr") == 0),
+            F.lit("und"),
+        )
+        .when(
+            (F.col("s_en") >= F.col("s_es")) & (F.col("s_en") >= F.col("s_de"))
+            & (F.col("s_en") >= F.col("s_fr")),
+            F.lit("en"),
+        )
+        .when((F.col("s_es") >= F.col("s_de")) & (F.col("s_es") >= F.col("s_fr")), F.lit("es"))
+        .when(F.col("s_de") >= F.col("s_fr"), F.lit("de"))
+        .otherwise(F.lit("fr"))
+    )
+    return scored.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
+
+
+_FP_SQL = """
+SELECT doc_id,
+  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+  length(text) AS text_len
+FROM documents
+"""
+
+
+@query("text_fingerprint", oracle=_FP_SQL)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content MD5 fingerprint — the exact-dedup key. (The
+    reference has no hashing at all; this is the scale-path content key.)"""
+    d = _t(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), _WS, " ")
+    return d.select(
+        "doc_id", F.md5(norm.cast("binary")).alias("fingerprint"),
+        F.length("text").alias("text_len"),
+    )
+
+
+_TOKCOUNT_SQL = """
+SELECT doc_id,
+  len(regexp_split_to_array(trim(text), '\\s+')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS bpe_ish_tokens,
+  cast(ceil(length(text) / 4.0) AS BIGINT) AS approx_llm_tokens
+FROM documents
+"""
+
+
+@query("text_token_counts", oracle=_TOKCOUNT_SQL)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting three ways: whitespace, BPE-ish regex (word pieces +
+    punctuation singles), chars/4 LLM heuristic."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens_expr(F.col("text"))).alias("ws_tokens"),
+        F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9_]+|[^A-Za-z0-9_\s]")).alias(
+            "bpe_ish_tokens"
+        ),
+        F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_llm_tokens"),
+    )

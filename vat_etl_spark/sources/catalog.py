@@ -29,9 +29,8 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # integral division — double division loses precision above 2^53 ns
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
