@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query executes end-to-end into a noop sink (full pipeline, no driver
+collect). The set covers every subsystem: VAT flagship, wide agg, multi-way
+join, top-k, windows, sessionization, text, dedup, similarity.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vat_etl_spark.queries import QUERIES  # noqa: E402
+from vat_etl_spark.session import get_spark  # noqa: E402
+
+BENCH_QUERIES = [
+    "vat_summary",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "topk_customers",
+    "agg_rollup_period",
+    "window_top3_orders_per_customer",
+    "events_sessionize",
+    "events_tumbling_window",
+    "text_corpus_stats",
+    "dedup_exact",
+    "knn_bruteforce_cosine",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+
+    # warm the JVM + parquet footers once so timings measure the queries
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""F1 currency parser: golden cases verified against the live reference
+functions (SURVEY.md §2.3 F1) plus property-style checks."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from vat_etl_spark.functions.currency import (
+    CURRENCY_RATES,
+    currency_to_aed,
+    currency_to_aed_exact,
+)
+
+GOLDEN = [
+    ("USD 100", 367.0),
+    ("(500)", -500.0),
+    ("€ 99.5", 396.01),
+    ("GBP (20)", -92.4),
+    ("1.2.3", 0.0),
+    ("5%", 5.0),
+    (None, 0.0),
+    ("AED 1,234.56", 1234.56),
+    ("$100", 367.0),
+    ("₹1000", 44.0),
+    ("abc", 0.0),
+    ("", 0.0),
+    ("-42.5", -42.5),
+]
+
+
+def _run(spark, fn, values):
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    return [r.out for r in df.select(fn(F.col("raw")).alias("out")).collect()]
+
+
+@pytest.mark.parametrize("fn", [currency_to_aed, currency_to_aed_exact])
+def test_golden_cases(spark, fn):
+    got = _run(spark, fn, [v for v, _ in GOLDEN])
+    for (raw, want), g in zip(GOLDEN, got):
+        assert g == pytest.approx(want, abs=1e-9), f"{raw!r}: {g} != {want}"
+
+
+def test_first_match_in_dict_order_wins(spark):
+    # "USD" checked before "$" and before "EUR": text with several symbols
+    # resolves to the earliest dict entry present (quirk Q3)
+    # dict order: AED, د.إ, USD, $, EUR, ... — the earliest dict entry
+    # present anywhere in the text wins (quirk Q3)
+    got = _run(spark, currency_to_aed, ["EUR $ 10", "$ EUR 10", "AED USD 10"])
+    assert got[0] == pytest.approx(round(10 * CURRENCY_RATES["$"], 2))  # $ before EUR
+    assert got[1] == pytest.approx(36.7)
+    assert got[2] == pytest.approx(10.0)  # AED first → rate 1.0
+
+
+def test_unknown_symbol_rate_one(spark):
+    got = _run(spark, currency_to_aed, ["JPY 100", "100 CHF"])
+    assert got == [100.0, 100.0]
+
+
+def test_paren_negation_requires_both_ends(spark):
+    got = _run(spark, currency_to_aed, ["(100", "100)", "-(100)"])
+    assert got == [0.0, 0.0, 0.0]  # unbalanced/odd forms fail the float parse

@@ -1,0 +1,45 @@
+"""Header inference + normalization (reference fianl2.py:51-81 semantics)."""
+
+from __future__ import annotations
+
+from vat_etl_spark.functions.headers import (
+    canonical_rename,
+    detect_header_row,
+    normalize_header,
+)
+
+
+def test_normalize_nbsp_and_strip():
+    assert normalize_header("  Net Value  ") == "Net Value"
+    assert normalize_header(None) == ""
+
+
+def test_detect_header_row_needs_two_keywords():
+    rows = [
+        ["junk", "junk"],
+        ["only net here", "x"],          # 1 keyword → not a header
+        ["Supply Type", "Tax", "Box"],   # 3 keywords → header
+    ]
+    assert detect_header_row(rows) == 2
+
+
+def test_detect_header_row_defaults_to_zero():
+    assert detect_header_row([["a", "b"], ["c", "d"]]) == 0
+
+
+def test_detect_header_row_caps_scan_at_30():
+    rows = [["x"]] * 31 + [["net", "tax"]]
+    assert detect_header_row(rows) == 0
+
+
+def test_canonical_rename_aliases():
+    cols = ["Invoice #", "Net", "Tax", "Gross", "Customer Name", "Box", "Extra"]
+    assert canonical_rename(cols) == [
+        "Invoice Number",
+        "Supply/Purchase Value",
+        "VAT Value",
+        "Invoice Value",
+        "Customer/supplier Name",
+        "Box",
+        "Extra",
+    ]

@@ -1,0 +1,30 @@
+"""Sink parity: SQLite full-replace (reference S6) and parquet round-trip."""
+
+from __future__ import annotations
+
+import sqlite3
+
+from vat_etl_spark.sources.catalog import read_table
+from vat_etl_spark.sources.sinks import write_parquet, write_sqlite
+
+
+def test_sqlite_full_replace(spark, sf_smoke, tmp_path):
+    db = str(tmp_path / "out.db")
+    df = read_table(spark, sf_smoke, "region")
+    write_sqlite(df, db, table="t")
+    write_sqlite(df, db, table="t")  # replace semantics: second write overwrites
+    con = sqlite3.connect(db)
+    n = con.execute('SELECT count(*) FROM "t"').fetchone()[0]
+    names = [r[0] for r in con.execute('SELECT r_name FROM "t" ORDER BY r_regionkey')]
+    con.close()
+    assert n == df.count()
+    assert names == [r.r_name for r in df.orderBy("r_regionkey").collect()]
+
+
+def test_parquet_roundtrip(spark, sf_smoke, tmp_path):
+    out = str(tmp_path / "p")
+    df = read_table(spark, sf_smoke, "nation")
+    write_parquet(df, out, partition_by=["n_regionkey"])
+    back = spark.read.parquet(out)
+    assert back.count() == df.count()
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in df.collect()}
