@@ -1,0 +1,108 @@
+"""Multimodal column convention (north-star extension, SURVEY.md §2.9):
+image/audio/video payloads as opaque ``binary`` columns beside a typed
+metadata struct, with decode / feature-extraction as Arrow-batched
+``mapInPandas`` stages.
+
+The decode libraries (PIL / torchaudio / ffmpeg) are NOT in this container,
+so the actual byte→pixels step is STUBBED: :func:`decode_image` raises
+NotImplementedError unless PIL is importable, and the tested path uses
+:func:`extract_features` — a deterministic byte-level featureizer with the
+exact Spark plumbing (schema, Arrow batching, partition behavior) the real
+decoder would use. Swapping the stub for a real decoder changes only the
+inner function body.
+
+Scale notes: payloads at 100 TB should be *pointer-style* (path + offset +
+length into object storage) with the binary fetched inside mapInPandas per
+batch — never shuffled. Here payloads are inline for testability; the schema
+carries both forms (``payload`` nullable, ``uri`` nullable).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MULTIMODAL_META = T.StructType(
+    [
+        T.StructField("mime", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.StringType()),
+        T.StructField("width", T.IntegerType()),   # decode-time metadata,
+        T.StructField("height", T.IntegerType()),  # NULL until decoded
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_histogram", T.ArrayType(T.LongType())),
+        T.StructField("entropy_proxy", T.DoubleType()),
+    ]
+)
+
+
+def attach_payload(documents: DataFrame) -> DataFrame:
+    """Promote a text corpus to the multimodal column convention: binary
+    payload + metadata struct + nullable storage URI. (Real pipelines ingest
+    bytes directly; encoding text is the container-friendly stand-in.)"""
+    payload = F.encode(F.col("text"), "UTF-8")
+    meta = F.struct(
+        F.lit("text/plain").alias("mime"),
+        F.length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("checksum"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+    )
+    return documents.select(
+        "doc_id",
+        payload.alias("payload"),
+        F.lit(None).cast("string").alias("uri"),
+        meta.alias("meta"),
+    )
+
+
+def extract_features(mm: DataFrame, n_bins: int = 8) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads via mapInPandas:
+    per-payload byte histogram + an entropy proxy. Deterministic — this is
+    the tested stand-in for an image/audio featureizer; the batch shape,
+    schema contract, and partition-preserving execution are the real thing."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                hist = [0] * n_bins
+                for byte in b:
+                    hist[byte % n_bins] += 1
+                n = len(b)
+                ent = 0.0
+                for h in hist:
+                    if h:
+                        p = h / n
+                        ent -= p * math.log2(p)
+                out.append((doc_id, n, hist, ent))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_bytes", "byte_histogram", "entropy_proxy"]
+            )
+
+    return mm.mapInPandas(batches, schema=FEATURES_SCHEMA)
+
+
+def decode_image(mm: DataFrame) -> DataFrame:
+    """Decode image payloads to (width, height)-filled metadata. STUB: the
+    imaging library is not in this container."""
+    try:
+        import PIL  # noqa: F401
+    except ImportError as e:
+        raise NotImplementedError(
+            "image decode requires PIL; not available in this container — "
+            "the plumbing path is extract_features()"
+        ) from e
+    raise NotImplementedError("real decoder wiring lands when PIL is present")

@@ -1,0 +1,21 @@
+"""Structured Streaming surface (SURVEY.md §7 tier 5). The reference is
+upload-triggered batch (its re-execution model is Streamlit's whole-script
+rerun, fianl2.py:198-259); the engine's streaming tier maps the same
+event-time operators onto readStream/writeStream with watermarks.
+"""
+
+from vat_etl_spark.streaming.events import (
+    dedup_within_watermark,
+    run_available_now,
+    sessionize_stream,
+    stream_events,
+    windowed_totals,
+)
+
+__all__ = [
+    "stream_events",
+    "windowed_totals",
+    "sessionize_stream",
+    "dedup_within_watermark",
+    "run_available_now",
+]

@@ -1,0 +1,100 @@
+"""Streaming event-time operators: the batch queries in
+vat_etl_spark/queries/events.py re-expressed over an unbounded source.
+
+Design: the *same aggregation expressions* serve batch and streaming — the
+builders below take any events-shaped DataFrame (batch or stream). Batch
+twins are oracle-verified (queries/events.py); the streaming-specific
+behavior (watermark eviction, incremental state) is covered by pytest
+micro-batch runs (availableNow trigger → memory sink) asserting stream
+results equal the batch plan over the same files.
+
+Scale notes: windowed aggregations keep state per (window, key) — watermarks
+bound that state; sessionization state is per active session; dedup state is
+bounded by dropDuplicatesWithinWatermark. Shuffle partitioning follows the
+grouping keys exactly as in batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from vat_etl_spark.functions.numeric import dsum
+
+EVENTS_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream over an events-shaped parquet directory (µs
+    timestamps — see sources.catalog.read_events for the ns conversion when
+    staging from the raw testdata)."""
+    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
+
+
+def windowed_totals(
+    events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling-window totals per event_type. On a stream the watermark
+    bounds state and admits late data up to the threshold."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Per-user session windows (inactivity gap); stateful session merge on a
+    stream, plain session_window aggregate in batch."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_last"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Exactly-once-per-event_id dedup with bounded state (streaming) /
+    plain dropDuplicates (batch)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+            ["event_id"]
+        )
+    return events.dropDuplicates(["event_id"])
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> DataFrame:
+    """Drain the stream with an availableNow trigger into a memory sink and
+    return the materialized result (micro-batch test harness). Use
+    ``output_mode="complete"`` for aggregations, ``"append"`` for row-wise
+    operators (dedup emits rows immediately and keeps state for future
+    duplicates)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
