@@ -60,3 +60,16 @@ def test_unknown_symbol_rate_one(spark):
 def test_paren_negation_requires_both_ends(spark):
     got = _run(spark, currency_to_aed, ["(100", "100)", "-(100)"])
     assert got == [0.0, 0.0, 0.0]  # unbalanced/odd forms fail the float parse
+
+
+def test_pandas_udf_agrees_with_native_expr(spark):
+    """The Arrow escape-hatch UDF and the native expression implement the
+    same semantics (golden cases)."""
+    from vat_etl_spark.queries.functions_lib import make_currency_pandas_udf
+
+    udf = make_currency_pandas_udf()
+    values = [v for v, _ in GOLDEN]
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    got = [r.out for r in df.select(udf(F.col("raw")).alias("out")).collect()]
+    native = _run(spark, currency_to_aed, values)
+    assert got == pytest.approx(native, abs=1e-9)

@@ -43,3 +43,16 @@ def test_canonical_rename_aliases():
         "Box",
         "Extra",
     ]
+
+
+def test_xlsx_bridge_gated_when_openpyxl_missing(spark, tmp_path):
+    """The Excel source must fail with a clear gate, not a random crash,
+    in containers without openpyxl."""
+    import pytest as _pytest
+
+    from vat_etl_spark.sources.excel import read_workbook
+
+    fake = tmp_path / "wb.xlsx"
+    fake.write_bytes(b"PK\x03\x04 not a real workbook")
+    with _pytest.raises((NotImplementedError, ValueError)):
+        read_workbook(spark, str(fake))

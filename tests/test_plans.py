@@ -1,0 +1,48 @@
+"""Physical-plan regression tests: the plans we designed for must survive
+code changes — pushdown reaches the scan, projections prune, dims broadcast,
+shuffle counts stay at the designed minimum (SCALE.md shuffle inventory)."""
+
+from __future__ import annotations
+
+from vat_etl_spark.plans import (
+    has_broadcast_join,
+    pushed_filters,
+    read_schema_columns,
+    shuffle_count,
+)
+from vat_etl_spark.queries import QUERIES
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_smoke):
+    df = QUERIES["q1_pricing_summary"](spark, sf_smoke)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_flagship_prunes_columns(spark, sf_smoke):
+    df = QUERIES["vat_summary"](spark, sf_smoke)
+    schemas = read_schema_columns(df)
+    li = next(s for s in schemas if "l_extendedprice" in s)
+    assert "l_comment" not in li and "l_partkey" not in li and len(li) <= 6
+    o = next(s for s in schemas if "o_orderdate" in s)
+    assert o == {"o_orderkey", "o_orderdate"}
+
+
+def test_flagship_broadcasts_orders(spark, sf_smoke):
+    assert has_broadcast_join(QUERIES["vat_summary"](spark, sf_smoke))
+
+
+def test_q5_broadcasts_dims(spark, sf_smoke):
+    assert has_broadcast_join(QUERIES["q5_region_revenue"](spark, sf_smoke))
+
+
+def test_knn_has_no_shuffle_before_topk(spark, sf_smoke):
+    # broadcast query side + window on qid: exactly one exchange (the window)
+    df = QUERIES["knn_bruteforce_cosine"](spark, sf_smoke)
+    assert shuffle_count(df) <= 1
+    assert has_broadcast_join(df)
+
+
+def test_flagship_single_agg_shuffle(spark, sf_smoke):
+    # 1 aggregate exchange + 1 for the final 320-row sort
+    df = QUERIES["vat_summary"](spark, sf_smoke)
+    assert shuffle_count(df) <= 2

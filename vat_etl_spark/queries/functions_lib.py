@@ -277,3 +277,55 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("embedding").alias("min_component"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_positive"),
     )
+
+
+# --- Pandas-UDF escape hatch --------------------------------------------------
+
+def make_currency_pandas_udf():
+    """The engine's user-facing UDF escape hatch: the reference's own
+    currency parser (fianl2.py:18-40) as an Arrow-vectorized pandas_udf.
+    The hot path uses the native expression (functions.currency) — this
+    exists to demonstrate and test the slow-path contract (10-100x faster
+    than row-at-a-time Python UDFs, still slower than native exprs)."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from vat_etl_spark.functions.currency import CURRENCY_RATES
+
+    # no type annotations: `from __future__ import annotations` stringifies
+    # them, which pyspark's hint resolver can't evaluate here
+    @pandas_udf("double")
+    def currency_aed(values):
+        def one(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return 0.0
+            text = str(v).strip()
+            rate = 1.0
+            for sym, r in CURRENCY_RATES.items():
+                if sym in text:
+                    rate = r
+                    break
+            cleaned = re.sub(r"[^\d\.\-\(\)]", "", text)
+            if cleaned.startswith("(") and cleaned.endswith(")"):
+                cleaned = "-" + cleaned[1:-1]
+            try:
+                num = float(cleaned)
+            except ValueError:
+                num = 0.0
+            return round(num * rate, 2)
+
+        return values.map(one)
+
+    return currency_aed
+
+
+@query("pandas_udf_currency")  # rows-only: Python-side rounding semantics
+def pandas_udf_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched pandas_udf running the reference UDF verbatim-semantics;
+    pytest asserts agreement with the native expression on golden cases."""
+    supplier = _t(spark, sf_dir, "supplier")
+    udf = make_currency_pandas_udf()
+    raw = F.concat(F.lit("USD "), F.format_string("%.2f", F.col("s_acctbal")))
+    return supplier.select("s_suppkey", raw.alias("raw"), udf(raw).alias("aed"))

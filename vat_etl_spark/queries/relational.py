@@ -345,3 +345,89 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.countDistinct("l_partkey").alias("n_parts"),
     )
+
+
+# --- union-all (U1) -----------------------------------------------------------
+
+_UNION_SQL = """
+SELECT src, count(*) AS n FROM (
+  SELECT 'h1' AS src, o_custkey FROM orders WHERE year(o_orderdate) <= 1997
+  UNION ALL
+  SELECT 'h2' AS src, o_custkey FROM orders WHERE year(o_orderdate) >= 1998
+) GROUP BY src
+"""
+
+
+@query("union_all_halves", oracle=_UNION_SQL)
+def union_all_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-aligned union-all (reference U1, pd.concat at fianl2.py:227 →
+    unionByName)."""
+    o = _t(spark, sf_dir, "orders")
+    h1 = o.filter(F.year("o_orderdate") <= 1997).select(
+        F.lit("h1").alias("src"), "o_custkey"
+    )
+    h2 = o.filter(F.year("o_orderdate") >= 1998).select(
+        F.lit("h2").alias("src"), "o_custkey"
+    )
+    return h1.unionByName(h2).groupBy("src").agg(F.count("*").alias("n"))
+
+
+# --- GROUPING SETS ------------------------------------------------------------
+
+_GSETS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority, {dsum_sql("o_totalprice")} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GSETS_SQL)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (by-status, by-priority, grand total) via the
+    SQL surface — same Catalyst Expand-based plan as rollup/cube."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority, {{}} AS revenue
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """.format(
+            "coalesce(cast(round(sum(cast(o_totalprice AS DECIMAL(30,6))), 2) AS DOUBLE), 0.0)"
+        )
+    )
+
+
+# --- mode / most-frequent (A3) --------------------------------------------------
+
+_MODE_SQL = """
+SELECT yr, mon, n FROM (
+  SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mon, count(*) AS n
+  FROM orders GROUP BY 1, 2
+) ORDER BY n DESC, yr, mon LIMIT 1
+"""
+
+
+@query("agg_mode_period", oracle=_MODE_SQL)
+def agg_mode_period(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most frequent (year, month) with a deterministic tie-break — the
+    engine's form of the reference's year-mode detection (A3,
+    fianl2.py:115-126; ingest-time use lives in sources.excel._mode_year)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon"))
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("yr"), F.asc("mon"))
+        .limit(1)
+    )
+
+
+@query("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++) — the 100 TB path for distinct
+    counts (fixed-size sketch, mergeable, no expand); exact twin is
+    agg_count_distinct."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+    )

@@ -126,6 +126,8 @@ def read_workbook(
         xls = pd.ExcelFile(path)
     except ImportError as e:  # openpyxl missing in this container
         raise NotImplementedError("openpyxl not installed: xlsx bridge stubbed") from e
+    except Exception as e:  # unreadable/corrupt workbook
+        raise ValueError(f"cannot open workbook {path!r}: {e}") from e
 
     frames: list[DataFrame] = []
     for sheet in sheets or xls.sheet_names:
