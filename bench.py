@@ -42,8 +42,16 @@ def main() -> None:
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
 
-    # warm the JVM + parquet footers once so timings measure the queries
+    # Warm-up: exercise the same codegen paths (broadcast hash join, decimal
+    # hash aggregate, window, noop sink) once at smoke scale so the timings
+    # below measure the queries, not one-time JVM/codegen initialization.
+    smoke_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR", "/root/testdata/sf0.001")
+    warm = smoke_dir if os.path.isdir(smoke_dir) else sf_dir
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    QUERIES["vat_summary"](spark, warm).write.format("noop").mode("overwrite").save()
+    QUERIES["window_top3_orders_per_customer"](spark, warm).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
