@@ -51,3 +51,110 @@ def test_dedup_within_watermark_stream(spark, events_dir):
     # event_ids are unique in the source → dedup is a no-op row-wise pass
     assert got.count() == batch.count()
     assert got.select("event_id").distinct().count() == batch.count()
+
+
+def test_stateful_running_totals_across_microbatches(spark, tmp_path):
+    """applyInPandasWithState: state must accumulate across micro-batches
+    (maxFilesPerTrigger=1 forces one batch per staged file)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.streaming import user_running_totals_stateful
+    from vat_etl_spark.streaming.events import EVENTS_STREAM_SCHEMA
+
+    src = str(tmp_path / "src")
+    full = read_events(spark, "/root/testdata/sf0.001")
+    # two files → two micro-batches
+    full.filter(F.col("event_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    full.filter(F.col("event_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_available_now(
+        user_running_totals_stateful(stream), "stateful_totals", "update"
+    )
+    # latest update per user == batch totals over all files
+    latest = {
+        r.user_id: (r.n_events, r.total_cents)
+        for r in got.orderBy("n_events").collect()  # later updates have larger n
+    }
+    batch = (
+        spark.read.parquet(src)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("cents"),
+        )
+    )
+    expected = {r.user_id: (r.n, r.cents) for r in batch.collect()}
+    assert latest == expected
+    # state really spanned batches: some update rows are partial (n < final)
+    assert got.count() > len(expected)
+
+
+def test_windowed_agg_drops_late_data_past_watermark(spark, tmp_path):
+    """Watermark semantics across restarts: an event older than the
+    checkpointed watermark must be excluded from its (already finalized)
+    window; fresh events keep flowing."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.streaming import windowed_totals
+    from vat_etl_spark.streaming.events import EVENTS_STREAM_SCHEMA
+
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    out_dir = str(tmp_path / "late_out")
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(i, minutes, etype="click", value=1.0):
+        return Row(
+            event_id=i,
+            ts=base + dt.timedelta(minutes=minutes),
+            user_id=1,
+            event_type=etype,
+            value=value,
+            props="{}",
+        )
+
+    def run():
+        # file sink: append-only, supports checkpoint recovery across restarts
+        stream = windowed_totals(
+            spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src),
+            watermark="30 minutes",
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    batch1 = [ev(1, 0), ev(2, 5), ev(3, 120)]  # watermark → 13:30
+    spark.createDataFrame(batch1, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out1 = run()
+    # window [12:00,12:10) is final (end 12:10 < 13:30) and contains both rows
+    r1 = {(r.win_start, r.n_events) for r in out1.collect()}
+    assert (base, 2) in r1
+
+    # batch 2: one event LATE past the watermark (12:07 < 13:30) + one fresh
+    batch2 = [ev(4, 7), ev(5, 180)]
+    spark.createDataFrame(batch2, EVENTS_STREAM_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    out2 = run()
+    # the late event was dropped: its (finalized) window still shows 2 events
+    # and was emitted exactly once; no 3-event correction row exists
+    base_rows = [(r.win_start, r.n_events) for r in out2.collect() if r.win_start == base]
+    assert base_rows == [(base, 2)]

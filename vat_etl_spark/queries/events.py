@@ -121,3 +121,46 @@ def events_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+# --- applyInPandas per-group operator -----------------------------------------
+
+_USER_STATS_SQL = """
+SELECT user_id, count(*) AS n_events,
+       cast(sum(cast(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+       min(ts) AS first_ts, max(ts) AS last_ts
+FROM events GROUP BY user_id
+"""
+
+
+@query("events_user_stats_pandas", oracle=_USER_STATS_SQL)
+def events_user_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user stats via ``groupBy(...).applyInPandas`` — the engine's
+    custom-group-operator surface (Arrow-batched, one pandas frame per key
+    group). Money is fixed-point (integer cents via floor(x*100+0.5), the
+    same expression the oracle runs) so the result is order-independent and
+    engine-exact. The plan shuffles once on user_id, identical to the
+    equivalent built-in aggregate; at 100 TB the same code runs with
+    per-group memory bounded by the largest single user."""
+    import pandas as pd
+
+    e = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100 + 0.5).cast("long")
+    )
+
+    def stats(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "total_cents": [int(pdf["cents"].sum())],
+                "first_ts": [pdf["ts"].min()],
+                "last_ts": [pdf["ts"].max()],
+            }
+        )
+
+    out_schema = (
+        "user_id bigint, n_events bigint, total_cents bigint, "
+        "first_ts timestamp, last_ts timestamp"
+    )
+    return e.groupBy("user_id").applyInPandas(stats, out_schema)

@@ -431,3 +431,142 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
         F.countDistinct("l_orderkey").alias("exact_orders"),
     )
+
+
+# --- subqueries (EXISTS / scalar / HAVING) ------------------------------------
+
+_EXISTS_SQL = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 10 * c.c_acctbal
+)
+GROUP BY c_mktsegment
+"""
+
+
+@query("subquery_exists_correlated", oracle=_EXISTS_SQL)
+def subquery_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS with a non-equi correlated predicate — planned as a
+    left-semi join on (equality, inequality); the equality key drives the
+    shuffle, the inequality rides along as a join residual."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cond = (F.col("c_custkey") == F.col("o_custkey")) & (
+        F.col("o_totalprice") > 10 * F.col("c_acctbal")
+    )
+    return (
+        c.join(o, cond, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_SCALAR_SQL = f"""
+SELECT o_orderstatus, count(*) AS n, {dsum_sql("o_totalprice")} AS revenue
+FROM orders
+WHERE o_totalprice > (SELECT 0.5 * max(o_totalprice) FROM orders)
+GROUP BY o_orderstatus
+"""
+
+
+@query("subquery_scalar_threshold", oracle=_SCALAR_SQL)
+def subquery_scalar_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (orders above half the global max price) as a
+    broadcast of a 1-row aggregate — the plan stays fully lazy, no
+    driver-side collect; max/×0.5 are exact in doubles so both engines
+    compute the identical threshold."""
+    o = _t(spark, sf_dir, "orders")
+    thresh = o.agg((0.5 * F.max("o_totalprice")).alias("_thresh"))
+    return (
+        o.crossJoin(F.broadcast(thresh))
+        .filter(F.col("o_totalprice") > F.col("_thresh"))
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"), dsum(F.col("o_totalprice")).alias("revenue"))
+    )
+
+
+_HAVING_SQL = """
+SELECT o_custkey, count(*) AS n_orders
+FROM orders GROUP BY o_custkey HAVING count(*) >= 18
+"""
+
+
+@query("agg_having", oracle=_HAVING_SQL)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING = post-aggregation filter; Catalyst keeps it above the
+    aggregate (it references the aggregate output, nothing to push)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 18)
+    )
+
+
+# --- skew handling: salted join / two-stage aggregation -----------------------
+
+_SKEW_JOIN_SQL = f"""
+SELECT o_orderpriority, count(*) AS n, {dsum_sql("l_quantity")} AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+@query("join_skew_salted", oracle=_SKEW_JOIN_SQL)
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted shuffle join: the probe side gets a deterministic
+    salt in [0, N), the build side is exploded N-way, and the join key
+    becomes (key, salt) — splitting any single hot key across N reducers.
+    AQE's skew-join split handles sort-merge skew automatically at runtime;
+    manual salting is the tool when AQE can't help (broadcast-ineligible
+    build side with one giant key, or skewed aggregations — see
+    agg_skew_two_stage). Result is provably identical to the unsalted join
+    (the oracle runs the plain join)."""
+    n_salt = 8
+    li = _t(spark, sf_dir, "lineitem").withColumn(
+        "_salt", F.pmod(F.col("l_linenumber") + F.col("l_orderkey"), F.lit(n_salt))
+    )
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    )
+    cond = (li["l_orderkey"] == o["o_orderkey"]) & (li["_salt"] == o["_salt"])
+    return (
+        li.join(o.hint("merge"), cond)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"), dsum(F.col("l_quantity")).alias("sum_qty"))
+    )
+
+
+_SKEW_AGG_SQL = f"""
+SELECT l_returnflag, count(*) AS n, {dsum_sql("l_extendedprice")} AS revenue
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_skew_two_stage", oracle=_SKEW_AGG_SQL)
+def agg_skew_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage (salted) aggregation for low-cardinality/skewed group keys:
+    stage 1 groups by (key, salt) so every reducer gets work; stage 2 merges
+    the ≤ key×N_SALT partials. DECIMAL partial sums make the two-stage result
+    bit-identical to the single-stage plan regardless of the split. (Spark's
+    hash aggregate already does map-side partial aggregation; explicit
+    salting is for when the *reduce* side still skews, e.g. 3 group keys on
+    a 1000-executor cluster.)"""
+    n_salt = 16
+    li = _t(spark, sf_dir, "lineitem")
+    partial = (
+        li.withColumn("_salt", F.pmod(F.col("l_orderkey"), F.lit(n_salt)))
+        .groupBy("l_returnflag", "_salt")
+        .agg(
+            F.count("*").alias("_n"),
+            F.sum(F.col("l_extendedprice").cast("decimal(30,6)")).alias("_rev"),
+        )
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("_n").alias("n"),
+        F.coalesce(
+            F.round(F.sum("_rev"), 2).cast("double"), F.lit(0.0)
+        ).alias("revenue"),
+    )

@@ -56,3 +56,45 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in tables.items():
         df.createOrReplaceTempView(name)
     return tables
+
+
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """CSV source with an explicit schema (no inference job at scale —
+    schema inference reads the data twice). Compression-splittability and
+    lack of column statistics make CSV a landing format only; convert to
+    parquet before heavy queries."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source. Same policy as CSV: explicit schema, landing
+    format only; nested structs map to StructType/ArrayType columns."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    path: str,
+    bucket_cols: list[str],
+    n_buckets: int = 8,
+) -> None:
+    """Persist a bucketed + sorted external table: joins/aggregations on the
+    bucket columns between co-bucketed tables need NO shuffle (the scan
+    reports the hash partitioning). This is the 100 TB strategy for repeated
+    fact-fact joins — pay the shuffle once at write time."""
+    (
+        df.write.mode("overwrite")
+        .option("path", path)
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*bucket_cols)
+        .saveAsTable(name)
+    )

@@ -9,6 +9,7 @@ from vat_etl_spark.streaming.events import (
     run_available_now,
     sessionize_stream,
     stream_events,
+    user_running_totals_stateful,
     windowed_totals,
 )
 
@@ -18,4 +19,5 @@ __all__ = [
     "sessionize_stream",
     "dedup_within_watermark",
     "run_available_now",
+    "user_running_totals_stateful",
 ]

@@ -98,3 +98,46 @@ def run_available_now(
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def user_running_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (n_events, total_cents), emitting the updated totals every
+    micro-batch the user appears in. This is the engine's escape hatch for
+    stateful logic session_window/dropDuplicates can't express (counters,
+    custom sessionization policies, online features).
+
+    State is one small tuple per user — bounded, mergeable, checkpointed by
+    the streaming engine; at scale the shuffle partitions on user_id exactly
+    like the equivalent batch aggregate. Money is integer cents
+    (floor(x*100+0.5)) so totals are order- and batching-independent.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("total_cents", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("cents", T.LongType())]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(np.floor(pdf["value"].to_numpy() * 100 + 0.5).sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
