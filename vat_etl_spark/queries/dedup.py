@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vat_etl_spark.queries import query
+from vat_etl_spark.queries import QUERIES, query
 from vat_etl_spark.queries.text import tokens_expr
 from vat_etl_spark.sources.catalog import read_table as _t
 
@@ -217,4 +217,88 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = d.select("doc_id", simhash.alias("simhash"))
     return sig.select(
         "doc_id", "simhash", F.shiftrightunsigned("simhash", 48).alias("block16")
+    )
+
+
+_CC_SQL = """
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.lang = b.lang
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sim AS (
+  SELECT doc_a, doc_b
+  FROM cand
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE cast(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
+),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM sim
+  UNION ALL
+  SELECT doc_b, doc_a FROM sim
+),
+reach(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.node
+)
+SELECT node AS doc_id, min(label) AS component,
+       (min(label) = node) AS is_survivor
+FROM reach GROUP BY node
+"""
+
+
+@query("dedup_connected_components", oracle=_CC_SQL)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: near-dup pairs (token-Jaccard ≥ 0.6)
+    become an undirected graph; each document gets the min doc_id of its
+    connected component; the component representative is the survivor.
+
+    Iterative min-label propagation — each round is one join + one
+    aggregate, state is (node, label), lineage cut per round with
+    localCheckpoint. Rounds = component diameter (near-dup clusters are
+    shallow; capped at 50). This is the keep-one step that turns pairwise
+    near-dup evidence into a dedup decision, and the engine's pattern for
+    iterative graph algorithms generally (oracle twin: DuckDB recursive
+    CTE over the same edges)."""
+    pairs = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst")
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(50):
+        neigh = (
+            labels.join(edges, labels["doc_id"] == edges["src"])
+            .select(F.col("dst").alias("doc_id"), F.col("label"))
+        )
+        new_labels = (
+            labels.select("doc_id", "label").union(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError("connected components did not converge in 50 rounds")
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("component"),
+        (F.col("label") == F.col("doc_id")).alias("is_survivor"),
     )

@@ -570,3 +570,35 @@ def agg_skew_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("_rev"), 2).cast("double"), F.lit(0.0)
         ).alias("revenue"),
     )
+
+
+# --- Q14-style promo share (lineitem ⋈ part, broadcast dim) -------------------
+
+_PROMO_SQL = f"""
+SELECT p_brand,
+  count(*) AS n_lines,
+  {dsum_sql("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+  {dsum_sql("CASE WHEN p_type LIKE 'PROMO%' THEN l_extendedprice * (1.0 - l_discount) END")} AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+"""
+
+
+@query("q14_promo_by_brand", oracle=_PROMO_SQL)
+def q14_promo_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-style promo revenue share per brand: fact ⋈ broadcast part
+    dim (part is ~1/30 of lineitem — always broadcast-sized), conditional
+    decimal sums, one shuffle for the final group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_lines"),
+            dsum(rev).alias("revenue"),
+            dsum(promo).alias("promo_revenue"),
+        )
+    )

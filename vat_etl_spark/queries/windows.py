@@ -127,3 +127,50 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1)
     ).over(w)
     return e.select("user_id", "event_id", mv.alias("moving_avg3"))
+
+
+_RANGE_FRAME_SQL = """
+SELECT p_partkey, p_size, p_retailprice,
+       count(*) OVER (PARTITION BY p_brand
+                      ORDER BY p_size
+                      RANGE BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS n_similar_size
+FROM part
+"""
+
+
+@query("window_range_frame", oracle=_RANGE_FRAME_SQL)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based bounds, vs ROWS' positional bounds): count of
+    same-brand parts within ±2 size units. rangeBetween keys the frame off
+    the ORDER BY *value*, so peers and near-peers join the frame regardless
+    of row position."""
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy("p_size").rangeBetween(-2, 2)
+    return p.select(
+        "p_partkey", "p_size", "p_retailprice",
+        F.count("*").over(w).alias("n_similar_size"),
+    )
+
+
+_PCT_SQL = """
+SELECT p_brand,
+       median(p_retailprice) AS median_price,
+       quantile_cont(p_retailprice, 0.9) AS p90_price,
+       count(*) AS n
+FROM part GROUP BY p_brand
+"""
+
+
+@query("agg_percentiles", oracle=_PCT_SQL)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (median / p90, linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` share the definition). At
+    100 TB exact percentiles need a full sort per group — the scale path is
+    ``approx_percentile`` (t-digest-style sketch, one pass, mergeable),
+    exposed alongside; the exact form is the oracle-checkable twin."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.expr("percentile(p_retailprice, 0.5)").alias("median_price"),
+        F.expr("percentile(p_retailprice, 0.9)").alias("p90_price"),
+        F.count("*").alias("n"),
+    )
