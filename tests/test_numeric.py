@@ -1,0 +1,27 @@
+"""msum (fixed-point long fast path) must be value-identical to dsum (exact
+decimal) on its domain, including negatives and rounding-boundary values."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vat_etl_spark.functions.numeric import dsum, msum
+
+
+def test_msum_equals_dsum_on_tricky_values(spark):
+    vals = [
+        0.005, -0.005, 0.015, 2.675, -2.675, 1e9 + 0.125, -1e9 - 0.125,
+        0.1 + 0.2, 123.4567495, -123.4567495, 1e-7, -1e-7, 0.0,
+    ] * 100 + [None] * 10
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)], "i int, v double")
+    got = df.groupBy((F.col("i") % 7).alias("g")).agg(
+        msum(F.col("v")).alias("m"), dsum(F.col("v")).alias("d")
+    )
+    rows = got.collect()
+    assert all(r.m == r.d for r in rows), [(r.g, r.m, r.d) for r in rows if r.m != r.d]
+
+
+def test_msum_all_null_group_is_zero(spark):
+    df = spark.createDataFrame([(1, None), (1, None)], "g int, v double")
+    r = df.groupBy("g").agg(msum(F.col("v")).alias("m")).first()
+    assert r.m == 0.0

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vat_etl_spark.functions.numeric import dsum
+from vat_etl_spark.functions.numeric import msum
 
 BOX_DESCRIPTIONS: dict[str, str] = {
     "Box A": "Standard Rated Supplies (5%)",
@@ -67,8 +67,9 @@ def vat_box_summary(
     net, vat, box = F.col(net_col), F.col(vat_col), F.col(box_col)
 
     def s(value: Column, letter: str) -> Column:
-        # exact decimal sum (cross-engine stable); empty/all-NULL → 0.0 (Q9)
-        return dsum(F.when(pred(box, letter), value))
+        # exact fixed-point sum (cross-engine stable, long-codegen fast path —
+        # VAT money fits msum's 9.2e12 domain bound); all-NULL → 0.0 (Q9)
+        return msum(F.when(pred(box, letter), value))
 
     agg = df.groupBy(year_col, monthnum_col, month_col).agg(
         s(net, "A").alias("netA"),
