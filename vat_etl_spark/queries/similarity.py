@@ -99,3 +99,120 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l2_dist"),
         )
     )
+
+
+_IVF_SQL = """
+WITH cents AS (
+  SELECT vec_id AS cid, cast(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT e.vec_id, c.cid,
+         list_cosine_similarity(cast(e.embedding AS DOUBLE[]), c.cv) AS cosine
+  FROM embeddings e CROSS JOIN cents c
+)
+SELECT vec_id, cid AS centroid_id, cosine AS centroid_cos FROM (
+  SELECT vec_id, cid, cosine,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, cid) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+@query("ann_ivf_coarse", oracle=_IVF_SQL)
+def ann_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF build step: assign every vector to its nearest coarse centroid
+    (argmax cosine, deterministic tie-break on centroid id). Centroids here
+    are the 8 lowest-id vectors so the oracle can replay the exact math; in
+    production they come from k-means|| on a sample. Query-time IVF then
+    probes only the nprobe nearest centroid buckets — candidate set shrinks
+    from N to N·nprobe/K, and each bucket is a co-partitioned join key.
+    Centroids broadcast; one window on vec_id for the argmax."""
+    em = _t(spark, sf_dir, "embeddings")
+    cents = (
+        em.filter(F.col("vec_id") < 8)
+        .select(F.col("vec_id").alias("cid"), _dbl(F.col("embedding")).alias("cv"))
+    )
+    scored = em.select("vec_id", _dbl(F.col("embedding")).alias("ev")).join(
+        F.broadcast(cents)
+    )
+    # clamp to [-1, 1]: self-pairs can fold to 1+ulp; DuckDB's
+    # list_cosine_similarity clamps, so match it for bit parity
+    cos = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), cosine_expr(F.col("ev"), F.col("cv"))))
+    w = W.partitionBy("vec_id").orderBy(F.desc(cos), F.asc("cid"))
+    return (
+        scored.select(
+            "vec_id",
+            F.col("cid"),
+            cos.alias("centroid_cos"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("centroid_id"), "centroid_cos")
+    )
+
+
+_KNN_VEC_SQL = """
+WITH q AS (SELECT vec_id AS qid, cast(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+scored AS (
+  SELECT q.qid, e.vec_id AS nid,
+         list_cosine_similarity(q.qv, cast(e.embedding AS DOUBLE[])) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id != q.qid
+)
+SELECT qid, nid, rank FROM (
+  SELECT qid, nid,
+         cast(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, nid) AS INTEGER) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+@query("knn_vectorized_numpy", oracle=_KNN_VEC_SQL)
+def knn_vectorized_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same exact top-5 kNN as knn_bruteforce_cosine, but scored with a
+    numpy matmul inside mapInPandas: the query matrix rides in as a plain
+    Python closure (driver-broadcast with the serialized function), each
+    Arrow batch scores batch×Q in one BLAS call and emits only its local
+    top-k per query; a final window merges the per-batch candidates.
+    ~dim× fewer interpreter ops than the per-element SQL fold — this is the
+    scale path when the built-in expression tree becomes compute-bound.
+    (Ranks match the oracle; raw cosines are excluded from the contract
+    because SIMD summation order differs from the sequential fold.)"""
+    import numpy as np
+    import pandas as pd
+
+    em = _t(spark, sf_dir, "embeddings")
+    k = 5
+    qrows = em.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    qids = np.array([r.vec_id for r in qrows])
+    qm = np.array([r.embedding for r in qrows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(it):
+        for pdf in it:
+            ids = pdf["vec_id"].to_numpy()
+            ev = np.array(list(pdf["embedding"]), dtype=np.float64)
+            ev /= np.linalg.norm(ev, axis=1, keepdims=True)
+            sims = ev @ qm.T  # (batch, Q)
+            out = []
+            for j, qid in enumerate(qids):
+                col = sims[:, j]
+                mask = ids != qid
+                cand_idx = np.argsort(-col[mask])[:k]
+                cids, csims = ids[mask][cand_idx], col[mask][cand_idx]
+                out.append(
+                    pd.DataFrame({"qid": qid, "nid": cids, "cosine": csims})
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"qid": [], "nid": [], "cosine": []}
+            )
+
+    scored = em.select("vec_id", "embedding").mapInPandas(
+        score, "qid bigint, nid bigint, cosine double"
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("cosine"), F.asc("nid"))
+    return (
+        scored.select("qid", "nid", F.row_number().over(w).alias("rank"))
+        .filter(F.col("rank") <= k)
+    )
