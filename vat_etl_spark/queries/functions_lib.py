@@ -329,3 +329,36 @@ def pandas_udf_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
     udf = make_currency_pandas_udf()
     raw = F.concat(F.lit("USD "), F.format_string("%.2f", F.col("s_acctbal")))
     return supplier.select("s_suppkey", raw.alias("raw"), udf(raw).alias("aed"))
+
+
+_MAP_STRUCT_SQL = """
+SELECT n_nationkey,
+       CASE WHEN n_regionkey = 0 THEN 'AFRICA-ZONE' ELSE 'OTHER-ZONE' END AS zone,
+       upper(n_name) AS uname,
+       len(n_name) AS name_len,
+       n_regionkey * 100 + n_nationkey AS packed
+FROM nation
+"""
+
+
+@query("map_struct_functions", oracle=_MAP_STRUCT_SQL)
+def map_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map + struct surface: build an in-plan lookup map (create_map — the
+    broadcast-dim-as-expression form the reference's constant dicts map to,
+    SURVEY.md §1.1), probe it with element_at, and round-trip a struct
+    (struct → getField). Scalars come out, so the oracle compares values
+    while the Spark plan exercises the nested types."""
+    n = _t(spark, sf_dir, "nation")
+    zone_map = F.create_map(F.lit(0), F.lit("AFRICA-ZONE"))
+    st = F.struct(
+        F.upper(F.col("n_name")).alias("uname"),
+        F.length(F.col("n_name")).alias("name_len"),
+        (F.col("n_regionkey") * 100 + F.col("n_nationkey")).alias("packed"),
+    )
+    return n.select(
+        "n_nationkey",
+        F.coalesce(F.element_at(zone_map, F.col("n_regionkey")), F.lit("OTHER-ZONE")).alias("zone"),
+        st.getField("uname").alias("uname"),
+        st.getField("name_len").alias("name_len"),
+        st.getField("packed").alias("packed"),
+    )
