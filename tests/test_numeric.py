@@ -25,3 +25,24 @@ def test_msum_all_null_group_is_zero(spark):
     df = spark.createDataFrame([(1, None), (1, None)], "g int, v double")
     r = df.groupBy("g").agg(msum(F.col("v")).alias("m")).first()
     assert r.m == 0.0
+
+
+def test_udaf_geomean_matches_native_identity(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries import QUERIES
+
+    got = {r.o_orderstatus: r.geomean_price
+           for r in QUERIES["udaf_geomean"](spark, sf_smoke).collect()}
+    import math
+    o = spark.read.parquet(f"{sf_smoke}/orders.parquet")
+    exact = {
+        r.o_orderstatus: math.exp(r.m)
+        for r in o.filter(F.col("o_totalprice") > 0)
+        .groupBy("o_orderstatus")
+        .agg(F.avg(F.log("o_totalprice")).alias("m"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k in got:
+        assert abs(got[k] - exact[k]) / exact[k] < 1e-9

@@ -46,3 +46,22 @@ def test_flagship_single_agg_shuffle(spark, sf_smoke):
     # 1 aggregate exchange + 1 for the final 320-row sort
     df = QUERIES["vat_summary"](spark, sf_smoke)
     assert shuffle_count(df) <= 2
+
+
+def test_q14_broadcasts_part(spark, sf_smoke):
+    from vat_etl_spark.plans import has_broadcast_join
+
+    assert has_broadcast_join(QUERIES["q14_promo_by_brand"](spark, sf_smoke))
+
+
+def test_topk_uses_take_ordered(spark, sf_smoke):
+    # orderBy+limit must compile to TakeOrderedAndProject (no global sort)
+    from vat_etl_spark.plans.inspect import formatted_plan
+
+    plan = formatted_plan(QUERIES["topk_customers"](spark, sf_smoke))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_chunking_is_map_only(spark, sf_smoke):
+    # explode+substring chunking must not shuffle
+    assert shuffle_count(QUERIES["text_chunking"](spark, sf_smoke)) == 0

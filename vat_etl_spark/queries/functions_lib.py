@@ -362,3 +362,28 @@ def map_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         st.getField("name_len").alias("name_len"),
         st.getField("packed").alias("packed"),
     )
+
+
+@query("udaf_geomean")  # rows-only: libm exp/log ulps are engine-specific
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate (UDAF surface) via a GROUPED_AGG pandas_udf:
+    geometric mean of order totals per status. Arrow-batched, partial-agg
+    capable; the engine's path for aggregates the builtin set lacks.
+    pytest asserts agreement with the native exp(avg(ln)) identity."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: `from __future__ import annotations` stringifies
+    # type hints so the Series→scalar signature can't be inferred from them
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        a = v.to_numpy(dtype="float64")
+        a = a[a > 0]
+        return float(np.exp(np.log(a).mean())) if a.size else 0.0
+
+    o = _t(spark, sf_dir, "orders")
+    # note: grouped-agg pandas UDFs can't mix with builtin aggregates in one
+    # agg() — counts etc. go in a separate aggregation joined on the key
+    return o.groupBy("o_orderstatus").agg(
+        geomean(F.col("o_totalprice")).alias("geomean_price")
+    )

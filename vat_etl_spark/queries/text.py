@@ -228,3 +228,42 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.ceil(F.length("text") / 4.0).cast("bigint").alias("approx_llm_tokens"),
     )
+
+
+# --- document chunking (LLM training-data prep) -------------------------------
+
+_CHUNK_SQL = """
+SELECT doc_id, chunk_idx,
+       substring(text, cast(chunk_idx * 160 + 1 AS BIGINT), 200) AS chunk,
+       len(substring(text, cast(chunk_idx * 160 + 1 AS BIGINT), 200)) AS chunk_len
+FROM documents
+CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS chunk_idx)
+WHERE chunk_idx * 160 < len(text)
+"""
+
+
+@query("text_chunking", oracle=_CHUNK_SQL)
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping document chunking (window 200 chars, stride
+    160 → 40-char overlap) — the canonical LLM-pipeline prep op, as pure
+    native expressions: sequence → explode → substring. No Python in the
+    row path; at 100 TB this is a map-only stage (zero shuffles), and chunk
+    count per doc is bounded so no skew. A Python UDTF could express the
+    same thing — this form keeps whole-stage codegen."""
+    d = _t(spark, sf_dir, "documents")
+    window, stride = 200, 160
+    n_chunks = F.ceil(F.length("text") / F.lit(stride)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), F.least(n_chunks - 1, F.lit(63))))
+    chunked = d.select("doc_id", "text", idx.alias("chunk_idx"))
+    chunk = F.substring(
+        F.col("text"), F.col("chunk_idx") * stride + 1, window
+    )
+    return (
+        chunked.filter(F.col("chunk_idx") * stride < F.length("text"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            chunk.alias("chunk"),
+            F.length(chunk).alias("chunk_len"),
+        )
+    )
