@@ -1,0 +1,53 @@
+"""CLI application: the reference's app workflow headless (summary over
+csv/parquet input, sinks, query runner)."""
+
+from __future__ import annotations
+
+import sqlite3
+
+from vat_etl_spark.app import main
+
+
+CSV = """Supply Type,Invoice #,Date,Customer Name,Net,Tax,Gross,Recoverable,Box
+Sales,1,15/01/2024,Acme,AED 1000,AED 50,AED 1050,,A
+Sales,2,20/01/2024,Acme,USD 100,USD 5,USD 105,,A
+Sales,3,21/01/2024,Beta,2000,0,2000,,B
+Purchase,4,22/01/2024,Gamma,(500),(25),(525),,C
+"""
+
+
+def test_summary_csv_to_sqlite(spark, tmp_path, capsys):
+    src = tmp_path / "Jan 2024.csv"
+    src.write_text(CSV)
+    db = str(tmp_path / "out.db")
+    pq = str(tmp_path / "out_parquet")
+    main(
+        ["summary", "--input", str(src), "--out-sqlite", db, "--out-parquet", pq],
+        spark=spark,
+    )
+    con = sqlite3.connect(db)
+    rows = {
+        r[0]: r[1:]
+        for r in con.execute(
+            'SELECT "FTA Box", "Net Value", "VAT Value", "Net VAT Payable" FROM vat_summary'
+        )
+    }
+    con.close()
+    # USD 100 → 367.0, USD 5 → 18.35 (rate 3.67); paren = negative
+    assert rows["Box A"] == (1367.0, 68.35, 0.0)
+    assert rows["Box B"] == (2000.0, 0.0, 0.0)
+    assert rows["Box C"] == (-500.0, -25.0, 0.0)
+    assert rows["Box D"] == (0.0, 93.35, 93.35)
+    back = spark.read.parquet(pq)
+    assert back.count() == 4
+    out = capsys.readouterr().out
+    assert "Jan 2024" in out  # period mapping printed
+
+
+def test_query_runner_and_list(spark, sf_smoke, capsys):
+    main(["query", "q1_pricing_summary", "--sf-dir", sf_smoke, "--explain"], spark=spark)
+    out = capsys.readouterr().out
+    assert "sum_qty" in out and "Physical Plan" in out
+    main(["list"])
+    out = capsys.readouterr().out
+    assert "vat_summary  [oracle]" in out

@@ -1,0 +1,149 @@
+"""Command-line application: the reference's Streamlit workflow
+(``/root/reference/fianl2.py:198-259`` — upload → per-sheet normalize →
+union → VAT box summary → screen/xlsx/SQLite sinks) as a headless Spark
+driver program. A reference user switches by pointing this CLI at their
+workbook; parquet/CSV inputs make the same pipeline work where Excel
+libraries (or Excel-sized data) don't.
+
+    python -m vat_etl_spark summary --input txns.csv --out-sqlite vat.db
+    python -m vat_etl_spark summary --input workbook.xlsx --out-xlsx out.xlsx
+    python -m vat_etl_spark query q1_pricing_summary --sf-dir /root/testdata/sf0.01
+    python -m vat_etl_spark list
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _normalize_csv(spark: SparkSession, path: str, *, compat: bool, as_of_year: int | None) -> DataFrame:
+    """CSV → normalized VAT transactions. The file stem plays the sheet-name
+    role (it carries the reporting month, as sheet names do in the
+    reference's workbooks)."""
+    from vat_etl_spark.functions.headers import canonical_rename
+    from vat_etl_spark.sources.excel import normalize_vat_sheet
+
+    raw = spark.read.option("header", "true").csv(path)  # all-string columns
+    renamed = raw.toDF(*canonical_rename(raw.columns))
+    stem = os.path.splitext(os.path.basename(path))[0]
+    return normalize_vat_sheet(renamed, stem, compat=compat, as_of_year=as_of_year)
+
+
+def _normalize_parquet(spark: SparkSession, path: str, *, compat: bool, as_of_year: int | None) -> DataFrame:
+    from vat_etl_spark.functions.headers import canonical_rename
+    from vat_etl_spark.sources.excel import normalize_vat_sheet
+
+    raw = spark.read.parquet(path)
+    raw = raw.select([F.col(c).cast("string").alias(c) for c in raw.columns])
+    renamed = raw.toDF(*canonical_rename(raw.columns))
+    stem = os.path.splitext(os.path.basename(path.rstrip("/")))[0]
+    return normalize_vat_sheet(renamed, stem, compat=compat, as_of_year=as_of_year)
+
+
+def load_transactions(
+    spark: SparkSession, path: str, *, compat: bool = True, as_of_year: int | None = None
+) -> DataFrame:
+    """Dispatch on input format (the reference's S4 gate, widened beyond
+    xlsx). xlsx goes through the driver-side workbook bridge; csv/parquet
+    are read distributed."""
+    ext = os.path.splitext(path)[1].lower()
+    if ext == ".xlsx":
+        from vat_etl_spark.sources.excel import read_workbook
+
+        return read_workbook(spark, path, compat=compat, as_of_year=as_of_year)
+    if ext == ".csv":
+        return _normalize_csv(spark, path, compat=compat, as_of_year=as_of_year)
+    if ext in (".parquet", ""):
+        return _normalize_parquet(spark, path, compat=compat, as_of_year=as_of_year)
+    raise ValueError(f"unsupported input format {ext!r} (xlsx, csv, parquet)")
+
+
+def run_summary(args: argparse.Namespace, spark: SparkSession | None = None) -> DataFrame:
+    from vat_etl_spark.operators.vat_summary import vat_box_summary
+    from vat_etl_spark.session import get_spark
+    from vat_etl_spark.sources import sinks
+
+    spark = spark or get_spark("vat-etl-summary")
+    tx = load_transactions(
+        spark, args.input, compat=not args.sane, as_of_year=args.as_of_year
+    )
+    if tx.isEmpty():
+        raise SystemExit("no rows parsed from input (reference P7 guard)")
+    summary = vat_box_summary(tx, compat=not args.sane)
+
+    # period-mapping display (reference fianl2.py:230-233)
+    periods = tx.select("SourceSheet", "Month", "Year").distinct().orderBy("Year")
+    print("Detected periods:")
+    for r in periods.collect():
+        print(f"  {r.SourceSheet}: {r.Month} {r.Year}")
+
+    if args.out_parquet:
+        sinks.write_parquet(summary, args.out_parquet)
+    if args.out_sqlite:
+        sinks.write_sqlite(summary, args.out_sqlite, table=args.sqlite_table)
+    if args.out_xlsx:
+        sinks.write_xlsx(summary, args.out_xlsx)
+    summary.show(100, truncate=False)
+    return summary
+
+
+def run_query(args: argparse.Namespace, spark: SparkSession | None = None) -> DataFrame:
+    from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.session import get_spark
+
+    if args.name not in QUERIES:
+        raise SystemExit(f"unknown query {args.name!r}; see `list`")
+    spark = spark or get_spark("vat-etl-query")
+    df = QUERIES[args.name](spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
+    df.show(args.rows, truncate=False)
+    return df
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="vat_etl_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("summary", help="VAT box summary pipeline (the reference app)")
+    s.add_argument("--input", required=True, help="xlsx workbook, csv, or parquet")
+    s.add_argument("--out-parquet", help="write summary as parquet")
+    s.add_argument("--out-sqlite", help="write summary to SQLite (full replace)")
+    s.add_argument("--sqlite-table", default="vat_summary")
+    s.add_argument("--out-xlsx", help="write summary as xlsx (needs xlsxwriter)")
+    s.add_argument("--sane", action="store_true",
+                   help="documented fixes instead of bit-compat quirks")
+    s.add_argument("--as-of-year", type=int, default=None,
+                   help="year fallback when no dates parse (replaces now())")
+    s.set_defaults(fn=run_summary)
+
+    q = sub.add_parser("query", help="run a registered query")
+    q.add_argument("name")
+    q.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q.add_argument("--rows", type=int, default=20)
+    q.add_argument("--explain", action="store_true")
+    q.set_defaults(fn=run_query)
+
+    l = sub.add_parser("list", help="list registered queries")
+    l.set_defaults(fn=None)
+    return p
+
+
+def main(argv: list[str] | None = None, spark: SparkSession | None = None):
+    args = build_parser().parse_args(argv)
+    if args.cmd == "list":
+        from vat_etl_spark.queries import ORACLE_SQL, QUERIES
+
+        for name in QUERIES:
+            print(f"{name}  [{'oracle' if name in ORACLE_SQL else 'rows-only'}]")
+        return None
+    return args.fn(args, spark)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
