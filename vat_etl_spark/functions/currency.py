@@ -12,7 +12,12 @@ Behavioral contract (compat):
   order* wins (quirk Q3) — not longest/leftmost
 - strip every char except ``[0-9.\\-()]``; ``(x)`` → ``-x`` (accounting
   negative); unparseable → 0.0 (quirk Q6)
-- ``round(value * rate, 2)``
+- ``round(value * rate, 2)`` — HALF_UP on the shortest-decimal repr of the
+  double (Spark ``F.round`` == Java ``BigDecimal.valueOf`` == the DuckDB
+  oracle). Documented deviation: CPython's ``round`` rounds the exact binary
+  value half-even, so the reference differs on repr-boundary products
+  (≈1e-8 of inputs, e.g. ``EUR 3819833.75`` → 15202938.33 here vs .32 in
+  CPython). Chosen for bit-stable cross-engine results.
 
 The reference applies this per cell via ``Series.apply`` (a row-at-a-time
 Python UDF — the slowest possible path, one interpreter round-trip per cell).
