@@ -158,3 +158,41 @@ def test_windowed_agg_drops_late_data_past_watermark(spark, tmp_path):
     # and was emitted exactly once; no 3-event correction row exists
     base_rows = [(r.win_start, r.n_events) for r in out2.collect() if r.win_start == base]
     assert base_rows == [(base, 2)]
+
+
+def test_stream_stream_interval_join_equals_batch(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.streaming.events import purchases_with_recent_clicks
+
+    batch_all = spark.read.parquet(events_dir)
+    clicks_b = batch_all.filter(F.col("event_type") == "click")
+    purch_b = batch_all.filter(F.col("event_type") == "purchase")
+    batch = purchases_with_recent_clicks(clicks_b, purch_b)
+
+    stream_all = stream_events(spark, events_dir)
+    clicks_s = stream_all.filter(F.col("event_type") == "click")
+    purch_s = stream_all.filter(F.col("event_type") == "purchase")
+    stream = purchases_with_recent_clicks(clicks_s, purch_s)
+    assert stream.isStreaming
+    got = run_available_now(stream, "ssj_test", "append")
+    keys = ["user_id", "purchase_id", "click_id"]
+    assert _rows(got, keys) == _rows(batch, keys)
+    assert got.count() > 0
+
+
+def test_stream_static_join_broadcasts(spark, events_dir):
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.streaming.events import enrich_stream_with_dim
+
+    dim = spark.createDataFrame(
+        [("click", 0.0), ("view", 0.0), ("purchase", 1.0)],
+        "event_type string, monetized double",
+    )
+    stream = enrich_stream_with_dim(stream_events(spark, events_dir), dim)
+    got = run_available_now(stream, "ssd_test", "append")
+    batch = spark.read.parquet(events_dir)
+    assert got.count() == batch.count()
+    monetized = got.filter(F.col("monetized") == 1.0).count()
+    assert monetized == batch.filter(F.col("event_type") == "purchase").count()

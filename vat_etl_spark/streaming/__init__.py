@@ -6,6 +6,8 @@ event-time operators onto readStream/writeStream with watermarks.
 
 from vat_etl_spark.streaming.events import (
     dedup_within_watermark,
+    enrich_stream_with_dim,
+    purchases_with_recent_clicks,
     run_available_now,
     sessionize_stream,
     stream_events,
@@ -20,4 +22,6 @@ __all__ = [
     "dedup_within_watermark",
     "run_available_now",
     "user_running_totals_stateful",
+    "purchases_with_recent_clicks",
+    "enrich_stream_with_dim",
 ]

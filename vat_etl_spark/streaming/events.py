@@ -141,3 +141,42 @@ def user_running_totals_stateful(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def purchases_with_recent_clicks(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same user's
+    clicks within the preceding ``horizon``. On streams both sides carry
+    watermarks and the interval condition bounds the buffered state (clicks
+    older than the horizon past the watermark are evicted); in batch the
+    same plan is a plain range join. One shuffle on user_id either way."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"), F.col("value"),
+    )
+    if c.isStreaming:
+        c = c.withWatermark("click_ts", horizon)
+    if p.isStreaming:
+        p = p.withWatermark("purchase_ts", horizon)
+    cond = (
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
+    )
+    return c.join(p, cond, "inner").select(
+        F.col("p_user").alias("user_id"), "purchase_id", "purchase_ts",
+        "click_id", "click_ts", "value",
+    )
+
+
+def enrich_stream_with_dim(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static join: a streaming fact side against a static (batch)
+    dimension — planned as a broadcast hash join per micro-batch, no
+    streaming state at all. The pattern for joining a 100 TB event stream
+    to reference data."""
+    return events.join(F.broadcast(dim), "event_type", "left")
