@@ -47,3 +47,13 @@ def test_feature_extraction_deterministic(mm):
 def test_decode_stub_raises(mm):
     with pytest.raises(NotImplementedError):
         decode_image(mm)
+
+
+def test_frame_sample_is_map_only(spark, sf_smoke):
+    from vat_etl_spark.plans import shuffle_count
+    from vat_etl_spark.queries import QUERIES
+
+    df = QUERIES["multimodal_frame_sample"](spark, sf_smoke)
+    assert shuffle_count(df) == 0
+    # stride-2 sampling: only even frame indices survive
+    assert df.filter((df.frame_idx % 2) == 1).count() == 0

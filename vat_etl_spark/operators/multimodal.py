@@ -106,3 +106,29 @@ def decode_image(mm: DataFrame) -> DataFrame:
             "the plumbing path is extract_features()"
         ) from e
     raise NotImplementedError("real decoder wiring lands when PIL is present")
+
+
+def sample_frames(
+    mm: DataFrame, frame_bytes: int = 64, every_nth: int = 2
+) -> DataFrame:
+    """Frame sampling over binary payloads — the video/audio pattern (decode
+    → fixed-size frames → keep every n-th) with the frame step as pure
+    native byte slicing: sequence → explode → substring(payload, off, len).
+    No Python in the row path; map-only (zero shuffles); at 100 TB with
+    pointer-style payloads the substring happens after a per-batch ranged
+    fetch inside mapInPandas, same schema out."""
+    n_frames = F.ceil(F.col("meta.n_bytes") / F.lit(frame_bytes)).cast("int")
+    idx = F.explode(
+        F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_nth))
+    )
+    framed = mm.select("doc_id", "payload", F.col("meta.n_bytes").alias("n_bytes"),
+                       idx.alias("frame_idx"))
+    frame = F.substring(F.col("payload"), F.col("frame_idx") * frame_bytes + 1, frame_bytes)
+    return framed.filter(F.col("frame_idx") * frame_bytes < F.col("n_bytes")).select(
+        "doc_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        # hex so the oracle can compare frames (DuckDB can't byte-slice
+        # blobs; it slices the hex string at 2× offsets instead)
+        F.hex(frame).alias("frame_hex"),
+        F.length(frame).cast("long").alias("frame_len"),
+    )

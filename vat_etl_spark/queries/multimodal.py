@@ -44,3 +44,26 @@ def asof_purchase_to_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, clicks, on="ts", by=["user_id"], value_cols=["event_id", "ts"]
     )
+
+
+_FRAMES_SQL = """
+WITH mm AS (SELECT doc_id, hex(encode(text)) AS payload_hex,
+                   octet_length(encode(text)) AS n_bytes FROM documents),
+idx AS (SELECT unnest(generate_series(0, 1023, 2)) AS frame_idx)
+SELECT doc_id, frame_idx,
+       substring(payload_hex, cast(frame_idx * 128 + 1 AS BIGINT), 128) AS frame_hex,
+       cast(len(substring(payload_hex, cast(frame_idx * 128 + 1 AS BIGINT), 128)) / 2 AS BIGINT) AS frame_len
+FROM mm CROSS JOIN idx
+WHERE frame_idx * 64 < n_bytes
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAMES_SQL)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every-2nd 64-byte frame from each payload — byte-exact against the
+    DuckDB oracle (frames compared as hex; DuckDB slices the hex string
+    since it cannot byte-slice blobs)."""
+    from vat_etl_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(attach_payload(docs), frame_bytes=64, every_nth=2)
