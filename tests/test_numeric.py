@@ -46,3 +46,24 @@ def test_udaf_geomean_matches_native_identity(spark, sf_smoke):
     assert set(got) == set(exact)
     for k in got:
         assert abs(got[k] - exact[k]) / exact[k] < 1e-9
+
+
+def test_hierarchical_sum_equals_dsum(spark):
+    """hsum_partial/hsum_merge two-stage must be bit-identical to dsum."""
+    import random
+
+    from vat_etl_spark.functions.numeric import dsum, hsum_merge, hsum_partial
+
+    rng = random.Random(7)
+    rows = [
+        (i % 5, rng.choice([1.0, -1.0]) * rng.random() * 10**rng.randint(0, 7))
+        for i in range(5000)
+    ] + [(9, None)] * 5
+    df = spark.createDataFrame(rows, "g int, v double").repartition(16)
+    st1 = df.groupBy("g", F.spark_partition_id().alias("_pid")).agg(
+        hsum_partial(F.col("v")).alias("_p")
+    )
+    hier = {r.g: r.s for r in st1.groupBy("g").agg(hsum_merge(F.col("_p")).alias("s")).collect()}
+    flat = {r.g: r.s for r in df.groupBy("g").agg(dsum(F.col("v")).alias("s")).collect()}
+    assert hier == flat
+    assert hier[9] == 0.0  # all-NULL group → 0.0

@@ -43,9 +43,10 @@ def test_knn_has_no_shuffle_before_topk(spark, sf_smoke):
 
 
 def test_flagship_single_agg_shuffle(spark, sf_smoke):
-    # 1 aggregate exchange + 1 for the final 320-row sort
+    # hierarchical agg: stage-1 partial exchange (periods × partitions rows)
+    # + stage-2 merge exchange + the final 320-row sort — all tiny
     df = QUERIES["vat_summary"](spark, sf_smoke)
-    assert shuffle_count(df) <= 2
+    assert shuffle_count(df) <= 3
 
 
 def test_q14_broadcasts_part(spark, sf_smoke):

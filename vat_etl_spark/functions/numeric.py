@@ -83,3 +83,36 @@ def msum(expr: Column, scale: int = 2) -> Column:
 
     q = F.when(s >= 0, idiv(s + F.lit(half))).otherwise(-idiv(-s + F.lit(half)))
     return F.coalesce(q / F.lit(float(10**scale)), F.lit(0.0))
+
+
+def hsum_partial(expr: Column) -> Column:
+    """Stage-1 partial for :func:`hsum_merge`: exact long-micros sum within
+    the stage-1 grouping. Combine with ``F.spark_partition_id()`` in the
+    stage-1 keys so each partial is bounded by partition size (set by
+    spark.sql.files.maxPartitionBytes), NOT by total data volume — that is
+    what makes the hierarchical scheme overflow-safe at any scale.
+
+    DOMAIN BOUND (per stage-1 group): |sum| < 2^63 micros ≈ 9.2 × 10^12
+    value units per partition — at 128 MB partitions that allows average
+    absolute values up to ~10^6 per row."""
+    return F.sum(micros(expr))
+
+
+def hsum_merge(partial: Column, scale: int = 2) -> Column:
+    """Stage-2 merge: decimal sum of the (≤ num_partitions per group) long
+    partials — exact and overflow-safe to 10^26 micros — rounded to
+    ``scale`` as double. The expensive decimal arithmetic touches only
+    group×partition partial rows, so the hot path stays long-speed while
+    the result is bit-identical to :func:`dsum` (property-tested)."""
+    tot = F.sum(partial.cast("decimal(26,0)"))
+    return F.coalesce(
+        F.round(tot / F.lit(10**6), scale).cast("double"), F.lit(0.0)
+    )
+
+
+def havg_merge(partial: Column, count: Column) -> Column:
+    """Stage-2 exact average from micros partials + counts: decimal total →
+    exact /1e6 (≥6-dp decimal division) → double → IEEE divide by count —
+    the same single-rounding sequence as :func:`davg`."""
+    tot = F.sum(partial.cast("decimal(26,0)"))
+    return (tot / F.lit(10**6)).cast("double") / F.sum(count)

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vat_etl_spark.functions.numeric import msum
+from vat_etl_spark.functions.numeric import hsum_merge, hsum_partial
 
 BOX_DESCRIPTIONS: dict[str, str] = {
     "Box A": "Standard Rated Supplies (5%)",
@@ -66,18 +66,21 @@ def vat_box_summary(
     pred = box_pred_compat if compat else box_pred_sane
     net, vat, box = F.col(net_col), F.col(vat_col), F.col(box_col)
 
-    def s(value: Column, letter: str) -> Column:
-        # exact fixed-point sum (cross-engine stable, long-codegen fast path —
-        # VAT money fits msum's 9.2e12 domain bound); all-NULL → 0.0 (Q9)
-        return msum(F.when(pred(box, letter), value))
-
-    agg = df.groupBy(year_col, monthnum_col, month_col).agg(
-        s(net, "A").alias("netA"),
-        s(vat, "A").alias("vatA"),
-        s(net, "B").alias("netB"),
-        s(vat, "B").alias("vatB"),
-        s(net, "C").alias("netC"),
-        s(vat, "C").alias("vatC"),
+    # hierarchical exact sums (functions/numeric.py): long-micros partials
+    # per (period, input partition) — pure codegen'd long arithmetic, each
+    # partial bounded by partition size so no overflow at any total scale —
+    # then a decimal merge over the tiny partial set. Cross-engine
+    # bit-stable; all-NULL → 0.0 (Q9).
+    parts = {
+        f"{n}{L}": F.when(pred(box, L), c)
+        for L in "ABC"
+        for n, c in (("net", net), ("vat", vat))
+    }
+    st1 = df.groupBy(
+        year_col, monthnum_col, month_col, F.spark_partition_id().alias("_pid")
+    ).agg(*[hsum_partial(e).alias(f"_{k}") for k, e in parts.items()])
+    agg = st1.groupBy(year_col, monthnum_col, month_col).agg(
+        *[hsum_merge(F.col(f"_{k}")).alias(k) for k in parts]
     )
     agg = agg.withColumn("vatD", F.col("vatA") - F.col("vatC"))
     period = F.concat_ws(" ", F.col(month_col), F.col(year_col).cast("string"))
