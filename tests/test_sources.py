@@ -57,3 +57,57 @@ def test_bucketed_join_has_no_shuffle(spark, sf_smoke, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+SHEET_JAN = """Supply Type,Invoice #,Date,Customer Name,Net,Tax,Gross,Recoverable,Box
+Sales,1,15/01/2024,Acme,AED 1000,AED 50,AED 1050,,A
+Sales,2,20/01/2024,Beta,USD 100,USD 5,USD 105,,B
+"""
+# a pre-header banner row, like real workbooks have (header detection must skip it)
+SHEET_FEB = """ACME LLC - VAT workbook,,,,,,,,
+Supply Type,Invoice #,Date,Customer Name,Net,Tax,Gross,Recoverable,Box
+Purchase,3,10/02/2024,Gamma,(500),(25),(525),,C
+"""
+
+
+def test_workbook_datasource_distributed_sheets(spark, tmp_path):
+    """Custom Python DataSource: one partition per sheet, per-partition
+    header inference, SourceSheet lineage — the distributed form of the
+    reference's workbook ingest."""
+    from vat_etl_spark.sources.workbook_datasource import WorkbookDataSource
+
+    wb = tmp_path / "wb"
+    wb.mkdir()
+    (wb / "Jan 2024.csv").write_text(SHEET_JAN)
+    (wb / "Feb 2024.csv").write_text(SHEET_FEB)
+
+    spark.dataSource.register(WorkbookDataSource)
+    df = spark.read.format("vat_workbook").load(str(wb))
+    assert df.rdd.getNumPartitions() == 2  # one per sheet
+    rows = {r["Invoice Number"]: r for r in df.collect()}
+    assert set(rows) == {"1", "2", "3"}
+    assert rows["1"]["SourceSheet"] == "Jan 2024"
+    assert rows["3"]["SourceSheet"] == "Feb 2024"  # banner row skipped
+    assert rows["3"]["Box"] == "C"
+    # canonical rename applied per partition: "Net" → "Supply/Purchase Value"
+    assert rows["2"]["Supply/Purchase Value"] == "USD 100"
+
+
+def test_workbook_datasource_feeds_vat_pipeline(spark, tmp_path):
+    """End-to-end: custom source → normalize → flagship summary."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.operators.vat_summary import vat_box_summary
+    from vat_etl_spark.sources.excel import normalize_vat_sheet
+    from vat_etl_spark.sources.workbook_datasource import WorkbookDataSource
+
+    wb = tmp_path / "wb2"
+    wb.mkdir()
+    (wb / "Jan 2024.csv").write_text(SHEET_JAN)
+
+    spark.dataSource.register(WorkbookDataSource)
+    raw = spark.read.format("vat_workbook").load(str(wb)).drop("SourceSheet")
+    norm = normalize_vat_sheet(raw, "Jan 2024", compat=True)
+    summary = {r["FTA Box"]: r for r in vat_box_summary(norm, compat=True).collect()}
+    assert summary["Box A"]["Net Value"] == 1000.0
+    assert summary["Box B"]["Net Value"] == 367.0

@@ -634,3 +634,44 @@ def q14_promo_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(promo).alias("promo_revenue"),
         )
     )
+
+
+# --- unpivot / melt -----------------------------------------------------------
+
+_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT year(o_orderdate) AS yr,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
+         sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+  FROM orders GROUP BY 1
+)
+SELECT yr, status, n FROM (
+  SELECT yr, 'F' AS status, n_f AS n FROM wide
+  UNION ALL SELECT yr, 'O', n_o FROM wide
+  UNION ALL SELECT yr, 'P', n_p FROM wide
+)
+"""
+
+
+@query("reshape_unpivot", oracle=_UNPIVOT_SQL)
+def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping via the first-class ``unpivot`` (reference A5's
+    general form; the flagship's 4-row box shape uses the same mechanism
+    via inline explode). Zero extra shuffles — unpivot is a map-side
+    Expand."""
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select("yr", F.col("F").alias("n_f"), F.col("O").alias("n_o"), F.col("P").alias("n_p"))
+    )
+    return wide.unpivot(
+        "yr", ["n_f", "n_o", "n_p"], "status_col", "n"
+    ).select(
+        "yr",
+        F.upper(F.substring("status_col", 3, 1)).alias("status"),
+        F.col("n"),
+    )
