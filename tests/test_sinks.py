@@ -28,3 +28,29 @@ def test_parquet_roundtrip(spark, sf_smoke, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == df.count()
     assert {r.n_name for r in back.collect()} == {r.n_name for r in df.collect()}
+
+
+def test_dynamic_partition_overwrite(spark, sf_smoke, tmp_path):
+    """Partitioned sink with dynamic overwrite: rewriting one partition's
+    data must not clobber sibling partitions (the 100 TB incremental-load
+    pattern: reprocess one day/month, leave the rest untouched)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "part_out")
+    o = read_table(spark, sf_smoke, "orders").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        o.write.partitionBy("yr").mode("overwrite").parquet(out)
+        before = spark.read.parquet(out).count()
+        # rewrite ONLY 1997 (halved); other years must survive
+        o97 = o.filter(F.col("yr") == 1997).filter(F.col("o_orderkey") % 2 == 0)
+        o97.write.partitionBy("yr").mode("overwrite").parquet(out)
+        after = spark.read.parquet(out)
+        n97_full = o.filter(F.col("yr") == 1997).count()
+        assert after.filter(F.col("yr") == 1997).count() == o97.count() < n97_full
+        assert after.filter(F.col("yr") != 1997).count() == before - n97_full
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
