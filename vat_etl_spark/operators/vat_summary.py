@@ -125,10 +125,22 @@ def lineitem_as_vat_transactions(lineitem: DataFrame, orders: DataFrame) -> Data
     sort-merge; at bench scale AQE picks a broadcast for the orders side
     projection when it fits.
     """
-    o = orders.select("o_orderkey", "o_orderdate")
+    # period columns computed on the 150k-row orders side BEFORE the
+    # broadcast join — month/year extraction runs once per order, not once
+    # per joined lineitem row, and the broadcast stays 4 narrow columns
+    month_abbrevs = F.array(
+        *[F.lit(m) for m in ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                             "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]]
+    )
+    o = orders.select(
+        "o_orderkey",
+        F.element_at(month_abbrevs, F.month("o_orderdate")).alias("Month"),
+        F.month("o_orderdate").alias("MonthNum"),
+        F.year("o_orderdate").alias("Year"),
+    )
     j = lineitem.join(o, lineitem["l_orderkey"] == o["o_orderkey"], "inner")
     # double math here is bit-identical across engines; the exact-decimal
-    # conversion happens inside the aggregate (functions.numeric.dsum)
+    # conversion happens inside the aggregate (functions.numeric)
     net = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     vat = net * F.col("l_tax")
     box = (
@@ -136,17 +148,11 @@ def lineitem_as_vat_transactions(lineitem: DataFrame, orders: DataFrame) -> Data
         .when(F.col("l_tax") > 0, F.lit("A"))
         .otherwise(F.lit("B"))
     )
-    month_abbrevs = F.array(
-        *[F.lit(m) for m in ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
-                             "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]]
-    )
     return j.select(
         box.alias("Box"),
         net.alias("Supply/Purchase Value"),
         vat.alias("VAT Value"),
-        F.element_at(month_abbrevs, F.month("o_orderdate")).alias("Month"),
-        F.month("o_orderdate").alias("MonthNum"),
-        F.year("o_orderdate").alias("Year"),
+        "Month", "MonthNum", "Year",
     )
 
 

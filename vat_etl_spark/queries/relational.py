@@ -675,3 +675,43 @@ def reshape_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.substring("status_col", 3, 1)).alias("status"),
         F.col("n"),
     )
+
+
+_FULL_OUTER_SQL = """
+WITH a AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 3 = 0),
+     b AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+           WHERE o_custkey % 2 = 0 GROUP BY o_custkey)
+SELECT
+  coalesce(a.c_custkey, b.o_custkey) AS custkey,
+  CASE WHEN a.c_custkey IS NULL THEN 'right_only'
+       WHEN b.o_custkey IS NULL THEN 'left_only' ELSE 'both' END AS side,
+  a.c_acctbal, b.n_orders
+FROM a FULL OUTER JOIN b ON a.c_custkey = b.o_custkey
+"""
+
+
+@query("join_full_outer", oracle=_FULL_OUTER_SQL)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join with preserved-side classification. Full outer can't
+    broadcast (both sides must be preserved) — always a shuffle join on the
+    key; at scale co-bucketing both sides removes the shuffle."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    a = c.filter(F.col("c_custkey") % 3 == 0).select("c_custkey", "c_acctbal")
+    b = (
+        o.filter(F.col("o_custkey") % 2 == 0)
+        .groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    j = a.join(b, a["c_custkey"] == b["o_custkey"], "full_outer")
+    side = (
+        F.when(F.col("c_custkey").isNull(), "right_only")
+        .when(F.col("o_custkey").isNull(), "left_only")
+        .otherwise("both")
+    )
+    return j.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        side.alias("side"),
+        "c_acctbal",
+        "n_orders",
+    )
