@@ -66,3 +66,24 @@ def test_topk_uses_take_ordered(spark, sf_smoke):
 def test_chunking_is_map_only(spark, sf_smoke):
     # explode+substring chunking must not shuffle
     assert shuffle_count(QUERIES["text_chunking"](spark, sf_smoke)) == 0
+
+
+def test_partition_pruning_on_partitioned_sink(spark, sf_smoke, tmp_path):
+    """A filter on the partition column must prune at planning time
+    (PartitionFilters in the scan, only matching directories read)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.plans.inspect import formatted_plan
+
+    out = str(tmp_path / "orders_by_year")
+    o = spark.read.parquet(f"{sf_smoke}/orders.parquet").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    o.write.partitionBy("yr").mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("yr") == 1997).select("o_orderkey")
+    plan = formatted_plan(df)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "1997" in m.group(1), plan[:500]
+    assert df.count() == o.filter(F.col("yr") == 1997).count()
