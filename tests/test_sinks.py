@@ -54,3 +54,26 @@ def test_dynamic_partition_overwrite(spark, sf_smoke, tmp_path):
         assert after.filter(F.col("yr") != 1997).count() == before - n97_full
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def test_xlsx_sink_gated_without_writer_engine(spark, sf_smoke):
+    """S5 Excel sink: clear NotImplementedError gate when no xlsx engine is
+    installed (this container); with openpyxl/xlsxwriter present it writes."""
+    import pytest
+
+    from vat_etl_spark.sources.sinks import write_xlsx
+
+    df = read_table(spark, sf_smoke, "region")
+    try:
+        import openpyxl  # noqa: F401
+        has_engine = True
+    except ImportError:
+        has_engine = False
+    if has_engine:
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".xlsx") as f:
+            write_xlsx(df, f.name)
+    else:
+        with pytest.raises(NotImplementedError):
+            write_xlsx(df, "/tmp/_nope.xlsx")

@@ -267,3 +267,60 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(chunk).alias("chunk_len"),
         )
     )
+
+
+# --- end-to-end training-set pipeline (composition capstone) ------------------
+
+_TRAINING_SET_SQL = """
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         len(text) AS n_chars,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+  FROM documents
+  WHERE len(trim(text)) > 0
+),
+keyed AS (
+  SELECT *, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+  FROM scored
+),
+survivors AS (
+  SELECT fp, min(doc_id) AS keep_id FROM keyed GROUP BY fp
+)
+SELECT k.doc_id, k.lang, k.n_chars, k.n_tokens,
+       cast(k.doc_id * 2654435761 % 8 AS BIGINT) AS shard
+FROM keyed k JOIN survivors s ON k.fp = s.fp AND k.doc_id = s.keep_id
+WHERE k.n_tokens >= 5 AND k.n_chars >= 20
+"""
+
+
+@query("pipeline_training_set", oracle=_TRAINING_SET_SQL)
+def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed LLM-data pipeline as ONE lazy plan: quality gates
+    (length/token minimums) → exact-dedup survivor selection (min doc_id per
+    content fingerprint) → deterministic shard assignment (Knuth
+    multiplicative hash mod 8 — the write-side bucketing for training
+    shards). Everything stays native expressions; dedup is the only shuffle;
+    shard assignment is map-side. At 100 TB: the fingerprint groupBy shards
+    on a 16-byte key, and shards write with partitionBy('shard')."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.filter(F.length(F.trim("text")) > 0).select(
+        "doc_id", "lang", "text",
+        F.length("text").alias("n_chars"),
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+    )
+    keyed = scored.withColumn(
+        "fp",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast("binary")),
+    )
+    survivors = keyed.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        keyed.join(
+            survivors,
+            (keyed["fp"] == survivors["fp"]) & (keyed["doc_id"] == survivors["keep_id"]),
+        )
+        .filter((F.col("n_tokens") >= 5) & (F.col("n_chars") >= 20))
+        .select(
+            "doc_id", "lang", "n_chars", "n_tokens",
+            (F.col("doc_id") * F.lit(2654435761) % 8).cast("long").alias("shard"),
+        )
+    )
