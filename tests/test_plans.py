@@ -87,3 +87,14 @@ def test_partition_pruning_on_partitioned_sink(spark, sf_smoke, tmp_path):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "1997" in m.group(1), plan[:500]
     assert df.count() == o.filter(F.col("yr") == 1997).count()
+
+
+def test_udtf_expands_rows(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    df = QUERIES["udtf_segment_split"](spark, sf_smoke)
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").limit(200)
+    n_docs = docs.count()
+    assert df.count() > n_docs  # genuine row expansion
+    # each segment ≤ 10 tokens; segment count per doc = ceil(n_tokens/10)
+    assert df.filter(F.col("n_tokens") > 10).count() == 0

@@ -111,3 +111,23 @@ def test_workbook_datasource_feeds_vat_pipeline(spark, tmp_path):
     summary = {r["FTA Box"]: r for r in vat_box_summary(norm, compat=True).collect()}
     assert summary["Box A"]["Net Value"] == 1000.0
     assert summary["Box B"]["Net Value"] == 367.0
+
+
+def test_observe_metrics_on_ingest(spark, sf_smoke):
+    """df.observe(): pipeline-embedded metrics (row counts, null counts,
+    value totals) collected as a side effect of the action — the engine's
+    data-quality instrumentation at no extra pass over the data."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("ingest_metrics")
+    o = read_table(spark, sf_smoke, "orders").observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_totalprice").isNull().cast("long")).alias("null_prices"),
+        F.max("o_orderdate").alias("max_date"),
+    )
+    n = o.filter(F.col("o_totalprice") > 0).count()
+    assert obs.get["n_rows"] >= n
+    assert obs.get["null_prices"] == 0
+    assert obs.get["max_date"] is not None

@@ -196,3 +196,42 @@ def test_stream_static_join_broadcasts(spark, events_dir):
     assert got.count() == batch.count()
     monetized = got.filter(F.col("monetized") == 1.0).count()
     assert monetized == batch.filter(F.col("event_type") == "purchase").count()
+
+
+def test_foreachbatch_sink_to_sqlite(spark, events_dir, tmp_path):
+    """writeStream.foreachBatch: arbitrary-sink escape hatch — each
+    micro-batch lands in SQLite via the batch sink (the streaming form of
+    the reference's S6 full-replace becomes append-per-batch)."""
+    import sqlite3
+
+    from vat_etl_spark.streaming import windowed_totals
+
+    db = str(tmp_path / "stream_out.db")
+
+    def sink(batch_df, batch_id):
+        import sqlite3 as s3
+
+        rows = [tuple(r) for r in batch_df.collect()]
+        con = s3.connect(db)
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS win_totals "
+            "(win_start TEXT, event_type TEXT, n_events INT, total_value REAL)"
+        )
+        con.executemany("INSERT INTO win_totals VALUES (?,?,?,?)",
+                        [(str(a), b, c, d) for a, b, c, d in rows])
+        con.commit()
+        con.close()
+
+    stream = windowed_totals(stream_events(spark, events_dir))
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    con = sqlite3.connect(db)
+    n = con.execute("SELECT count(*) FROM win_totals").fetchone()[0]
+    con.close()
+    batch_n = windowed_totals(spark.read.parquet(events_dir)).count()
+    assert n == batch_n

@@ -715,3 +715,40 @@ def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_acctbal",
         "n_orders",
     )
+
+
+_EXCEPT_ALL_SQL = """
+SELECT o_custkey, count(*) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 1000
+  EXCEPT ALL
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1998
+) GROUP BY o_custkey
+"""
+
+
+@query("setop_except_all", oracle=_EXCEPT_ALL_SQL)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference — keeps multiplicity, unlike
+    EXCEPT's implicit distinct)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 1000).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") == 1998).select("o_custkey")
+    return a.exceptAll(b).groupBy("o_custkey").agg(F.count("*").alias("n"))
+
+
+_INTERSECT_ALL_SQL = """
+SELECT o_custkey, count(*) AS n FROM (
+  SELECT o_custkey FROM orders WHERE o_totalprice > 1000
+  INTERSECT ALL
+  SELECT o_custkey FROM orders WHERE year(o_orderdate) >= 1996
+) GROUP BY o_custkey
+"""
+
+
+@query("setop_intersect_all", oracle=_INTERSECT_ALL_SQL)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection, min of multiplicities)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_totalprice") > 1000).select("o_custkey")
+    b = o.filter(F.year("o_orderdate") >= 1996).select("o_custkey")
+    return a.intersectAll(b).groupBy("o_custkey").agg(F.count("*").alias("n"))

@@ -324,3 +324,31 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") * F.lit(2654435761) % 8).cast("long").alias("shard"),
         )
     )
+
+
+@query("udtf_segment_split")  # rows-only: Python UDTF (row-expansion surface)
+def udtf_segment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 4): one input document → N output segment rows
+    (10 tokens each, sentence-style segmentation for a punctuation-free
+    corpus) — the table-function escape hatch completing the UDF/UDAF/UDTF
+    surface. The equivalent native form is split+posexplode (used by
+    text_chunking for the hot path); a UDTF earns its cost when the
+    expansion logic needs real Python (parsers, tokenizers)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, seg_idx int, segment string, n_tokens int")
+    class SegmentSplit:
+        def eval(self, doc_id, text):
+            if text is None:
+                return
+            toks = text.split()
+            for i in range(0, len(toks), 10):
+                seg = toks[i : i + 10]
+                yield doc_id, i // 10, " ".join(seg), len(seg)
+
+    spark.udtf.register("segment_split", SegmentSplit)
+    d = _t(spark, sf_dir, "documents").limit(200)
+    d.createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        "SELECT s.* FROM docs_udtf, LATERAL segment_split(doc_id, text) s"
+    )
