@@ -15,6 +15,7 @@ from vat_etl_spark.functions.currency import (
 from vat_etl_spark.functions.numeric import dsum, dsum_sql
 from vat_etl_spark.operators.vat_summary import BOX_DESCRIPTIONS, vat_flagship
 from vat_etl_spark.queries import query
+from vat_etl_spark.sources.catalog import read_table as _t
 
 _MONTHS = ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
            "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]
@@ -70,8 +71,8 @@ SELECT period, 'Box D', '{BOX_DESCRIPTIONS["Box D"]}',
 def vat_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: per-period VAT box summary (fianl2.py:167-195 as one hash
     aggregate — SURVEY.md §3.3)."""
-    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
     return vat_flagship(lineitem, orders, compat=True)
 
 
@@ -86,7 +87,7 @@ FROM orders GROUP BY 1, 2
 def vat_period_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct reporting periods + order counts (reference A2 distinct
     (Month, Year) mapping, fianl2.py:172,230)."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = _t(spark, sf_dir, "orders")
     return orders.groupBy(
         F.year("o_orderdate").alias("year"), F.month("o_orderdate").alias("month")
     ).agg(F.count("*").alias("n_orders"))
@@ -121,7 +122,7 @@ SELECT s_suppkey, raw, {currency_to_aed_exact_sql("raw")} AS aed FROM messy
 def currency_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F1 currency detect+convert as a native expression chain, verified
     against the SQL rendering (fianl2.py:18-40 semantics)."""
-    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    supplier = _t(spark, sf_dir, "supplier")
     fmt = lambda c: F.format_string("%.2f", c)  # noqa: E731
     raw = (
         F.when(F.col("s_suppkey") % 8 == 0, F.concat(F.lit("USD "), fmt(F.col("s_acctbal"))))

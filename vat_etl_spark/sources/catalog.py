@@ -33,10 +33,21 @@ def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return read_events(spark, sf_dir)
-    return spark.read.parquet(table_path(sf_dir, name))
+    """Memoized per (session, sf_dir, table): DataFrames are immutable lazy
+    plans, so reuse is safe, and it avoids re-running footer/schema
+    inference and file listing on every query that touches the same table —
+    the same role a catalog plays on a real cluster."""
+    key = (id(spark), sf_dir, name)
+    if key not in _TABLE_CACHE:
+        if name == "events":
+            _TABLE_CACHE[key] = read_events(spark, sf_dir)
+        else:
+            _TABLE_CACHE[key] = spark.read.parquet(table_path(sf_dir, name))
+    return _TABLE_CACHE[key]
 
 
 def load_tables(
