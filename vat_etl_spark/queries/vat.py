@@ -139,3 +139,15 @@ def currency_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.alias("raw"),
         currency_to_aed_exact(raw).alias("aed"),
     )
+
+
+@query("vat_summary_sane", oracle=_VAT_SUMMARY_SQL)
+def vat_summary_sane(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship in sane mode (documented fixes: standalone-letter box
+    matching instead of substring containment, no NULL→"NAN"→Box A). On the
+    driver tables box values are clean single letters, so compat and sane
+    agree — the same oracle verifies both; the quirk divergence is covered
+    by tests/test_vat_pipeline.py on synthetic quirky sheets."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return vat_flagship(lineitem, orders, compat=False)
