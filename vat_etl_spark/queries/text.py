@@ -326,7 +326,21 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udtf_segment_split")  # rows-only: Python UDTF (row-expansion surface)
+_UDTF_SEGMENTS_SQL = """
+WITH docs AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents ORDER BY doc_id LIMIT 200
+),
+idx AS (SELECT unnest(generate_series(0, 255)) AS seg_idx)
+SELECT doc_id, seg_idx,
+       array_to_string(list_slice(toks, seg_idx * 10 + 1, seg_idx * 10 + 10), ' ') AS segment,
+       len(list_slice(toks, seg_idx * 10 + 1, seg_idx * 10 + 10)) AS n_tokens
+FROM docs CROSS JOIN idx
+WHERE seg_idx * 10 < len(toks)
+"""
+
+
+@query("udtf_segment_split", oracle=_UDTF_SEGMENTS_SQL)
 def udtf_segment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (Spark 4): one input document → N output segment rows
     (10 tokens each, sentence-style segmentation for a punctuation-free
@@ -347,7 +361,7 @@ def udtf_segment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                 yield doc_id, i // 10, " ".join(seg), len(seg)
 
     spark.udtf.register("segment_split", SegmentSplit)
-    d = _t(spark, sf_dir, "documents").limit(200)
+    d = _t(spark, sf_dir, "documents").orderBy("doc_id").limit(200)
     d.createOrReplaceTempView("docs_udtf")
     return spark.sql(
         "SELECT s.* FROM docs_udtf, LATERAL segment_split(doc_id, text) s"
