@@ -235,3 +235,19 @@ def test_foreachbatch_sink_to_sqlite(spark, events_dir, tmp_path):
     con.close()
     batch_n = windowed_totals(spark.read.parquet(events_dir)).count()
     assert n == batch_n
+
+
+def test_gaps_islands_equals_session_window(spark, sf_smoke):
+    """The windowed-SQL sessionization (lag+cumsum) and session_window must
+    produce identical (user, start, last, n) session sets."""
+    from vat_etl_spark.queries import QUERIES
+
+    gi = {
+        (r.user_id, r.session_start, r.session_last, r.n_events)
+        for r in QUERIES["events_gaps_islands"](spark, sf_smoke).collect()
+    }
+    sw = {
+        (r.user_id, r.session_start, r.session_last, r.n_events)
+        for r in QUERIES["events_sessionize"](spark, sf_smoke).collect()
+    }
+    assert gi == sw and len(gi) > 0

@@ -164,3 +164,46 @@ def events_user_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_ts timestamp, last_ts timestamp"
     )
     return e.groupBy("user_id").applyInPandas(stats, out_schema)
+
+
+_GAPS_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM marked
+)
+SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_last,
+       count(*) AS n_events
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+@query("events_gaps_islands", oracle=_GAPS_SQL)
+def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization: lag to mark gap starts, running sum
+    to number sessions, group — the windowed-SQL form of session_window
+    (pytest asserts both produce identical sessions). One shuffle on
+    user_id shared by the window and the aggregate."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.select(
+        "user_id", "ts",
+        F.when(gap > 30 * 60, 1).otherwise(0).alias("new_session"),
+    )
+    wrun = W.partitionBy("user_id").orderBy("ts").rowsBetween(W.unboundedPreceding, 0)
+    numbered = marked.select(
+        "user_id", "ts", F.sum("new_session").over(wrun).alias("session_seq")
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_last"),
+        F.count("*").alias("n_events"),
+    )

@@ -752,3 +752,50 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.filter(F.col("o_totalprice") > 1000).select("o_custkey")
     b = o.filter(F.year("o_orderdate") >= 1996).select("o_custkey")
     return a.intersectAll(b).groupBy("o_custkey").agg(F.count("*").alias("n"))
+
+
+# --- upsert / MERGE emulation -------------------------------------------------
+
+_UPSERT_SQL = """
+WITH current AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey <= 1200
+),
+updates AS (
+  SELECT c_custkey, c_acctbal + 100.0 AS c_acctbal
+  FROM customer WHERE c_custkey % 5 = 0
+)
+SELECT coalesce(u.c_custkey, c.c_custkey) AS c_custkey,
+       coalesce(u.c_acctbal, c.c_acctbal) AS c_acctbal,
+       CASE WHEN u.c_custkey IS NULL THEN 'kept'
+            WHEN c.c_custkey IS NULL THEN 'inserted' ELSE 'updated' END AS op
+FROM current c FULL OUTER JOIN updates u ON c.c_custkey = u.c_custkey
+"""
+
+
+@query("pipeline_upsert", oracle=_UPSERT_SQL)
+def pipeline_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE/upsert emulation on an immutable store: full outer join of the
+    current snapshot with the update set, updates winning via coalesce, with
+    per-row op classification. This is the Spark-native pattern where the
+    format has no transactional MERGE — stage the merged result, then swap
+    (dynamic partition overwrite writes only touched partitions, tested in
+    test_sinks.py). At 100 TB: join on the key both sides are bucketed by."""
+    c = _t(spark, sf_dir, "customer")
+    cur = c.filter(F.col("c_custkey") <= 1200).select("c_custkey", "c_acctbal")
+    upd = (
+        c.filter(F.col("c_custkey") % 5 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100.0).alias("c_acctbal"))
+    )
+    j = cur.alias("c").join(
+        upd.alias("u"), F.col("c.c_custkey") == F.col("u.c_custkey"), "full_outer"
+    )
+    op = (
+        F.when(F.col("u.c_custkey").isNull(), "kept")
+        .when(F.col("c.c_custkey").isNull(), "inserted")
+        .otherwise("updated")
+    )
+    return j.select(
+        F.coalesce(F.col("u.c_custkey"), F.col("c.c_custkey")).alias("c_custkey"),
+        F.coalesce(F.col("u.c_acctbal"), F.col("c.c_acctbal")).alias("c_acctbal"),
+        op.alias("op"),
+    )
