@@ -111,6 +111,11 @@ def user_running_totals_stateful(events: DataFrame) -> DataFrame:
     the streaming engine; at scale the shuffle partitions on user_id exactly
     like the equivalent batch aggregate. Money is integer cents
     (floor(x*100+0.5)) so totals are order- and batching-independent.
+
+    Note: Spark 4's successor API (transformWithStateInPandas — typed
+    ValueState/ListState/MapState, timers, TTL) requires the python
+    ``protobuf`` package, which this container lacks; probed and gated.
+    This operator covers the same per-key-state contract.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
