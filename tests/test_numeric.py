@@ -67,3 +67,49 @@ def test_hierarchical_sum_equals_dsum(spark):
     flat = {r.g: r.s for r in df.groupBy("g").agg(dsum(F.col("v")).alias("s")).collect()}
     assert hier == flat
     assert hier[9] == 0.0  # all-NULL group → 0.0
+
+
+def test_statistics_match_numpy(spark, sf_smoke):
+    import numpy as np
+
+    from vat_etl_spark.queries import QUERIES
+
+    got = {r.o_orderstatus: r for r in QUERIES["agg_statistics"](spark, sf_smoke).collect()}
+    o = spark.read.parquet(f"{sf_smoke}/orders.parquet").select(
+        "o_orderstatus", "o_totalprice", "o_custkey"
+    )
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in o.collect():
+        groups[r.o_orderstatus].append((r.o_totalprice, r.o_custkey))
+    for status, rows in groups.items():
+        p = np.array([x for x, _ in rows]); c = np.array([float(y) for _, y in rows])
+        g = got[status]
+        assert g.n == len(rows)
+        if len(rows) > 1:
+            assert abs(g.stddev_price - p.std(ddof=1)) / p.std(ddof=1) < 1e-9
+            assert abs(g.var_price - p.var(ddof=1)) / p.var(ddof=1) < 1e-9
+            expected_cov = np.cov(p, c, ddof=1)[0, 1]
+            assert abs(g.covar_price_cust - expected_cov) / abs(expected_cov) < 1e-6
+            expected_corr = np.corrcoef(p, c)[0, 1]
+            assert abs(g.corr_price_cust - expected_corr) < 1e-9
+
+
+def test_percentile_approx_brackets_exact(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries import QUERIES
+
+    got = {r.l_returnflag: r.approx_pcts
+           for r in QUERIES["agg_percentile_approx"](spark, sf_smoke).collect()}
+    li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r.pcts
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("pcts"))
+        .collect()
+    }
+    for k in got:
+        for a, e in zip(got[k], exact[k]):
+            assert abs(a - e) / e < 0.02  # within 2% of the exact quantile

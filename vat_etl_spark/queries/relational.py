@@ -799,3 +799,32 @@ def pipeline_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("u.c_acctbal"), F.col("c.c_acctbal")).alias("c_acctbal"),
         op.alias("op"),
     )
+
+
+@query("agg_statistics")  # rows-only: stddev/corr float accumulation is
+def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (stddev/variance/correlation/covariance —
+    single-pass co-moment formulations, partial-aggregatable at scale).
+    Engine-specific accumulation ordering keeps these out of the hash
+    oracle; pytest checks them against numpy within 1e-9 relative."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.stddev_samp("o_totalprice").alias("stddev_price"),
+        F.var_samp("o_totalprice").alias("var_price"),
+        F.corr("o_totalprice", "o_custkey").alias("corr_price_cust"),
+        F.covar_samp("o_totalprice", "o_custkey").alias("covar_price_cust"),
+    )
+
+
+@query("agg_percentile_approx")  # rows-only: sketch estimates are engine-specific
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch): one pass, fixed memory,
+    mergeable partials — the 100 TB path for quantiles (exact twin:
+    agg_percentiles, which needs a per-group sort). accuracy=10000 bounds
+    rank error at 1/10000."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
+        F.count("*").alias("n"),
+    )
