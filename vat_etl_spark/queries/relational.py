@@ -801,7 +801,7 @@ def pipeline_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_statistics")  # rows-only: stddev/corr float accumulation is
+@query("agg_statistics")  # rows-only: float co-moment accumulation order
 def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (stddev/variance/correlation/covariance —
     single-pass co-moment formulations, partial-aggregatable at scale).
