@@ -55,22 +55,31 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_CENTROID_SQL = """
+_AXIS0_SQL = "[1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]"
+
+_CENTROID_SQL = f"""
 SELECT label, count(*) AS n_vectors,
-  avg(list_cosine_similarity(cast(embedding AS DOUBLE[]),
-                             cast([1.0] || repeat([0.0], 63) AS DOUBLE[]))) AS avg_axis0_cos
+  cast(sum(cast(list_cosine_similarity(cast(embedding AS DOUBLE[]),
+                cast({_AXIS0_SQL} AS DOUBLE[])) AS DECIMAL(18,12)))
+       AS DECIMAL(38,12)) AS sum_axis0_cos
 FROM embeddings GROUP BY label
 """
 
 
-@query("similarity_label_profile")  # rows-only: avg-of-floats is order-dependent
+@query("similarity_label_profile", oracle=_CENTROID_SQL)
 def similarity_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label cohort profile (IVF-style coarse partition statistics)."""
+    """Per-label cohort profile (IVF-style coarse partition statistics).
+    The per-row cosines are bit-identical across engines (same fold as
+    dedup_embedding_cosine), so the exact decimal(18,12) sum is
+    order-independent and digit-identical (the avg is sum/n driver-side).
+    12 dp: Spark rounds the shortest double repr, DuckDB the exact binary
+    expansion — they agree to 12 dp but can differ at 17."""
     em = _t(spark, sf_dir, "embeddings")
     axis0 = F.array(*([F.lit(1.0)] + [F.lit(0.0)] * 63))
     cos = cosine_expr(_dbl(F.col("embedding")), axis0)
     return em.groupBy("label").agg(
-        F.count("*").alias("n_vectors"), F.avg(cos).alias("avg_axis0_cos")
+        F.count("*").alias("n_vectors"),
+        F.sum(cos.cast("decimal(18,12)")).cast("decimal(38,12)").alias("sum_axis0_cos"),
     )
 
 
