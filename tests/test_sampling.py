@@ -1,0 +1,55 @@
+"""Sampling & sketch surface: seeded stratified sampling must be
+deterministic for a fixed input layout, and the mergeable-HLL rollup must
+estimate within its configured error bound of the exact distinct count."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vat_etl_spark.queries import QUERIES
+
+
+def test_stratified_sample_deterministic(spark, sf_smoke):
+    a = QUERIES["sample_stratified_orders"](spark, sf_smoke).collect()
+    b = QUERIES["sample_stratified_orders"](spark, sf_smoke).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # the P stratum is kept at 100% — its sampled count must equal the base
+    from vat_etl_spark.sources.catalog import read_table
+
+    o = read_table(spark, sf_smoke, "orders")
+    n_p = o.filter(F.col("o_orderstatus") == "P").count()
+    got = {r.o_orderstatus: r.n_sampled for r in a}
+    assert got.get("P", 0) == n_p
+
+
+def test_hll_rollup_within_error_bound(spark, sf_smoke):
+    from vat_etl_spark.sources.catalog import read_table
+
+    approx = {
+        r.yr: r.approx_distinct_customers
+        for r in QUERIES["agg_hll_mergeable"](spark, sf_smoke).collect()
+    }
+    o = read_table(spark, sf_smoke, "orders")
+    exact = {
+        r.yr: r.n
+        for r in o.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for yr, n in exact.items():
+        assert abs(approx[yr] - n) <= max(3, 0.03 * n), (yr, approx[yr], n)
+
+
+def test_orc_roundtrip(spark, sf_smoke, tmp_path):
+    from vat_etl_spark.sources.catalog import read_orc, read_table
+    from vat_etl_spark.sources.sinks import write_orc
+
+    df = read_table(spark, sf_smoke, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_orc(df, out)
+    back = read_orc(spark, out)
+    assert back.schema == df.schema
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in df.collect()
+    )

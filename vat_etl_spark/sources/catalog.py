@@ -119,3 +119,14 @@ def write_bucketed_table(
         .sortBy(*bucket_cols)
         .saveAsTable(name)
     )
+
+
+def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """ORC source — the other columnar container Spark reads natively, with
+    the same pushdown/pruning/split machinery as parquet (PushedFilters show
+    in .explain). Kept for interop with Hive-era warehouses; parquet remains
+    the engine's primary format."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)

@@ -56,3 +56,12 @@ def write_xlsx(df: DataFrame, path: str, sheet_name: str = "VAT_Summary") -> Non
         pdf.to_excel(path, sheet_name=sheet_name, index=False)
     except (ImportError, ModuleNotFoundError) as e:  # engine not in container
         raise NotImplementedError("xlsx writer engine not installed") from e
+
+
+def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """ORC sink (native, columnar, splittable — same stripe-size reasoning
+    as write_parquet's row-group cap)."""
+    w = df.write.mode("overwrite").option("orc.stripe.size", str(64 * 1024 * 1024))
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
