@@ -57,3 +57,23 @@ def test_frame_sample_is_map_only(spark, sf_smoke):
     assert shuffle_count(df) == 0
     # stride-2 sampling: only even frame indices survive
     assert df.filter((df.frame_idx % 2) == 1).count() == 0
+
+
+def test_resize_payload_shrinks_and_refreshes_meta(spark, sf_smoke):
+    import math
+
+    from vat_etl_spark.operators.multimodal import attach_payload, resize_payload
+    from vat_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_smoke, "documents").limit(50)
+    mm = attach_payload(docs)
+    orig = {r.doc_id: r.meta.n_bytes for r in mm.select("doc_id", "meta").collect()}
+    small = resize_payload(mm, factor=4)
+    # composable: same multimodal convention (nullability aside — mapInPandas
+    # output fields are always nullable)
+    assert [(f.name, f.dataType.simpleString()) for f in small.schema.fields] == [
+        (f.name, f.dataType.simpleString()) for f in mm.schema.fields
+    ]
+    for r in small.collect():
+        assert r.meta.n_bytes == math.ceil(orig[r.doc_id] / 4)
+        assert len(r.payload) == r.meta.n_bytes

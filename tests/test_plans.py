@@ -98,3 +98,32 @@ def test_udtf_expands_rows(spark, sf_smoke):
     assert df.count() > n_docs  # genuine row expansion
     # each segment ≤ 10 tokens; segment count per doc = ceil(n_tokens/10)
     assert df.filter(F.col("n_tokens") > 10).count() == 0
+
+
+def test_q3_pushes_filters_and_broadcasts(spark, sf_smoke):
+    df = QUERIES["q3_shipping_priority"](spark, sf_smoke)
+    fs = pushed_filters(df)
+    assert any("l_shipdate" in f for f in fs)
+    assert any("c_mktsegment" in f for f in fs)
+    assert has_broadcast_join(df)
+
+
+def test_q6_sql_frontend_pushes_all_predicates(spark, sf_smoke):
+    df = QUERIES["sql_q6_forecast_revenue"](spark, sf_smoke)
+    fs = pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in f for f in fs), (col, fs)
+
+
+def test_q6_sql_frontend_prunes_columns(spark, sf_smoke):
+    df = QUERIES["sql_q6_forecast_revenue"](spark, sf_smoke)
+    cols = next(iter(read_schema_columns(df)))
+    assert cols == {"l_extendedprice", "l_discount", "l_shipdate", "l_quantity"}
+
+
+def test_q18_broadcasts_having_key_set(spark, sf_smoke):
+    assert has_broadcast_join(QUERIES["q18_large_orders"](spark, sf_smoke))
+
+
+def test_word_positions_is_map_only(spark, sf_smoke):
+    assert shuffle_count(QUERIES["text_word_positions"](spark, sf_smoke)) == 0

@@ -131,3 +131,44 @@ def test_observe_metrics_on_ingest(spark, sf_smoke):
     assert obs.get["n_rows"] >= n
     assert obs.get["null_prices"] == 0
     assert obs.get["max_date"] is not None
+
+
+def test_json_tolerant_captures_corrupt_records(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from vat_etl_spark.sources.catalog import read_json_tolerant
+
+    p = tmp_path / "mixed.jsonl"
+    p.write_text(
+        '{"id": 1, "v": 10.5}\n'
+        "this is not json\n"
+        '{"id": 2, "v": "not-a-number"}\n'
+        '{"id": 3, "v": 7.25}\n'
+    )
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    df = read_json_tolerant(spark, str(p), schema).cache()
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    quarantined = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r.id for r in clean.collect()) == [1, 3]
+    assert quarantined.count() == 2  # the raw line survives for forensics
+    assert any("not json" in r._corrupt_record for r in quarantined.collect())
+    df.unpersist()
+
+
+def test_csv_dropmalformed_skips_bad_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    p = tmp_path / "mixed.csv"
+    p.write_text("id,v\n1,10.5\ntwo,oops\n3,7.25\n")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("mode", "DROPMALFORMED")
+        .csv(str(p))
+    )
+    assert sorted(r.id for r in df.collect()) == [1, 3]

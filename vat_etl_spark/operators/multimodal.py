@@ -132,3 +132,50 @@ def sample_frames(
         F.hex(frame).alias("frame_hex"),
         F.length(frame).cast("long").alias("frame_len"),
     )
+
+
+def resize_payload(mm: DataFrame, factor: int = 4) -> DataFrame:
+    """Resize-shaped transform over binary payloads: keep every ``factor``-th
+    byte, recompute the metadata struct (n_bytes, checksum) for the new
+    payload. This is the image-resize plumbing with a deterministic
+    byte-level stand-in for the pixel kernel — payload in, smaller payload +
+    refreshed metadata out, Arrow-batched, partition-preserving; a real
+    resizer swaps only the inner bytes→bytes function (PIL.thumbnail etc.).
+    Output schema equals the input multimodal convention so resize stages
+    compose with featurize/frame-sample."""
+    import hashlib
+
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("uri", T.StringType()),
+            T.StructField("meta", MULTIMODAL_META),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, payload, uri, meta in zip(
+                pdf["doc_id"], pdf["payload"], pdf["uri"], pdf["meta"]
+            ):
+                b = bytes(payload) if payload is not None else b""
+                small = b[::factor]
+                rows.append(
+                    (
+                        doc_id,
+                        small,
+                        uri,
+                        {
+                            "mime": meta["mime"],
+                            "n_bytes": len(small),
+                            "checksum": hashlib.md5(small).hexdigest(),
+                            "width": meta["width"],
+                            "height": meta["height"],
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "uri", "meta"])
+
+    return mm.mapInPandas(batches, schema=out_schema)

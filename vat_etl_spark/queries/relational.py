@@ -13,7 +13,7 @@ explicitly broadcast. Aggregates use map-side partial aggregation for free.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from vat_etl_spark.functions.numeric import (
@@ -1057,4 +1057,133 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_months",
             F.hll_sketch_estimate("sk_year").cast("long").alias("approx_distinct_customers"),
         )
+    )
+
+
+# --- SQL front-end + Q6 / Q13 / Q17 shapes ------------------------------------
+
+_Q6_SQL = f"""
+SELECT {dsum_sql("l_extendedprice * l_discount")} AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+@query("sql_q6_forecast_revenue", oracle=_Q6_SQL)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-style, submitted through the engine's SQL front-end
+    (``spark.sql`` over the registered table views) rather than the
+    DataFrame API — same Catalyst plan either way: every predicate reaches
+    the scan (range + band filters in PushedFilters), then a single
+    partial+final aggregate with no grouping key. The oracle runs the
+    equivalent SQL, so this also demonstrates dialect parity for the exact
+    decimal-sum spelling."""
+    from vat_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT coalesce(cast(round(sum(cast(floor(l_extendedprice * l_discount
+                     * 1e6 + 0.5) AS DECIMAL(26,0))) / 1000000, 2) AS DOUBLE), 0.0)
+                 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+_Q13_SQL = """
+SELECT n_orders, count(*) AS n_customers FROM (
+  SELECT c_custkey, count(o_orderkey) AS n_orders
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY n_orders
+"""
+
+
+@query("q13_customer_distribution", oracle=_Q13_SQL)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-style: order-count-per-customer histogram through a left
+    outer join with an extra join-side predicate (customers with no
+    qualifying orders count as 0 — count(col) skips the NULLs the outer
+    join produces). Two shuffles: custkey, then the tiny histogram key."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+_Q17_SQL = f"""
+SELECT {dsum_sql("l_extendedprice")} AS small_lot_revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#1' AND p_size <= 10
+  AND l_quantity < (
+    SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey)
+"""
+
+
+@query("q17_small_quantity_revenue", oracle=_Q17_SQL)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-style (adapted to this schema: brand + size in place of
+    container): revenue from lines whose quantity is below half the
+    per-part average — the correlated scalar-average subquery decorrelated
+    into a per-part aggregate joined back to lineitem. The per-part avg is
+    computed over ALL parts' lines first and is broadcast-sized after
+    aggregation; the brand filter prunes the probe side at the scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+    )
+    per_part_avg = li.groupBy(F.col("l_partkey").alias("avg_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("avg_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy()
+        .agg(
+            dsum(F.col("l_extendedprice")).alias("small_lot_revenue"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+_IDS_SQL = """
+SELECT row_number() OVER (ORDER BY s_suppkey) AS stable_id, s_suppkey, s_name
+FROM supplier
+"""
+
+
+@query("ids_assign_stable", oracle=_IDS_SQL)
+def ids_assign_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable global ID assignment via row_number over a deterministic key
+    order — the reproducible way to mint surrogate keys. At 100 TB a single
+    global window serializes; the scalable spelling is two-pass: per-
+    partition counts → broadcast cumulative offsets → offset + local
+    row_number (same result, no global sort). ``monotonically_increasing_id``
+    is the zero-shuffle alternative when ids only need uniqueness, not
+    density or stability across runs — its values encode (partition, row)
+    and change with the layout, so it never feeds an oracle-checked
+    contract."""
+    s = _t(spark, sf_dir, "supplier")
+    w = W.orderBy("s_suppkey")
+    return s.select(
+        F.row_number().over(w).alias("stable_id"), "s_suppkey", "s_name"
     )

@@ -174,3 +174,37 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(p_retailprice, 0.9)").alias("p90_price"),
         F.count("*").alias("n"),
     )
+
+
+_DIST_SQL = """
+SELECT s_nationkey, s_suppkey, s_acctbal,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist()    OVER w AS cume,
+  nth_value(s_suppkey, 2) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS second_supp,
+  first_value(s_suppkey) OVER w AS first_supp,
+  last_value(s_suppkey)  OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND UNBOUNDED FOLLOWING) AS last_supp
+FROM supplier
+WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+"""
+
+
+@query("window_distribution_funcs", oracle=_DIST_SQL)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution/navigation window functions: percent_rank, cume_dist,
+    nth_value, first/last_value. Note the frame trap: with an ORDER BY the
+    default frame ends at CURRENT ROW, so nth/last_value need an explicit
+    unbounded frame to see the whole partition — same rule in Spark and
+    ANSI SQL. One shuffle on the partition key."""
+    s = _t(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy("s_acctbal", "s_suppkey")
+    wfull = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return s.select(
+        "s_nationkey", "s_suppkey", "s_acctbal",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("s_suppkey", 2).over(wfull).alias("second_supp"),
+        F.first_value("s_suppkey").over(w).alias("first_supp"),
+        F.last_value("s_suppkey").over(wfull).alias("last_supp"),
+    )

@@ -130,3 +130,23 @@ def read_orc(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.orc(path)
+
+
+def read_json_tolerant(
+    spark: SparkSession, path: str, schema, corrupt_col: str = "_corrupt_record"
+) -> DataFrame:
+    """JSON-lines source with malformed-record capture: PERMISSIVE mode
+    parses what it can and lands the raw text of any unparseable line in
+    ``corrupt_col`` instead of failing the job — at scale a single bad line
+    in TB of logs must not kill the pipeline. Callers split the result on
+    ``corrupt_col IS NULL`` into clean rows and a quarantine sink. (Use
+    mode=DROPMALFORMED to silently drop instead; FAILFAST to abort.)"""
+    from pyspark.sql import types as T
+
+    full = T.StructType(schema.fields + [T.StructField(corrupt_col, T.StringType())])
+    return (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .json(path)
+    )
