@@ -251,3 +251,45 @@ def test_gaps_islands_equals_session_window(spark, sf_smoke):
         for r in QUERIES["events_sessionize"](spark, sf_smoke).collect()
     }
     assert gi == sw and len(gi) > 0
+
+
+def test_workbook_datasource_streams_arriving_sheets(spark, tmp_path):
+    """The custom Python DataSource's streaming reader: sheets landing in
+    the directory become micro-batches; a sheet added after the stream
+    starts is picked up by a later batch (offset = file count)."""
+    import time
+
+    from vat_etl_spark.sources.workbook_datasource import WorkbookDataSource
+
+    d = tmp_path / "wb_stream"
+    d.mkdir()
+    header = "Supply Type,Invoice Number,Date,Net,Tax,Gross,Box\n"
+    (d / "01_jan.csv").write_text(header + "Sale,1,01/01/2024,100,5,105,A\n")
+    (d / "02_feb.csv").write_text(header + "Sale,2,01/02/2024,200,10,210,B\n")
+
+    spark.dataSource.register(WorkbookDataSource)
+    stream = spark.readStream.format("vat_workbook").load(str(d))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("wb_stream_sink")
+        .outputMode("append")
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    try:
+        def rows():
+            return spark.table("wb_stream_sink").collect()
+
+        deadline = time.time() + 60
+        while len(rows()) < 2 and time.time() < deadline:
+            time.sleep(0.3)
+        assert {r.SourceSheet for r in rows()} == {"01_jan", "02_feb"}
+
+        (d / "03_mar.csv").write_text(header + "Sale,3,01/03/2024,300,15,315,C\n")
+        deadline = time.time() + 60
+        while len(rows()) < 3 and time.time() < deadline:
+            time.sleep(0.3)
+        got = {r.SourceSheet: r.Box for r in rows()}
+        assert got == {"01_jan": "A", "02_feb": "B", "03_mar": "C"}
+    finally:
+        q.stop()

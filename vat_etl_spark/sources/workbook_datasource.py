@@ -89,3 +89,71 @@ class WorkbookDataSource(DataSource):
 
     def reader(self, schema: StructType) -> WorkbookReader:
         return WorkbookReader(self.options)
+
+    def simpleStreamReader(self, schema: StructType) -> "WorkbookStreamReader":
+        return WorkbookStreamReader(self.options)
+
+
+# --- streaming: sheets arriving in the directory become micro-batches --------
+
+
+def _sheet_files(directory: str) -> list[str]:
+    import os
+
+    return sorted(f for f in os.listdir(directory) if f.lower().endswith(".csv"))
+
+
+def _read_sheet_rows(directory: str, filename: str):
+    import csv
+    import os
+
+    path = os.path.join(directory, filename)
+    sheet = os.path.splitext(filename)[0]
+    with open(path, newline="", encoding="utf-8") as fh:
+        rows = list(csv.reader(fh))
+    if not rows:
+        return
+    header_row = detect_header_row(rows)
+    header = canonical_rename(rows[header_row])
+    idx = {name: i for i, name in enumerate(header)}
+    for raw in rows[header_row + 1 :]:
+        yield tuple(
+            raw[idx[c]] if c in idx and idx[c] < len(raw) and raw[idx[c]] != "" else None
+            for c in VAT_REQUIRED_COLUMNS
+        ) + (sheet,)
+
+
+class WorkbookStreamReader:
+    """SimpleDataSourceStreamReader over the workbook directory: the offset
+    is the count of sheet files ingested in sorted-name order, so arriving
+    sheets form the next micro-batch and any (start, end) range replays
+    deterministically — exactly the replayability contract checkpoint
+    recovery needs. Files must arrive append-only under ascending names
+    (standard landing-zone discipline); at scale the same pattern is the
+    file-notification source over object storage."""
+
+    def __init__(self, options: dict):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("vat_workbook stream requires a path")
+
+    def initialOffset(self) -> dict:
+        return {"n": 0}
+
+    def read(self, start: dict):
+        files = _sheet_files(self.dir)
+        end = {"n": len(files)}
+        # iter over a materialized list, not a generator: the simple-reader
+        # contract prefetches on the driver and PICKLES the iterator out to
+        # executors (list iterators pickle; generators don't)
+        return iter(self._rows(files[start["n"]:])), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = _sheet_files(self.dir)
+        return iter(self._rows(files[start["n"]:end["n"]]))
+
+    def _rows(self, files: list[str]) -> list[tuple]:
+        return [r for f in files for r in _read_sheet_rows(self.dir, f)]
+
+    def commit(self, end: dict) -> None:
+        pass
