@@ -127,3 +127,31 @@ def test_q18_broadcasts_having_key_set(spark, sf_smoke):
 
 def test_word_positions_is_map_only(spark, sf_smoke):
     assert shuffle_count(QUERIES["text_word_positions"](spark, sf_smoke)) == 0
+
+
+def test_dynamic_partition_pruning_on_dim_filter(spark, sf_smoke, tmp_path):
+    """Dynamic partition pruning: a fact partitioned on yr, joined to a dim
+    whose FILTER decides the matching years at runtime — the scan must show
+    a dynamicpruning subquery instead of reading all partitions. This is
+    the star-schema scale mechanism: the dim filter prunes fact partitions
+    without the fact ever materializing unmatched years."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.plans.inspect import formatted_plan
+
+    out = str(tmp_path / "orders_part")
+    o = spark.read.parquet(f"{sf_smoke}/orders.parquet").withColumn(
+        "yr", F.year("o_orderdate")
+    )
+    o.write.partitionBy("yr").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        [(1996, "keep"), (1997, "keep")], "yr int, tag string"
+    )
+    joined = fact.join(dim.filter(F.col("tag") == "keep"), "yr").select(
+        "yr", "o_orderkey"
+    )
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan[:800]
+    expected = o.filter(F.col("yr").isin(1996, 1997)).count()
+    assert joined.count() == expected

@@ -392,3 +392,82 @@ def text_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", F.posexplode(tokens_expr(F.col("text"))).alias("pos0", "word")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+
+
+_DOCFREQ_SQL = r"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+),
+df AS (SELECT word, count(*) AS doc_freq FROM tok GROUP BY word),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT word, doc_freq, n_docs
+FROM df, n
+WHERE doc_freq >= 100
+"""
+
+
+@query("text_doc_frequency", oracle=_DOCFREQ_SQL)
+def text_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document frequency per token (the exact-integer core of TF-IDF —
+    idf = ln(N/df) is left to the consumer because libm ulps differ across
+    engines while these counts are hash-exact). distinct(doc, word) before
+    the count so a token counts once per document; the corpus size rides
+    along via a 1-row cross join (broadcast). At 100 TB this is the
+    classic two-level aggregate: explode → per-partition distinct →
+    global count per word; high-frequency tokens are exactly the ones a
+    similarity join must cap or drop (see SCALE.md dedup notes)."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("word")
+    ).distinct()
+    df_counts = tok.groupBy("word").agg(F.count("*").alias("doc_freq"))
+    n = d.groupBy().agg(F.count("*").alias("n_docs"))
+    return df_counts.join(F.broadcast(n)).filter(F.col("doc_freq") >= 100)
+
+
+# Rabin-Karp-style constants: multiplier/base primes and a 2^31-1 modulus —
+# intermediate acc*B + t stays < 2^52, exact in BIGINT on both engines.
+_RH_B, _RH_M = 1000003, 2147483647
+_RH_TOK_SQL = (
+    "ascii(substr(w, 1, 1)) * 1048573 + ascii(substr(w, len(w), 1)) * 1009 + len(w)"
+)
+
+_ROLLFP_SQL = rf"""
+WITH t AS (
+  SELECT doc_id,
+    list_transform(regexp_split_to_array(trim(text), '\s+'),
+                   w -> {_RH_TOK_SQL}) AS tv
+  FROM documents
+)
+SELECT doc_id,
+  list_reduce(list_prepend(cast(0 AS BIGINT), tv),
+              (acc, x) -> (acc * {_RH_B} + x) % {_RH_M}) AS rolling_fp,
+  len(tv) AS n_tokens
+FROM t
+"""
+
+
+@query("text_rolling_fingerprint", oracle=_ROLLFP_SQL)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (Rabin-Karp polynomial fold over
+    the token stream): order-sensitive — reordered tokens change the
+    fingerprint, unlike a bag-of-words hash — and incremental, so a sliding
+    window over n-grams reuses O(1) work per step (the basis for
+    winnowing-style near-dup detection). Exact BIGINT arithmetic, so Spark
+    and DuckDB agree digit-for-digit; map-only, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    tokval = lambda w: (  # noqa: E731
+        F.ascii(F.substring(w, 1, 1)) * F.lit(1048573)
+        + F.ascii(F.substring(w, F.length(w), 1)) * F.lit(1009)
+        + F.length(w)
+    ).cast("long")
+    tv = F.transform(tokens_expr(F.col("text")), tokval)
+    roll = F.aggregate(
+        tv,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(_RH_B) + x) % F.lit(_RH_M),
+    )
+    return d.select(
+        "doc_id", roll.alias("rolling_fp"), F.size(tv).cast("long").alias("n_tokens")
+    )
