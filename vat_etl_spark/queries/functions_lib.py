@@ -419,3 +419,63 @@ def variant_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").alias("min_k"),
         F.max("k").alias("max_k"),
     )
+
+
+_NULLSAFE_SQL = """
+WITH k AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN NULL ELSE c_custkey % 7 END AS key
+  FROM customer WHERE c_custkey <= 500
+)
+SELECT a.key AS key, count(*) AS n_pairs
+FROM k a JOIN k b ON a.key IS NOT DISTINCT FROM b.key
+GROUP BY a.key
+"""
+
+
+@query("null_semantics_join", oracle=_NULLSAFE_SQL)
+def null_semantics_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``eqNullSafe`` / IS NOT DISTINCT FROM):
+    under plain ``=`` the NULL keys match nothing and silently vanish from
+    the join — null-safe equality pairs them like a value. Planned as a
+    normal hash join (the operator hashes NULL as a key), so no special
+    scale cost."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 500)
+    key = F.when(F.col("c_custkey") % 10 == 0, F.lit(None).cast("long")).otherwise(
+        F.col("c_custkey") % 7
+    )
+    k = c.select("c_custkey", key.alias("key"))
+    a, b = k.alias("a"), k.alias("b")
+    return (
+        a.join(b, F.col("a.key").eqNullSafe(F.col("b.key")))
+        .groupBy(F.col("a.key").alias("key"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+_NULLFN_SQL = """
+SELECT c_custkey,
+  c_acctbal / nullif(cast(c_custkey % 5 AS DOUBLE), 0.0) AS safe_ratio,
+  coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+  CASE WHEN c_acctbal IS NOT NULL THEN 'present' ELSE 'absent' END AS bal_flag
+FROM customer WHERE c_custkey <= 200
+"""
+
+
+@query("null_scalar_functions", oracle=_NULLFN_SQL)
+def null_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar surface: try_divide (NULL on /0 instead of the
+    ANSI-mode error — the safe spelling under Spark 4's default ANSI),
+    nullif, coalesce, nvl2-style presence flag. IEEE division is
+    deterministic so the ratio hashes identically cross-engine."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+    return c.select(
+        "c_custkey",
+        F.try_divide(
+            F.col("c_acctbal"), F.nullif((F.col("c_custkey") % 5).cast("double"), F.lit(0.0))
+        ).alias("safe_ratio"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias(
+            "seg_or_other"
+        ),
+        F.nvl2(F.col("c_acctbal"), F.lit("present"), F.lit("absent")).alias("bal_flag"),
+    )
