@@ -45,6 +45,20 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
     )
 
 
+def dsumx(expr: Column) -> Column:
+    """Unrounded exact sum as double: decimal-exact total → one
+    decimal→double conversion. Use where the sum feeds arithmetic (shares,
+    thresholds) rather than display — rounding first would *add* parity
+    risk at repr boundaries. Same accumulator as :func:`dsum`."""
+    tot = F.sum(micros(expr).cast("decimal(26,0)"))
+    return F.coalesce((tot / F.lit(10**6)).cast("double"), F.lit(0.0))
+
+
+def dsumx_sql(expr: str) -> str:
+    """DuckDB twin of :func:`dsumx`."""
+    return f"coalesce(cast(sum(cast(({expr}) AS DECIMAL(30,6))) AS DOUBLE), 0.0)"
+
+
 def davg(expr: Column) -> Column:
     """Order-independent average: exact decimal sum, cast to double, divided
     by count. Both operands are bit-identical across engines, and IEEE

@@ -29,6 +29,7 @@ def query(name: str, oracle: str | None = None):
 # Import for registration side effects — order defines driver run order.
 from vat_etl_spark.queries import vat  # noqa: E402,F401
 from vat_etl_spark.queries import relational  # noqa: E402,F401
+from vat_etl_spark.queries import tpch  # noqa: E402,F401
 from vat_etl_spark.queries import windows  # noqa: E402,F401
 from vat_etl_spark.queries import functions_lib  # noqa: E402,F401
 from vat_etl_spark.queries import events  # noqa: E402,F401

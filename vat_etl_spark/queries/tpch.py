@@ -1,0 +1,586 @@
+"""The remaining TPC-H query *shapes* (Q2, Q7, Q8, Q9, Q11, Q12, Q15, Q16,
+Q19, Q20, Q21, Q22), adapted to the testdata star schema. The reference
+(`/root/reference/fianl2.py`) has no relational queries at all — this module
+exists for the engine-class surface (SURVEY.md §2.5, §7 tier 3): every
+distinct TPC-H plan shape (correlated max, nation-pair self-join, market
+share, OR-of-conjunctions, double-correlated EXISTS/NOT EXISTS, dormant
+anti-join) expressed as idiomatic DataFrame plans with DuckDB oracle twins.
+
+Adaptations (testdata has no ``partsupp``, no commit/receipt dates, no
+phone/comment columns — TESTDATA.md):
+
+- part↔supplier association (Q2/Q11/Q16/Q20) is the distinct
+  ``(l_partkey, l_suppkey)`` set from lineitem instead of partsupp;
+- "min supplycost" (Q2) becomes "max s_acctbal" — same correlated-extremum
+  shape, different extremum;
+- ship delay ``l_shipdate − o_orderdate`` stands in for the
+  commit/receipt-date comparisons (Q12/Q21);
+- country code (Q22) is the last two digits of ``c_name`` instead of a
+  phone prefix.
+
+Scale notes (100 TB): every query here keeps dims (part, supplier, nation,
+region — all ≤1/30 of lineitem) on the broadcast side, pushes date/flag
+filters into the parquet scans, and shuffles the fact at most once per
+distinct key. The correlated subqueries are decorrelated by hand into
+window-max / aggregate-then-broadcast-join shapes, which is exactly what a
+cost-based decorrelation would emit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from vat_etl_spark.functions.numeric import dsum, dsum_sql, dsumx, dsumx_sql
+from vat_etl_spark.queries import query
+from vat_etl_spark.sources.catalog import read_table as _t
+
+
+_REV = "l_extendedprice * (1.0 - l_discount)"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+# --- Q2 shape: correlated extremum per part ----------------------------------
+
+_Q2_SQL = """
+WITH assoc AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+cand AS (
+  SELECT p_partkey, p_brand, s_name, s_acctbal
+  FROM part
+  JOIN assoc    ON p_partkey = l_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE p_size <= 15 AND r_name = 'ASIA'
+)
+SELECT p_partkey, p_brand, s_name, s_acctbal
+FROM cand c
+WHERE s_acctbal = (SELECT max(s_acctbal) FROM cand c2 WHERE c2.p_partkey = c.p_partkey)
+ORDER BY s_acctbal DESC, p_partkey, s_name
+LIMIT 100
+"""
+
+
+@query("q2_best_supplier_per_part", oracle=_Q2_SQL)
+def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2 shape: for each qualifying part, the supplier achieving the
+    per-part extremum (max s_acctbal; the classic is min ps_supplycost).
+    The correlated scalar subquery is decorrelated into a window max over
+    the candidate set — one shuffle on partkey instead of a re-aggregating
+    self-join; dims broadcast; the distinct part↔supplier association is
+    the only lineitem shuffle."""
+    assoc = (
+        _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cand = (
+        assoc.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "p_brand", "s_name", "s_acctbal")
+    )
+    mx = F.max("s_acctbal").over(W.partitionBy("p_partkey"))
+    return (
+        cand.withColumn("_mx", mx)
+        .filter(F.col("s_acctbal") == F.col("_mx"))
+        .drop("_mx")
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+# --- Q7 shape: nation-pair volume shipping -----------------------------------
+
+_Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+  year(l_shipdate) AS l_year,
+  {dsum_sql(_REV)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+"""
+
+
+@query("q7_volume_shipping", oracle=_Q7_SQL)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7: bilateral trade volume between a nation pair by ship year.
+    The nation dim joins twice under different roles (supplier side /
+    customer side) — both broadcast; the disjunctive pair predicate runs
+    after both joins exactly as written so Catalyst can still push the
+    single-nation IN-filters onto each broadcast."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("_n2key"), F.col("n_name").alias("cust_nation")
+    )
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2key"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(dsum(_rev()).alias("revenue"))
+    )
+
+
+# --- Q8 shape: market share ---------------------------------------------------
+
+_Q8_SQL = f"""
+SELECT year(o_orderdate) AS o_year,
+  {dsumx_sql(f"CASE WHEN n1.n_name = 'NATION_3' THEN {_REV} ELSE 0.0 END")}
+    / {dsumx_sql(_REV)} AS mkt_share
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+JOIN region   ON n2.n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+GROUP BY 1
+"""
+
+
+@query("q8_market_share", oracle=_Q8_SQL)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8: one nation's share of PROMO-part revenue into one region,
+    per order year. Numerator and denominator are unrounded exact decimal
+    sums converted once to double; the share is a single IEEE division so
+    it hashes identically cross-engine. All five dims broadcast — the only
+    fact shuffles are the lineitem⋈orders join and the final tiny group."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n1key"), F.col("n_name").alias("_supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = _rev()
+    nat_vol = F.when(F.col("_supp_nation") == "NATION_3", vol).otherwise(F.lit(0.0))
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsumx(nat_vol) / dsumx(vol)).alias("mkt_share"))
+    )
+
+
+# --- Q9 shape: product-type profit by nation and year -------------------------
+
+_PROFIT = f"{_REV} - p_retailprice * l_quantity * 0.1"
+
+_Q9_SQL = f"""
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+  {dsum_sql(_PROFIT)} AS sum_profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%ge%'
+GROUP BY 1, 2
+"""
+
+
+@query("q9_product_profit", oracle=_Q9_SQL)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9: profit on a part-name pattern by supplier nation and order
+    year. Cost term is ``p_retailprice·qty·0.1`` (no partsupp supplycost in
+    the testdata) — same expression shape, ≤5 true decimals so the exact
+    decimal accumulator applies. The LIKE filter prunes part before the
+    broadcast; lineitem shuffles once (orders join) then groups small."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%ge%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    profit = _rev() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(dsum(profit).alias("sum_profit"))
+    )
+
+
+# --- Q11 shape: important parts by share-of-total value -----------------------
+
+_Q11_SQL = f"""
+WITH pv AS (
+  SELECT l_partkey, {dsumx_sql(_REV)} AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_5'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, val FROM pv
+WHERE val > (SELECT sum(val) * 0.001 FROM pv)
+ORDER BY val DESC, l_partkey
+"""
+
+
+@query("q11_important_parts", oracle=_Q11_SQL)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11: parts whose value from one nation's suppliers exceeds a
+    fraction of that nation's total. The scalar threshold is the aggregate
+    of the *same* per-part exact sums (no second scan of lineitem), joined
+    back as a broadcast single row — the textbook decorrelation of Q11's
+    HAVING subquery. Values are unrounded exact doubles so the > compare
+    is cross-engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    pv = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(dsumx(_rev()).alias("val"))
+    )
+    thr = pv.agg((F.sum("val") * F.lit(0.001)).alias("_thr"))
+    return (
+        pv.join(F.broadcast(thr))
+        .filter(F.col("val") > F.col("_thr"))
+        .select("l_partkey", "val")
+        .orderBy(F.desc("val"), "l_partkey")
+    )
+
+
+# --- Q12 shape: priority counts by ship-delay band ----------------------------
+
+_Q12_SQL = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
+            THEN 'LATE' ELSE 'ONTIME' END AS delay_band,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+"""
+
+
+@query("q12_priority_by_delay", oracle=_Q12_SQL)
+def q12_priority_by_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12: line counts by order priority class per ship-delay band
+    (delay = shipdate − orderdate; the testdata has no ship modes or
+    commit/receipt dates). Conditional integer counting — two-sided CASE
+    sums in a single pass, one tiny two-group shuffle."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    band = F.when(
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60, "LATE"
+    ).otherwise("ONTIME")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(band.alias("delay_band"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --- Q15 shape: top supplier(s) by quarterly revenue --------------------------
+
+_Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {dsum_sql(_REV)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@query("q15_top_supplier", oracle=_Q15_SQL)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15: supplier(s) achieving the maximum quarterly revenue (the
+    reference view + scalar-max subquery form). The revenue CTE is computed
+    once and self-compared via a broadcast of its 1-row max — ties all
+    surface, matching the SQL. Revenue is dsum-rounded so the equality
+    compares identical doubles in both engines."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev()).alias("total_revenue")
+    )
+    mx = revenue.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        revenue.join(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --- Q16 shape: supplier counts by part attributes ----------------------------
+
+_Q16_SQL = """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) assoc
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#5'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+@query("q16_supplier_part_counts", oracle=_Q16_SQL)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16: distinct supplier counts per (brand, type, size) excluding
+    flagged suppliers (negative acctbal stands in for the complaint LIKE).
+    NOT IN over a non-nullable key is planned as a broadcast anti-join;
+    the distinct association dedups before the dim join so the count
+    grain is already (part, supplier)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    assoc = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        assoc.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- Q19 shape: OR-of-conjunctions revenue ------------------------------------
+
+_Q19_SQL = f"""
+SELECT {dsum_sql(_REV)} AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+@query("q19_disjunctive_revenue", oracle=_Q19_SQL)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19: revenue under an OR of brand/size/quantity conjunctions —
+    the classic test that a disjunctive join-residual still lets the
+    engine (a) push the derivable per-side implications (brand IN (...),
+    qty ≤ 30) down to the scans and (b) keep the join a broadcast hash
+    join with the OR as a residual filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    pred = (
+        ((br == "Brand#1") & sz.between(1, 5) & q.between(1, 11))
+        | ((br == "Brand#2") & sz.between(1, 10) & q.between(10, 20))
+        | ((br == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(pred)
+        .agg(dsum(_rev()).alias("revenue"))
+    )
+
+
+# --- Q20 shape: heavy shippers of a part class --------------------------------
+
+_Q20_SQL = """
+SELECT s_name, s_acctbal
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (
+    SELECT l_suppkey
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_name LIKE 'small%'
+      AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l_suppkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(30,6))) > 50.0
+  )
+ORDER BY s_name
+"""
+
+
+@query("q20_heavy_shippers", oracle=_Q20_SQL)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20: suppliers in one nation who shipped more than a threshold
+    quantity of a part-name class in one year (availqty/partsupp replaced
+    by shipped-quantity sums). The IN subquery aggregates lineitem down to
+    a small supplier set, then semi-joins — quantity sums in exact decimal
+    so the HAVING boundary cannot flake."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    heavy = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("_q"))
+        .filter(F.col("_q") > 50.0)
+        .select("l_suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# --- Q21 shape: sole late supplier on multi-supplier orders -------------------
+
+_Q21_SQL = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders     ON o_orderkey = l1.l_orderkey
+JOIN nation     ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F' AND n_name = 'NATION_2'
+  AND date_diff('day', o_orderdate, l1.l_shipdate) > 60
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND date_diff('day', o_orderdate, l3.l_shipdate) > 60)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@query("q21_waiting_orders", oracle=_Q21_SQL)
+def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21: suppliers who were the *sole* late shipper on finished
+    multi-supplier orders (late = shipped >60 days after order date; the
+    testdata has no commit/receipt dates). The correlated EXISTS / NOT
+    EXISTS pair is decorrelated into one per-order aggregate — distinct
+    supplier count and distinct *late*-supplier count — computed in a
+    single lineitem⋈orders pass and joined back to the late lines: two
+    shuffles on orderkey total, versus the naive triple self-join."""
+    o = _t(spark, sf_dir, "orders")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    li = _t(spark, sf_dir, "lineitem").join(
+        o.select("o_orderkey", "o_orderdate", "o_orderstatus"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    late = F.datediff(F.col("l_shipdate"), F.col("o_orderdate")) > 60
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("_n_late"),
+    )
+    qualifying = stats.filter((F.col("_n_supp") > 1) & (F.col("_n_late") == 1)).select(
+        F.col("l_orderkey").alias("_qok")
+    )
+    return (
+        li.filter(late & (F.col("o_orderstatus") == "F"))
+        .join(qualifying, F.col("l_orderkey") == F.col("_qok"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+# --- Q22 shape: dormant high-balance customers --------------------------------
+
+_Q22_SQL = f"""
+WITH base AS (
+  SELECT substring(c_name, 17, 2) AS cntrycode, c_custkey, c_acctbal
+  FROM customer
+  WHERE substring(c_name, 17, 2) IN ('13', '31', '23', '29', '30', '18', '17')
+)
+SELECT cntrycode, count(*) AS numcust, {dsum_sql("c_acctbal")} AS totacctbal
+FROM base b
+WHERE c_acctbal > (SELECT {dsumx_sql("c_acctbal")} / count(*) FROM base WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = b.c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01')
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
+@query("q22_dormant_customers", oracle=_Q22_SQL)
+def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22: dormant customers (no order since 1999 — every testdata
+    customer has *some* order, so the classic never-ordered predicate is
+    vacuous) with above-average balance, by country code (last two digits
+    of c_name — no phone column). Scalar average via exact-sum/count
+    broadcast back; the NOT EXISTS is a left-anti join against the
+    date-filtered orders custkey set, with the date pushed into the scan.
+    At 100 TB the anti join shuffles on custkey once; the threshold side
+    is one row."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    base = c.select(
+        F.substring("c_name", 17, 2).alias("cntrycode"), "c_custkey", "c_acctbal"
+    ).filter(F.col("cntrycode").isin("13", "31", "23", "29", "30", "18", "17"))
+    thr = base.filter(F.col("c_acctbal") > 0.0).agg(
+        (dsumx(F.col("c_acctbal")) / F.count("*")).alias("_avg")
+    )
+    return (
+        base.join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(F.count("*").alias("numcust"), dsum(F.col("c_acctbal")).alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
