@@ -141,6 +141,10 @@ def vat_box_summary(
         row("Box C", F.col("netC"), F.col("vatC"), zero),
         row("Box D", zero, F.col("vatD"), F.col("vatD")),
     )
+    # single-partition sort, not orderBy: the summary is 4 rows per period
+    # (bounded by reporting periods, never by data volume), and a global
+    # orderBy costs a range-partitioning SAMPLING JOB + a 32-task sort
+    # stage — measured ~15% of flagship wall at sf0.1 for a ~300-row sort
     out = (
         agg.select(
             F.col(year_col),
@@ -148,7 +152,8 @@ def vat_box_summary(
             period.alias("Period"),
             F.inline(boxes),
         )
-        .orderBy(F.col(year_col), F.col(monthnum_col), F.col("FTA Box"))
+        .coalesce(1)
+        .sortWithinPartitions(F.col(year_col), F.col(monthnum_col), F.col("FTA Box"))
         .drop(year_col, monthnum_col)
     )
     return out
