@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "vat_summary",
     "q1_pricing_summary",
     "q5_region_revenue",
+    "q9_product_profit",
+    "q21_waiting_orders",
     "topk_customers",
     "agg_rollup_period",
     "window_top3_orders_per_customer",
