@@ -207,3 +207,101 @@ def events_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("session_last"),
         F.count("*").alias("n_events"),
     )
+
+
+_SCD2_SQL = """
+SELECT user_id, event_type AS attr_value, ts AS valid_from,
+  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+       THEN 1 ELSE 0 END AS is_current
+FROM (
+  SELECT user_id, event_type, ts, event_id,
+    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+  FROM events
+)
+WHERE prev_type IS NULL OR prev_type <> event_type
+"""
+
+
+@query("events_scd2_intervals", oracle=_SCD2_SQL)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from a change stream: collapse repeated
+    attribute values (lag-compare), then each surviving change opens a
+    validity interval closed by the next change's timestamp (lead), with
+    an is_current flag on the open interval. Both window passes share one
+    shuffle on user_id — the standard warehouse history-table operator
+    the reference's full-replace SQLite sink (fianl2.py:253-256) lacks."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        e.select(
+            "user_id", "event_type", "ts", "event_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    valid_to = F.lead("ts").over(w2)
+    return changes.select(
+        "user_id",
+        F.col("event_type").alias("attr_value"),
+        F.col("ts").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        F.when(valid_to.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+_FUNNEL_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE event_type = 'click' AND ts > t_view GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE event_type = 'purchase' AND ts > t_click GROUP BY e.user_id
+)
+SELECT
+  (SELECT count(*) FROM s1) AS n_view,
+  (SELECT count(*) FROM s2) AS n_view_click,
+  (SELECT count(*) FROM s3) AS n_view_click_purchase
+"""
+
+
+@query("events_funnel", oracle=_FUNNEL_SQL)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view → click → purchase): each stage is
+    the earliest qualifying event strictly after the previous stage's
+    time. Stage frontiers are per-user 1-row aggregates joined back to the
+    filtered event stream — every join and aggregate shuffles on user_id,
+    so at scale the three stages are co-partitioned and AQE turns the
+    small frontier sides into broadcasts."""
+    e = _t(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.agg(F.count("*").alias("n_view"))
+        .crossJoin(s2.agg(F.count("*").alias("n_view_click")))
+        .crossJoin(s3.agg(F.count("*").alias("n_view_click_purchase")))
+    )

@@ -479,3 +479,35 @@ def null_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.nvl2(F.col("c_acctbal"), F.lit("present"), F.lit("absent")).alias("bal_flag"),
     )
+
+
+_HISTOGRAM_SQL = """
+SELECT (CASE WHEN o_totalprice < 0.0 THEN 0
+             WHEN o_totalprice >= 600000.0 THEN 13
+             ELSE cast(floor(o_totalprice / 50000.0) AS BIGINT) + 1 END) AS bucket,
+  count(*) AS n_orders,
+  min(o_totalprice) AS lo,
+  max(o_totalprice) AS hi
+FROM orders GROUP BY 1
+"""
+
+
+@query("agg_histogram_buckets", oracle=_HISTOGRAM_SQL)
+def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram via native ``width_bucket`` — the binning
+    primitive for distribution profiling. Pure map-side expression + one
+    tiny 14-group aggregate; min/max are exact (no float accumulation).
+    The oracle spells the equivalent floor arithmetic (DuckDB has no
+    width_bucket); the bucket width 600000/12 = 50000 is exact so both
+    forms floor the same quotient."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12)).alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

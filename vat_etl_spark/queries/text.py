@@ -471,3 +471,92 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", roll.alias("rolling_fp"), F.size(tv).cast("long").alias("n_tokens")
     )
+
+
+_BM25_TERMS = ["hash", "join", "vector"]
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+_BM25_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT cast(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n_docs FROM dl
+),
+tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM tok
+  WHERE w IN ('hash', 'join', 'vector') GROUP BY doc_id, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id, tf.w,
+    ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+      * ((tf * 2.2::DOUBLE)
+         / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl / avgdl)))) AS sterm
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.w = df.w
+  CROSS JOIN stats
+)
+SELECT doc_id,
+  coalesce(max(CASE WHEN w = 'hash' THEN sterm END), 0.0::DOUBLE)
+    + coalesce(max(CASE WHEN w = 'join' THEN sterm END), 0.0::DOUBLE)
+    + coalesce(max(CASE WHEN w = 'vector' THEN sterm END), 0.0::DOUBLE) AS score
+FROM scored GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT 50
+"""
+
+
+@query("text_bm25_ranking", oracle=_BM25_SQL)
+def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking for a fixed query, with a *rational* idf
+    ``(N − df + ½)/(df + ½)`` instead of its logarithm — a monotone
+    rescaling per term that keeps every arithmetic step an IEEE operation
+    on identical operands in both engines (``ln`` is libm-dependent and
+    would flake the value-hash gate). Per-term scores are re-added in
+    fixed term order, not via float ``sum()``, for the same reason.
+
+    Scale shape: one explode+group over the corpus for tf (term-filtered
+    BEFORE the shuffle, so only query-term postings move), one for dl;
+    df and the corpus stats are tiny broadcasts. This is a scan + two
+    shuffles regardless of corpus size — the BM25 of a 100 TB corpus
+    moves only its postings lists."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    tf = (
+        tok.filter(F.col("w").isin(_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    # literals spelled identically to the SQL (2.2, 0.25), never computed
+    # (1.2 + 1.0 need not round to the same double as the literal 2.2)
+    tfnorm = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df_), "w")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "w", (idf * tfnorm).alias("sterm"))
+    )
+    per_term = [
+        F.coalesce(F.max(F.when(F.col("w") == t, F.col("sterm"))), F.lit(0.0))
+        for t in _BM25_TERMS
+    ]
+    score = per_term[0] + per_term[1] + per_term[2]
+    return (
+        scored.groupBy("doc_id")
+        .agg(score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(50)
+    )
