@@ -77,3 +77,43 @@ def test_xlsx_sink_gated_without_writer_engine(spark, sf_smoke):
     else:
         with pytest.raises(NotImplementedError):
             write_xlsx(df, "/tmp/_nope.xlsx")
+
+
+def test_clustered_write_narrows_row_group_stats(spark, sf_smoke, tmp_path):
+    """write_clustered_parquet: after range-clustering on l_orderkey, each
+    parquet row group's [min, max] orderkey span must cover a small slice
+    of the key domain (≈ domain/n_groups), whereas an unclustered write
+    leaves row groups spanning ~the whole domain — the property that makes
+    min/max-based row-group skipping effective."""
+    import pyarrow.parquet as pq
+
+    from vat_etl_spark.sources.sinks import write_clustered_parquet, write_parquet
+
+    li = read_table(spark, sf_smoke, "lineitem")
+
+    def spans(root):
+        import pathlib
+
+        total_span, n_groups, domain_lo, domain_hi = 0, 0, None, None
+        for f in pathlib.Path(root).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx["l_orderkey"]).statistics
+                total_span += st.max - st.min
+                n_groups += 1
+                domain_lo = st.min if domain_lo is None else min(domain_lo, st.min)
+                domain_hi = st.max if domain_hi is None else max(domain_hi, st.max)
+        return total_span / n_groups, (domain_hi - domain_lo), n_groups
+
+    plain, clustered = str(tmp_path / "plain"), str(tmp_path / "clustered")
+    write_parquet(li.repartition(4), plain)
+    write_clustered_parquet(li, clustered, ["l_orderkey"], n_files=4)
+    avg_plain, domain, _ = spans(plain)
+    avg_clust, _, n_clust = spans(clustered)
+    assert n_clust >= 4
+    # unclustered row groups span ~the whole domain; clustered ones ≤ ~1/3
+    assert avg_plain > 0.8 * domain
+    assert avg_clust < domain / 3
+    # and the data survives the round trip
+    assert spark.read.parquet(clustered).count() == li.count()

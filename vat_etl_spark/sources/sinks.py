@@ -65,3 +65,30 @@ def write_orc(df: DataFrame, path: str, partition_by: list[str] | None = None) -
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.orc(path)
+
+
+def write_clustered_parquet(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int | None = None,
+    row_group_bytes: int | None = None,
+) -> None:
+    """Range-clustered parquet: repartitionByRange on the cluster keys +
+    sortWithinPartitions before writing, so each output file — and each row
+    group inside it — covers a NARROW, non-overlapping key range. Parquet
+    stores per-row-group min/max statistics; a clustered layout is what
+    turns those stats (and any engine's row-group/file skipping) from
+    no-ops into near-partition-pruning: a point or range predicate on the
+    cluster key then touches O(selectivity) row groups instead of all of
+    them. This is the poor-man's Z-order for 1-D keys — the right default
+    for a 100 TB fact table's sort key. Verified by
+    tests/test_sinks.py::test_clustered_write_narrows_row_group_stats via
+    pyarrow row-group metadata.
+    """
+    out = df.repartitionByRange(*([n_files] if n_files else []), *cluster_by)
+    out = out.sortWithinPartitions(*cluster_by)
+    w = out.write.mode("overwrite")
+    if row_group_bytes:
+        w = w.option("parquet.block.size", str(row_group_bytes))
+    w.parquet(path)
