@@ -172,3 +172,77 @@ def test_csv_dropmalformed_skips_bad_rows(spark, tmp_path):
         .csv(str(p))
     )
     assert sorted(r.id for r in df.collect()) == [1, 3]
+
+
+def test_workbook_datasource_writer_roundtrip(spark, sf_smoke, tmp_path):
+    """Custom Python DataSource WRITE path: partition-parallel sheet files
+    under a two-phase commit (temp file + rename-on-commit + _SUCCESS).
+    Overwrite mode replaces the previous sheet set, not appends."""
+    import os
+
+    from vat_etl_spark.sources.workbook_datasource import WorkbookDataSource
+
+    spark.dataSource.register(WorkbookDataSource)
+    out = str(tmp_path / "wb_out")
+    df = read_table(spark, sf_smoke, "region").repartition(3)
+    df.write.format("vat_workbook").mode("overwrite").save(out)
+
+    files = sorted(f for f in os.listdir(out) if f.endswith(".csv"))
+    assert len(files) == 3 and files[0] == "sheet-00000.csv"
+    assert os.path.exists(os.path.join(out, "_SUCCESS"))
+    assert not [f for f in os.listdir(out) if f.startswith(".tmp-")]
+    back = spark.read.option("header", "true").csv(out)
+    assert back.count() == df.count()
+    assert set(back.columns) == set(df.columns)
+
+    # overwrite: fewer partitions ⇒ fewer sheets, previous set gone
+    df.coalesce(1).write.format("vat_workbook").mode("overwrite").save(out)
+    files2 = [f for f in os.listdir(out) if f.endswith(".csv")]
+    assert len(files2) == 1
+    assert spark.read.option("header", "true").csv(out).count() == df.count()
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling: a sort-merge join whose shuffle has one hot
+    key must come back from execution with ``SortMergeJoin(skew=true)`` and
+    ``AQEShuffleRead … skewed`` — the hot reducer partition split into
+    mapper-range chunks with the other side replicated. This is the
+    runtime defense the engine relies on at 100 TB when salting wasn't
+    applied by hand (SCALE.md). Split granularity is per MAP OUTPUT, so
+    the scenario needs multiple mappers (10-partition ranges), and the
+    split target is max(advisory size, minPartitionSize) — thresholds are
+    forced far below the hot partition's bytes."""
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "800")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "800")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        hot = F.when(F.col("id") < 250, 249).otherwise(F.col("id"))
+        left = spark.range(0, 1000, 1, 10).select(
+            hot.alias("key1"), F.col("id").alias("value1")
+        )
+        right = spark.range(0, 1000, 1, 10).select(
+            F.when(F.col("id") % 3 == 0, 249).otherwise(F.col("id")).alias("key2"),
+            F.col("id").alias("value2"),
+        )
+        j = left.join(right, F.col("key1") == F.col("key2"))
+        j.collect()
+        final = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+        assert "skewed" in final  # AQEShuffleRead marker
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)

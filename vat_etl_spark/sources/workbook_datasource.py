@@ -93,6 +93,9 @@ class WorkbookDataSource(DataSource):
     def simpleStreamReader(self, schema: StructType) -> "WorkbookStreamReader":
         return WorkbookStreamReader(self.options)
 
+    def writer(self, schema: StructType, overwrite: bool) -> "WorkbookWriter":
+        return WorkbookWriter(self.options, schema, overwrite)
+
 
 # --- streaming: sheets arriving in the directory become micro-batches --------
 
@@ -157,3 +160,70 @@ class WorkbookStreamReader:
 
     def commit(self, end: dict) -> None:
         pass
+
+
+# --- write path: distributed sheet-per-partition writer ----------------------
+#
+# The reference's Excel sink collects to the driver (fianl2.py:241-250 —
+# correct for its 4-rows-per-period summary). This is the scale path: each
+# partition writes its own "sheet" (CSV stand-in, same caveat as the reader)
+# under a two-phase commit — tasks emit TEMP files + a commit message, the
+# driver renames winners into place and writes _SUCCESS, aborted/speculative
+# attempts are discarded — i.e. the same output-commit protocol contract as
+# Spark's FileOutputCommitter, expressed through the Python DataSource API.
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+@dataclass
+class SheetCommit(WriterCommitMessage):
+    temp_path: str
+    n_rows: int
+
+
+class WorkbookWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema: StructType, overwrite: bool):
+        self.dir = options.get("path")
+        if not self.dir:
+            raise ValueError("vat_workbook writer requires a path")
+        self.schema = schema
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> SheetCommit:
+        import csv
+        import os
+        import uuid
+
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f".tmp-{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(tmp, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow([fld.name for fld in self.schema.fields])
+            for row in iterator:
+                w.writerow(["" if v is None else v for v in row])
+                n += 1
+        return SheetCommit(temp_path=tmp, n_rows=n)
+
+    def commit(self, messages) -> None:
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.dir):
+                if f.lower().endswith(".csv") and not f.startswith(".tmp-"):
+                    os.remove(os.path.join(self.dir, f))
+        total = 0
+        for i, m in enumerate(messages):
+            os.replace(m.temp_path, os.path.join(self.dir, f"sheet-{i:05d}.csv"))
+            total += m.n_rows
+        with open(os.path.join(self.dir, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.temp_path):
+                os.remove(m.temp_path)
