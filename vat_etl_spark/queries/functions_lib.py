@@ -511,3 +511,30 @@ def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+_ARROW_UDF_SQL = """
+SELECT c_custkey,
+  trim(regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g'), '-') AS slug
+FROM customer WHERE c_custkey <= 300
+"""
+
+
+@query("arrow_python_udf_slug", oracle=_ARROW_UDF_SQL)
+def arrow_python_udf_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized Python scalar UDF (Spark 4 ``useArrow=True``):
+    batches cross the JVM↔Python boundary as Arrow buffers instead of
+    pickled rows — the modern form of the escape hatch when logic truly
+    needs Python (here a slugifier; deliberately also expressible in SQL
+    so the oracle can verify the round trip value-exactly). Still ~an
+    order slower than the native regexp_replace path — keep UDFs off the
+    hot path; this exists to verify the escape hatch, not to recommend
+    it."""
+    import re
+
+    @F.udf(returnType="string", useArrow=True)
+    def slugify(name: str) -> str:
+        return re.sub(r"[^a-z0-9]+", "-", name.lower()).strip("-")
+
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
+    return c.select("c_custkey", slugify(F.col("c_name")).alias("slug"))

@@ -225,3 +225,74 @@ def knn_vectorized_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("qid", "nid", F.row_number().over(w).alias("rank"))
         .filter(F.col("rank") <= k)
     )
+
+
+@query("kmeans_lloyd")  # rows-only: float mean accumulation is engine-specific
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (K=8, 3 Lloyd iterations, deterministic init = the 8
+    lowest-id vectors) over the embeddings — the iterative-refinement
+    pattern of SURVEY.md §7 tier 4 done Spark-shaped:
+
+    - the MODEL (8×64 floats) lives on the driver and broadcasts into a
+      vectorized mapInPandas assignment (one numpy matmul per Arrow batch
+      — the legitimate UDF case: per-row native expressions would build an
+      8-way × 64-dim expression tree that defeats codegen);
+    - the DATA never collects: each iteration is assign (map-only) →
+      per-dimension avg aggregate (64 avg columns, one shuffle of K×dim
+      partials), and only the K×dim centroid matrix comes back to the
+      driver;
+    - per-iteration lineage is cut by re-broadcasting plain Python lists,
+      so the plan stays 2 stages per iteration at any scale.
+
+    Output: final cluster sizes + per-cluster mean cosine to centroid
+    (rows-only: float means are accumulation-order-dependent; pytest
+    asserts run-to-run determinism and that inertia is non-increasing)."""
+    import numpy as np
+    import pandas as pd
+
+    em = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("ev")
+    )
+    dim = 64
+    centroids = np.array(
+        [r.ev for r in em.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+    )
+
+    def assign_fn(cents: np.ndarray):
+        c = cents.copy()
+        cn = c / np.linalg.norm(c, axis=1, keepdims=True)
+
+        def go(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                m = np.array(pdf["ev"].tolist())
+                mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+                sims = mn @ cn.T
+                best = sims.argmax(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"],
+                        "cid": best.astype("int32"),
+                        "cos": sims[np.arange(len(m)), best],
+                        "ev": pdf["ev"],
+                    }
+                )
+
+        return go
+
+    schema = "vec_id long, cid int, cos double, ev array<double>"
+    for _ in range(3):
+        assigned = em.mapInPandas(assign_fn(centroids), schema=schema)
+        new_rows = (
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("ev")[i]).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        for r in new_rows:
+            centroids[r.cid] = [r[f"d{i}"] for i in range(dim)]
+    final = em.mapInPandas(assign_fn(centroids), schema=schema)
+    return final.groupBy("cid").agg(
+        F.count("*").alias("n_members"),
+        F.round(F.avg("cos"), 6).alias("mean_cos"),
+    )
