@@ -293,3 +293,54 @@ def test_workbook_datasource_streams_arriving_sheets(spark, tmp_path):
         assert got == {"01_jan": "A", "02_feb": "B", "03_mar": "C"}
     finally:
         q.stop()
+
+
+def test_stream_stream_left_outer_join_with_watermark(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: matched rows equal the inner
+    join; NULL-padded (click-less) purchases are emitted once the watermark
+    passes their join window, and every emitted row agrees with the batch
+    twin. Staged as time-range-partitioned files drained 2-per-batch so
+    the watermark actually advances mid-stream (a single micro-batch would
+    withhold ALL outer rows — the final-watermark cutoff the docstring
+    describes)."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.streaming.events import purchases_with_recent_clicks
+
+    import os
+    import pathlib
+    import time
+
+    path = str(tmp_path / "ordered_events")
+    read_events(spark, "/root/testdata/sf0.001").repartitionByRange(
+        8, "ts"
+    ).sortWithinPartitions("ts").write.mode("overwrite").parquet(path)
+    # FileStreamSource replays in MODIFICATION-TIME order, and 8 parallel
+    # writer tasks finish in arbitrary order — restamp mtimes to path order
+    # so the replay is chronological and the watermark advances monotonically
+    # (out-of-order replay evicts clicks before their purchases arrive)
+    base = time.time()
+    for i, f in enumerate(sorted(pathlib.Path(path).glob("part-*.parquet"))):
+        os.utime(f, (base + i, base + i))
+
+    batch_all = spark.read.parquet(path)
+    cb = batch_all.filter(F.col("event_type") == "click")
+    pb = batch_all.filter(F.col("event_type") == "purchase")
+    batch_outer = purchases_with_recent_clicks(cb, pb, how="left_outer")
+    batch_rows = set(map(tuple, batch_outer.collect()))
+
+    s_all = stream_events(spark, path, max_files_per_trigger=2)
+    cs = s_all.filter(F.col("event_type") == "click")
+    ps = s_all.filter(F.col("event_type") == "purchase")
+    stream = purchases_with_recent_clicks(cs, ps, how="left_outer")
+    assert stream.isStreaming
+    got = run_available_now(stream, "ssoj_test", "append")
+    got_rows = set(map(tuple, got.collect()))
+
+    # every emitted row must be a batch row (matched or NULL-padded)
+    assert got_rows <= batch_rows
+    # outer semantics actually exercised: some click-less purchase emitted
+    assert any(r[3] is None for r in got_rows)
+    # matched rows don't wait for the watermark: all inner rows present
+    inner_rows = set(map(tuple, purchases_with_recent_clicks(cb, pb).collect()))
+    assert inner_rows <= got_rows

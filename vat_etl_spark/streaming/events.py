@@ -34,11 +34,19 @@ EVENTS_STREAM_SCHEMA = T.StructType(
 )
 
 
-def stream_events(spark: SparkSession, path: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """File-source stream over an events-shaped parquet directory (µs
     timestamps — see sources.catalog.read_events for the ns conversion when
-    staging from the raw testdata)."""
-    return spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(path)
+    staging from the raw testdata). ``max_files_per_trigger`` caps each
+    micro-batch — the knob that makes a finite directory replay as MANY
+    batches so event-time watermarks actually advance during a test or
+    backfill run."""
+    r = spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(path)
 
 
 def windowed_totals(
@@ -149,13 +157,22 @@ def user_running_totals_stateful(events: DataFrame) -> DataFrame:
 
 
 def purchases_with_recent_clicks(
-    clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes"
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "30 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase joined to the same user's
     clicks within the preceding ``horizon``. On streams both sides carry
     watermarks and the interval condition bounds the buffered state (clicks
     older than the horizon past the watermark are evicted); in batch the
-    same plan is a plain range join. One shuffle on user_id either way."""
+    same plan is a plain range join. One shuffle on user_id either way.
+
+    ``how="left_outer"`` keeps click-less purchases (right side of the
+    select order): on a stream the NULL-padded rows can only be emitted
+    once the watermark passes the purchase's join window — matches still
+    emit immediately, so an outer stream-stream join trades tail latency
+    on the unmatched rows for exactly-once correctness, and rows still
+    inside the final watermark when the stream ends are withheld (the
+    batch twin has no such cutoff — tests account for it)."""
     c = clicks.select(
         F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
         F.col("event_id").alias("click_id"),
@@ -173,7 +190,8 @@ def purchases_with_recent_clicks(
         & (F.col("click_ts") <= F.col("purchase_ts"))
         & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}"))
     )
-    return c.join(p, cond, "inner").select(
+    joined = c.join(p, cond, how) if how == "inner" else p.join(c, cond, how)
+    return joined.select(
         F.col("p_user").alias("user_id"), "purchase_id", "purchase_ts",
         "click_id", "click_ts", "value",
     )
