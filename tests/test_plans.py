@@ -11,6 +11,7 @@ from vat_etl_spark.plans import (
     shuffle_count,
 )
 from vat_etl_spark.queries import QUERIES
+from vat_etl_spark.sources.catalog import read_table
 
 
 def test_q1_filter_pushed_to_scan(spark, sf_smoke):
@@ -155,3 +156,60 @@ def test_dynamic_partition_pruning_on_dim_filter(spark, sf_smoke, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan[:800]
     expected = o.filter(F.col("yr").isin(1996, 1997)).count()
     assert joined.count() == expected
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark, sf_smoke):
+    """Runtime row-level Bloom filter (Spark injected, no code): a selective
+    filter on one join side materializes a Bloom filter that is pushed into
+    the OTHER side's scan as might_contain(l_orderkey) — shuffling only
+    probable matches instead of the whole fact table. The 100 TB payoff of
+    a shuffle join whose build side is selective but not broadcastable."""
+    from pyspark.sql import functions as F
+
+    prev = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.enabled",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # thresholds sized for production data; zero them so smoke-scale shows the plan
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = read_table(spark, sf_smoke, "lineitem")
+        o = read_table(spark, sf_smoke, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloomfilter" in plan.lower() or "might_contain" in plan.lower(), plan[:1500]
+        # and the result is still correct
+        expected = (
+            read_table(spark, sf_smoke, "orders")
+            .filter(F.col("o_orderpriority") == "1-URGENT")
+            .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .count()
+        )
+        assert j.count() == expected
+    finally:
+        for k, v in prev.items():
+            if v is not None:
+                spark.conf.set(k, v)
+
+
+def test_cached_table_plans_in_memory_scan(spark, sf_smoke):
+    """df.cache(): second use of a cached relation plans as
+    InMemoryTableScan (columnar cache reuse) instead of re-reading parquet."""
+    li = read_table(spark, sf_smoke, "nation").cache()
+    try:
+        li.count()  # materialize
+        plan = li.groupBy("n_regionkey").count()._jdf.queryExecution(
+        ).executedPlan().toString()
+        assert "InMemoryTableScan" in plan, plan[:1200]
+    finally:
+        li.unpersist()
