@@ -117,3 +117,40 @@ def test_clustered_write_narrows_row_group_stats(spark, sf_smoke, tmp_path):
     assert avg_clust < domain / 3
     # and the data survives the round trip
     assert spark.read.parquet(clustered).count() == li.count()
+
+
+def test_compact_parquet_dir_merges_small_files(spark, sf_smoke, tmp_path):
+    """compact_parquet_dir: a 32-fragment directory compacts to the computed
+    file count with no row loss and no shuffle (coalesce plan)."""
+    import pathlib
+
+    from vat_etl_spark.sources.sinks import compact_parquet_dir
+
+    li = read_table(spark, sf_smoke, "lineitem")
+    frag = str(tmp_path / "fragmented")
+    li.repartition(32).write.mode("overwrite").parquet(frag)
+    n_frag = len(list(pathlib.Path(frag).glob("*.parquet")))
+    assert n_frag >= 32
+
+    out = str(tmp_path / "compacted")
+    total = sum(f.stat().st_size for f in pathlib.Path(frag).glob("*.parquet"))
+    n = compact_parquet_dir(spark, frag, out, target_file_bytes=total // 3 + 1)
+    files = list(pathlib.Path(out).glob("*.parquet"))
+    assert len(files) == n <= 4
+    assert spark.read.parquet(out).count() == li.count()
+
+
+def test_file_provenance_metadata_column(spark, sf_smoke, tmp_path):
+    """Hidden ``_metadata`` column: per-row file provenance (path, size,
+    row index) read straight from the scan — the lineage primitive for
+    quarantining a bad ingest batch without a lineage system."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "prov")
+    read_table(spark, sf_smoke, "region").repartition(2).write.parquet(path)
+    df = spark.read.parquet(path).select(
+        "r_regionkey", F.col("_metadata.file_path").alias("src_file")
+    )
+    rows = df.collect()
+    assert all(r.src_file.startswith("file:") and "prov" in r.src_file for r in rows)
+    assert len({r.src_file for r in rows}) >= 2  # provenance distinguishes files

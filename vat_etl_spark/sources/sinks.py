@@ -92,3 +92,21 @@ def write_clustered_parquet(
     if row_group_bytes:
         w = w.option("parquet.block.size", str(row_group_bytes))
     w.parquet(path)
+
+
+def compact_parquet_dir(
+    spark, src: str, dst: str, target_file_bytes: int = 512 * 1024 * 1024
+) -> int:
+    """Small-file compaction: rewrite a fragmented parquet directory into
+    ⌈total_bytes / target⌉ right-sized files. The small-files problem is
+    quadratic at 100 TB — a million 1 MB files cost a scheduler wave and a
+    footer fetch each per query; nightly compaction into ~512 MB files (a
+    few row groups each) keeps scan task counts proportional to data, not
+    to ingest batch count. Returns the output file count. Coalesce, not
+    repartition: merging files needs no shuffle."""
+    import pathlib
+
+    total = sum(f.stat().st_size for f in pathlib.Path(src).glob("*.parquet"))
+    n = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
+    return n
