@@ -21,6 +21,8 @@ from vat_etl_spark.functions.numeric import (
     davg_sql,
     dsum,
     dsum_sql,
+    dsumx,
+    dsumx_sql,
     havg_merge,
     hsum_merge,
     hsum_partial,
@@ -1186,4 +1188,48 @@ def ids_assign_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy("s_suppkey")
     return s.select(
         F.row_number().over(w).alias("stable_id"), "s_suppkey", "s_name"
+    )
+
+
+_STATS_EXACT_SQL = f"""
+WITH s AS (
+  SELECT c_mktsegment, count(*) AS n,
+    {dsumx_sql("c_acctbal")} AS s1,
+    {dsumx_sql("c_acctbal * c_acctbal")} AS s2
+  FROM customer GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+  s1 / n AS mean_bal,
+  (s2 - (s1 * s1) / n) / (n - 1) AS var_bal,
+  sqrt((s2 - (s1 * s1) / n) / (n - 1)) AS stddev_bal
+FROM s
+"""
+
+
+@query("agg_statistics_exact", oracle=_STATS_EXACT_SQL)
+def agg_statistics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-engine-EXACT variance/stddev: the co-moments Σx and Σx² are
+    exact decimal sums (2-dp inputs ⇒ x² has ≤4 decimals, inside the
+    micros domain), converted once to double, then variance is one fixed
+    IEEE expression and stddev one correctly-rounded sqrt — every operand
+    bit-identical in Spark and DuckDB, so the hash gate holds with NO
+    tolerance. The float-native twin (`agg_statistics`, stddev/corr/covar
+    via co-moment accumulation) stays rows-only: this query is the proof
+    that exactness, where it matters, is an expression-discipline choice
+    rather than an engine limitation. Same single-pass, partial-aggregable
+    shape at scale."""
+    c = _t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    g = c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        dsumx(bal).alias("s1"),
+        dsumx(bal * bal).alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    var = (s2 - (s1 * s1) / n) / (n - F.lit(1))
+    return g.select(
+        "c_mktsegment", "n",
+        (s1 / n).alias("mean_bal"),
+        var.alias("var_bal"),
+        F.sqrt(var).alias("stddev_bal"),
     )
