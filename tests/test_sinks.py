@@ -154,3 +154,67 @@ def test_file_provenance_metadata_column(spark, sf_smoke, tmp_path):
     rows = df.collect()
     assert all(r.src_file.startswith("file:") and "prov" in r.src_file for r in rows)
     assert len({r.src_file for r in rows}) >= 2  # provenance distinguishes files
+
+
+def test_zorder_clustering_narrows_both_dimensions(spark, sf_smoke, tmp_path):
+    """Z-order layout: clustering by the Morton key narrows row-group
+    min/max spans on BOTH interleaved columns, where 1-D clustering on
+    l_orderkey narrows only itself and leaves l_partkey row groups
+    spanning ~the whole domain. Also checks the Morton curve property
+    against a Python reference on a sample."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.functions.zorder import grid_normalize, zorder_key
+    from vat_etl_spark.sources.sinks import write_clustered_parquet
+
+    li = read_table(spark, sf_smoke, "lineitem").select("l_orderkey", "l_partkey")
+    lo_o, hi_o, lo_p, hi_p = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"), F.min("l_partkey"), F.max("l_partkey")
+    ).collect()[0]
+    z = zorder_key(
+        grid_normalize(F.col("l_orderkey"), lo_o, hi_o),
+        grid_normalize(F.col("l_partkey"), lo_p, hi_p),
+    )
+    with_z = li.withColumn("_z", z)
+
+    # Morton property vs Python reference on a sample
+    def py_spread(x):
+        x &= 0xFFFFFFFF
+        for s, m in [(16, 0x0000FFFF0000FFFF), (8, 0x00FF00FF00FF00FF),
+                     (4, 0x0F0F0F0F0F0F0F0F), (2, 0x3333333333333333),
+                     (1, 0x5555555555555555)]:
+            x = (x | (x << s)) & m
+        return x
+
+    import math
+    for r in with_z.limit(50).collect():
+        go = min(65535, max(0, math.floor((r.l_orderkey - lo_o) / (hi_o - lo_o) * 65536)))
+        gp = min(65535, max(0, math.floor((r.l_partkey - lo_p) / (hi_p - lo_p) * 65536)))
+        assert r._z == py_spread(go) | (py_spread(gp) << 1)
+
+    def avg_spans(root, cols):
+        spans = {c: [] for c in cols}
+        for f in pathlib.Path(root).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                for c in cols:
+                    st = md.row_group(rg).column(idx[c]).statistics
+                    spans[c].append(st.max - st.min)
+        return {c: sum(v) / len(v) for c, v in spans.items()}
+
+    one_d, z_d = str(tmp_path / "one_d"), str(tmp_path / "z_d")
+    write_clustered_parquet(li, one_d, ["l_orderkey"], n_files=8)
+    write_clustered_parquet(with_z, z_d, ["_z"], n_files=8)
+    s1 = avg_spans(one_d, ["l_orderkey", "l_partkey"])
+    sz = avg_spans(z_d, ["l_orderkey", "l_partkey"])
+    dom_o, dom_p = hi_o - lo_o, hi_p - lo_p
+    # 1-D: own key narrow, other key ~full domain
+    assert s1["l_orderkey"] < dom_o / 4
+    assert s1["l_partkey"] > 0.8 * dom_p
+    # Z: BOTH keys substantially narrowed vs full domain
+    assert sz["l_orderkey"] < 0.6 * dom_o
+    assert sz["l_partkey"] < 0.6 * dom_p
