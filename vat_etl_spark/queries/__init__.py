@@ -33,6 +33,7 @@ from vat_etl_spark.queries import tpch  # noqa: E402,F401
 from vat_etl_spark.queries import windows  # noqa: E402,F401
 from vat_etl_spark.queries import functions_lib  # noqa: E402,F401
 from vat_etl_spark.queries import events  # noqa: E402,F401
+from vat_etl_spark.queries import timeseries  # noqa: E402,F401
 from vat_etl_spark.queries import text  # noqa: E402,F401
 from vat_etl_spark.queries import dedup  # noqa: E402,F401
 from vat_etl_spark.queries import similarity  # noqa: E402,F401

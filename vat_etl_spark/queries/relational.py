@@ -1038,6 +1038,75 @@ def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HASH_SPLIT_SQL = f"""
+WITH b AS (
+  SELECT *, (o_orderkey * 9973 + 7919) % 10000 AS bucket FROM orders
+)
+SELECT CASE WHEN bucket < 8000 THEN 'train' ELSE 'test' END AS split,
+       count(*) AS n_orders,
+       count(DISTINCT o_custkey) AS n_customers,
+       {{rev}} AS total_revenue
+FROM b GROUP BY 1
+""".format(rev=dsum_sql("o_totalprice"))
+
+
+@query("sample_hash_split", oracle=_HASH_SPLIT_SQL)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/test split via arithmetic key hashing — the
+    reproducible-split primitive for training-data pipelines. Unlike
+    seed-based ``sample()`` (engine- and partition-layout-specific), the
+    bucket is a pure function of the row key, so the same row lands in the
+    same split on any engine, any cluster size, any day — and the split is
+    stable under repartition/backfill. Evaluated inside the scan stage (no
+    shuffle beyond the final tiny agg); in production swap the linear hash
+    for ``crc32(md5(key))`` — same portability, better avalanche."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = (F.col("o_orderkey") * 9973 + 7919) % 10000
+    return (
+        o.withColumn("split", F.when(bucket < 8000, "train").otherwise("test"))
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            dsum(F.col("o_totalprice")).alias("total_revenue"),
+        )
+    )
+
+
+_HASH_STRAT_SQL = """
+WITH b AS (
+  SELECT c_mktsegment, (c_custkey * 9973 + 7919) % 10000 AS bucket,
+         CASE c_mktsegment WHEN 'BUILDING' THEN 2000
+                           WHEN 'AUTOMOBILE' THEN 1000 ELSE 500 END AS rate_bp
+  FROM customer
+)
+SELECT c_mktsegment, count(*) AS n_population,
+       count(*) FILTER (WHERE bucket < rate_bp) AS n_sampled
+FROM b GROUP BY 1
+"""
+
+
+@query("sample_hash_stratified", oracle=_HASH_STRAT_SQL)
+def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling with per-stratum rates as a *portable* hash
+    predicate (basis-point threshold per segment) instead of seed-based
+    ``sampleBy`` — same determinism story as ``sample_hash_split``, plus
+    per-stratum rate control for class rebalancing. One scan computes
+    population and sample counts together (conditional aggregation), so
+    verifying realized rates costs nothing extra."""
+    c = _t(spark, sf_dir, "customer")
+    bucket = (F.col("c_custkey") * 9973 + 7919) % 10000
+    rate_bp = (
+        F.when(F.col("c_mktsegment") == "BUILDING", 2000)
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", 1000)
+        .otherwise(500)
+    )
+    return c.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_population"),
+        F.count(F.when(bucket < rate_bp, 1)).alias("n_sampled"),
+    )
+
+
 @query("agg_hll_mergeable")  # rows-only: sketch binaries are engine-specific
 def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Re-aggregatable distinct counting with Apache DataSketches HLL:

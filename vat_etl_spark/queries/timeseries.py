@@ -1,0 +1,210 @@
+"""Time-series operators: calendar-spine gap-fill with linear interpolation,
+multi-resolution rollup cascades, and MATCH_RECOGNIZE-style event-sequence
+pattern matching.
+
+The reference's time axis is just "period = month from sheet name"
+(fianl2.py:89-100, 167-195); a warehouse engine needs the standard
+time-series toolkit on top of that. All three ops here aggregate FIRST and
+run the expensive construct (global window / per-user sequence build) over
+the reduced grain, which is what keeps them viable at 100 TB:
+
+- gap-fill windows run over the *calendar grain* (rows = days in span, not
+  input rows), so the single-partition ordered window is bounded by the date
+  span regardless of data volume;
+- the rollup cascade re-aggregates *partials* (day -> month -> year), so the
+  month and year passes shuffle day-grain rows, not raw facts — and Spark
+  reuses the day-grain aggregate's exchange across the UNION branches;
+- sequence strings are built per user key (distributed groupBy), each
+  bounded by that user's event count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from vat_etl_spark.functions.numeric import dsumx, dsumx_sql
+from vat_etl_spark.queries import query
+from vat_etl_spark.sources.catalog import read_table as _t
+
+
+_GAPFILL_SQL = f"""
+WITH daily AS (
+  SELECT cast(o_orderdate AS DATE) AS day, {dsumx_sql("o_totalprice")} AS rev
+  FROM orders WHERE o_totalprice > 400000 GROUP BY 1
+),
+bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+spine AS (
+  SELECT cast(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+),
+j AS (SELECT s.day, d.rev FROM spine s LEFT JOIN daily d USING (day)),
+w AS (
+  SELECT day, rev,
+    last_value(rev IGNORE NULLS) OVER
+      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER
+      (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+    first_value(rev IGNORE NULLS) OVER
+      (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN rev IS NOT NULL THEN day END IGNORE NULLS) OVER
+      (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+  FROM j
+)
+SELECT day,
+  CASE WHEN rev IS NOT NULL THEN rev
+       ELSE pv + (nv - pv) * (cast(datediff('day', pd, day) AS DOUBLE)
+                              / cast(datediff('day', pd, nd) AS DOUBLE))
+  END AS revenue,
+  (rev IS NULL) AS interpolated
+FROM w
+"""
+
+
+@query("ts_gapfill_interpolate", oracle=_GAPFILL_SQL)
+def ts_gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily high-value revenue with missing calendar days filled by linear
+    interpolation between the nearest known neighbors.
+
+    Calendar spine = ``sequence(min_day, max_day)`` exploded; known values
+    attach by left join; prev/next known points come from IGNORE-NULLS
+    last/first over the day order. Interpolation arithmetic is pure IEEE
+    double over operands that are themselves exact (dsumx endpoints, integer
+    datediffs), so Spark and DuckDB agree bitwise. The ordered window has no
+    partition key, but its input is the *calendar grain* — bounded by the
+    date span (~2.4k rows here, 36.5k rows for a century), never by data
+    volume, so the single-partition sort is a non-issue at any SF."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        dsumx(F.col("o_totalprice")).alias("rev")
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select(F.explode(F.sequence("d0", "d1")).alias("day"))
+    j = spine.join(daily, "day", "left")
+
+    wp = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    wn = W.orderBy("day").rowsBetween(W.currentRow, W.unboundedFollowing)
+    known_day = F.when(F.col("rev").isNotNull(), F.col("day"))
+    pv = F.last("rev", ignorenulls=True).over(wp)
+    pd = F.last(known_day, ignorenulls=True).over(wp)
+    nv = F.first("rev", ignorenulls=True).over(wn)
+    nd = F.first(known_day, ignorenulls=True).over(wn)
+    frac = F.datediff(F.col("day"), pd).cast("double") / F.datediff(nd, pd).cast(
+        "double"
+    )
+    return j.select(
+        "day",
+        F.coalesce(F.col("rev"), pv + (nv - pv) * frac).alias("revenue"),
+        F.col("rev").isNull().alias("interpolated"),
+    )
+
+
+_CASCADE_SQL = """
+WITH daily AS (
+  SELECT cast(o_orderdate AS DATE) AS p,
+         sum(cast(o_totalprice AS DECIMAL(30,6))) AS td, count(*) AS n
+  FROM orders GROUP BY 1
+),
+monthly AS (
+  SELECT cast(date_trunc('month', p) AS DATE) AS p, sum(td) AS td, sum(n) AS n
+  FROM daily GROUP BY 1
+),
+yearly AS (
+  SELECT cast(date_trunc('year', p) AS DATE) AS p, sum(td) AS td, sum(n) AS n
+  FROM monthly GROUP BY 1
+)
+SELECT grain, p AS period_start,
+       cast(round(td, 2) AS DOUBLE) AS total_revenue, n AS n_orders
+FROM (
+  SELECT 'day' AS grain, * FROM daily
+  UNION ALL SELECT 'month', * FROM monthly
+  UNION ALL SELECT 'year', * FROM yearly
+)
+"""
+
+
+@query("ts_rollup_cascade", oracle=_CASCADE_SQL)
+def ts_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution rollup (hypertable-style continuous-aggregate
+    cascade): day partials -> month from day -> year from month, all three
+    grains in one result tagged by ``grain``.
+
+    The month and year aggregations consume *partials*, not raw facts — at
+    100 TB the fact scan happens once (day grain, persisted: Catalyst does
+    NOT auto-reuse the aggregate subtree across UNION branches — verified
+    against the executed AQE plan, which showed 3 fact scans without the
+    persist and 1 with it), and the coarser grains re-shuffle only day-grain
+    rows (bounded by the calendar). Decimal partial sums stay exact through
+    every level, so re-aggregating partials is lossless — the decimal
+    analogue of a mergeable sketch."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("p")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("td"),
+        F.count("*").alias("n"),
+    ).persist()
+    monthly = daily.groupBy(F.trunc("p", "month").alias("p")).agg(
+        F.sum("td").alias("td"), F.sum("n").alias("n")
+    )
+    yearly = monthly.groupBy(F.trunc("p", "year").alias("p")).agg(
+        F.sum("td").alias("td"), F.sum("n").alias("n")
+    )
+    tagged = (
+        daily.select(F.lit("day").alias("grain"), "p", "td", "n")
+        .unionByName(monthly.select(F.lit("month").alias("grain"), "p", "td", "n"))
+        .unionByName(yearly.select(F.lit("year").alias("grain"), "p", "td", "n"))
+    )
+    return tagged.select(
+        "grain",
+        F.col("p").alias("period_start"),
+        F.round("td", 2).cast("double").alias("total_revenue"),
+        F.col("n").alias("n_orders"),
+    )
+
+
+_PATTERN_SQL = """
+WITH seqs AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq
+  FROM events GROUP BY user_id
+)
+SELECT user_id, length(seq) AS seq_len,
+       len(regexp_extract_all(seq, 'vp')) AS n_adjacent_conv,
+       len(regexp_extract_all(seq, 'v[^p]*p')) AS n_eventual_conv
+FROM seqs
+"""
+
+
+@query("events_pattern_match", oracle=_PATTERN_SQL)
+def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style sequence pattern matching: per user, encode the
+    time-ordered event stream as a one-char-per-event string (c/s/e/v/p) and
+    count regex pattern hits — ``vp`` (view immediately followed by
+    purchase) and ``v[^p]*p`` (view eventually converting).
+
+    The encode is a distributed groupBy: ``collect_list(struct(ts, event_id,
+    initial))`` -> ``array_sort`` (map-side, O(k log k) per user) ->
+    ``transform``+``array_join``. State per key is that user's event count,
+    so it scales horizontally; both regexes are deterministic-automaton
+    patterns on which Java regex and RE2 agree on non-overlapping match
+    counts. The streaming analogue is applyInPandasWithState keyed the same
+    way (streaming/events.py)."""
+    e = _t(spark, sf_dir, "events")
+    seq_structs = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c"),
+            )
+        )
+    )
+    seq = F.array_join(F.transform(seq_structs, lambda x: x["c"]), "")
+    return (
+        e.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(
+            "user_id",
+            F.length("seq").alias("seq_len"),
+            F.regexp_count(F.col("seq"), F.lit("vp")).alias("n_adjacent_conv"),
+            F.regexp_count(F.col("seq"), F.lit("v[^p]*p")).alias("n_eventual_conv"),
+        )
+    )
