@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from vat_etl_spark.functions.dates import parse_date_compat, parse_date_compat_sql
@@ -505,6 +505,45 @@ def agg_histogram_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(
             F.width_bucket(F.col("o_totalprice"), F.lit(0.0), F.lit(600000.0), F.lit(12)).alias("bucket")
         )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+_EQUIDEPTH_SQL = """
+WITH b AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT decile, count(*) AS n_orders,
+       min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM b GROUP BY decile
+"""
+
+
+@query("agg_equidepth_histogram", oracle=_EQUIDEPTH_SQL)
+def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (deciles of equal row count) via ``ntile`` with
+    a deterministic tie-break key — the complement of the equi-width
+    ``width_bucket`` binning above, and the optimizer-statistics shape
+    (bucket boundaries = value quantiles).
+
+    ntile is a global total order, so the window input is projected to the
+    two needed columns first; at 100 TB the exact total order is the wrong
+    tool — compute boundary quantiles (approx_percentile or the exact
+    decimal percentiles in agg_percentiles) and width_bucket against those
+    instead, which this repo also ships. Both engines assign larger buckets
+    first with identical tie-handling under the total order, so the result
+    is oracle-exact."""
+    o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    decile = F.ntile(10).over(W.orderBy("o_totalprice", "o_orderkey"))
+    return (
+        o.select("o_totalprice", decile.alias("decile"))
+        .groupBy("decile")
         .agg(
             F.count("*").alias("n_orders"),
             F.min("o_totalprice").alias("lo"),

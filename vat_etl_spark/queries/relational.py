@@ -1038,6 +1038,88 @@ def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DIFF_SQL = """
+WITH old AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+),
+new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 50.0
+              ELSE c_acctbal END AS c_acctbal,
+         CASE WHEN c_custkey % 13 = 0 THEN 'MACHINERY'
+              ELSE c_mktsegment END AS c_mktsegment
+  FROM customer WHERE c_custkey % 97 <> 3
+)
+SELECT coalesce(o.c_custkey, n.c_custkey) AS c_custkey,
+  CASE WHEN n.c_custkey IS NULL THEN 'deleted'
+       WHEN o.c_custkey IS NULL THEN 'inserted' ELSE 'updated' END AS op,
+  concat_ws(',',
+    CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+              AND o.c_acctbal IS DISTINCT FROM n.c_acctbal
+         THEN 'c_acctbal' END,
+    CASE WHEN o.c_custkey IS NOT NULL AND n.c_custkey IS NOT NULL
+              AND o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+         THEN 'c_mktsegment' END) AS changed_cols
+FROM old o FULL OUTER JOIN new n ON o.c_custkey = n.c_custkey
+WHERE n.c_custkey IS NULL OR o.c_custkey IS NULL
+   OR o.c_acctbal IS DISTINCT FROM n.c_acctbal
+   OR o.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+"""
+
+
+@query("pipeline_snapshot_diff", oracle=_DIFF_SQL)
+def pipeline_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff with column-level change attribution: full
+    outer join of two table versions on the key, classify each key as
+    inserted/deleted/updated, and name exactly which columns changed
+    (null-safe comparison). Unchanged rows are filtered out, so the output
+    is the changeset, not the table — the big-input/small-output shape that
+    makes diff-based incremental pipelines viable at 100 TB (one co-
+    partitioned join; with both snapshots bucketed on the key it is
+    shuffle-free). The 'new' snapshot here is derived deterministically
+    from the old one (arithmetic updates, modular deletes) so the diff is
+    oracle-exact."""
+    c = _t(spark, sf_dir, "customer")
+    old = c.select("c_custkey", "c_acctbal", "c_mktsegment")
+    new = (
+        c.where(F.col("c_custkey") % 97 != 3)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + 50.0)
+            .otherwise(F.col("c_acctbal"))
+            .alias("c_acctbal"),
+            F.when(F.col("c_custkey") % 13 == 0, F.lit("MACHINERY"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+    )
+    o, n = old.alias("o"), new.alias("n")
+    both = F.col("o.c_custkey").isNotNull() & F.col("n.c_custkey").isNotNull()
+    bal_chg = both & ~F.col("o.c_acctbal").eqNullSafe(F.col("n.c_acctbal"))
+    seg_chg = both & ~F.col("o.c_mktsegment").eqNullSafe(F.col("n.c_mktsegment"))
+    return (
+        o.join(n, F.col("o.c_custkey") == F.col("n.c_custkey"), "full_outer")
+        .where(
+            F.col("n.c_custkey").isNull()
+            | F.col("o.c_custkey").isNull()
+            | bal_chg
+            | seg_chg
+        )
+        .select(
+            F.coalesce("o.c_custkey", "n.c_custkey").alias("c_custkey"),
+            F.when(F.col("n.c_custkey").isNull(), "deleted")
+            .when(F.col("o.c_custkey").isNull(), "inserted")
+            .otherwise("updated")
+            .alias("op"),
+            F.concat_ws(
+                ",",
+                F.when(bal_chg, "c_acctbal"),
+                F.when(seg_chg, "c_mktsegment"),
+            ).alias("changed_cols"),
+        )
+    )
+
+
 _HASH_SPLIT_SQL = f"""
 WITH b AS (
   SELECT *, (o_orderkey * 9973 + 7919) % 10000 AS bucket FROM orders
@@ -1301,4 +1383,64 @@ def agg_statistics_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (s1 / n).alias("mean_bal"),
         var.alias("var_bal"),
         F.sqrt(var).alias("stddev_bal"),
+    )
+
+
+_TREND_SQL = f"""
+WITH daily AS (
+  SELECT cast(o_orderdate AS DATE) AS day,
+         year(o_orderdate) AS yr,
+         {dsumx_sql("o_totalprice")} AS y
+  FROM orders GROUP BY 1, 2
+),
+xy AS (
+  SELECT yr, datediff('day', date_trunc('year', day), day) AS x, y FROM daily
+),
+s AS (
+  SELECT yr, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx,
+         {dsumx_sql("y")} AS sy, {dsumx_sql("x * y")} AS sxy
+  FROM xy GROUP BY yr
+)
+SELECT yr, n,
+  (n * sxy - sx * sy) / cast(n * sxx - sx * sx AS DOUBLE) AS slope,
+  (sy - ((n * sxy - sx * sy) / cast(n * sxx - sx * sx AS DOUBLE)) * sx) / n
+    AS intercept
+FROM s
+"""
+
+
+@query("agg_linear_trend", oracle=_TREND_SQL)
+def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group least-squares trend (regr_slope/regr_intercept semantics)
+    over daily revenue, fitted per year — in-SQL regression from the five
+    classic sufficient statistics (n, Σx, Σx², Σy, Σxy).
+
+    All five are exact: x is an integer day-of-year index (kept small ON
+    PURPOSE — an epoch-day x makes x·y·10⁶ overflow the 2^53 exact-double
+    domain of the micros accumulator and the last-ulp parity dies; shifting
+    x leaves the slope untouched), Σy and Σxy go through the decimal
+    accumulator, so slope/intercept are fixed IEEE expressions over
+    bit-identical operands — regression without tolerance. The sufficient
+    statistics are partial-aggregable (one map-side-combined shuffle at the
+    day grain, then a tiny per-year reduce), which is exactly how a 100 TB
+    regression should run; built-in regr_* functions cannot promise the
+    cross-engine exactness."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.to_date("o_orderdate").alias("day"), F.year("o_orderdate").alias("yr")
+    ).agg(dsumx(F.col("o_totalprice")).alias("y"))
+    xy = daily.select(
+        "yr", F.datediff("day", F.trunc("day", "year")).alias("x"), "y"
+    )
+    s = xy.groupBy("yr").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        dsumx(F.col("y")).alias("sy"),
+        dsumx(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n, sx, sxx, sy, sxy = (F.col(c) for c in ("n", "sx", "sxx", "sy", "sxy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx).cast("double")
+    return s.select(
+        "yr", "n", slope.alias("slope"), ((sy - slope * sx) / n).alias("intercept")
     )

@@ -12,8 +12,8 @@ the reduced grain, which is what keeps them viable at 100 TB:
   input rows), so the single-partition ordered window is bounded by the date
   span regardless of data volume;
 - the rollup cascade re-aggregates *partials* (day -> month -> year), so the
-  month and year passes shuffle day-grain rows, not raw facts — and Spark
-  reuses the day-grain aggregate's exchange across the UNION branches;
+  month and year passes shuffle day-grain rows, not raw facts, and the
+  persisted day grain keeps the fact scan to exactly one;
 - sequence strings are built per user key (distributed groupBy), each
   bounded by that user's event count.
 """
@@ -208,3 +208,84 @@ def events_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_count(F.col("seq"), F.lit("v[^p]*p")).alias("n_eventual_conv"),
         )
     )
+
+
+_COHORT_SQL = """
+WITH um AS (
+  SELECT DISTINCT user_id, year(ts) * 12 + month(ts) AS mon FROM events
+),
+c AS (
+  SELECT user_id, mon, min(mon) OVER (PARTITION BY user_id) AS cmon FROM um
+)
+SELECT make_date(cast((cmon - 1) / 12 AS INTEGER), ((cmon - 1) % 12) + 1, 1)
+         AS cohort_month,
+       mon - cmon AS month_offset, count(*) AS n_users
+FROM c GROUP BY 1, 2
+"""
+
+
+@query("events_cohort_retention", oracle=_COHORT_SQL)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity month, with
+    distinct-user counts at each month offset since the cohort start — the
+    standard product-analytics triangle.
+
+    Shape: dedup to user-months first (the only pass over raw events), then
+    a per-user window min for the cohort month (no self-join), then a
+    calendar-grain aggregate. Every stage after the dedup works on at most
+    |users| x |months| rows, so the matrix costs one fact scan + one
+    key-partitioned shuffle at any data volume."""
+    e = _t(spark, sf_dir, "events")
+    mon = (F.year("ts") * 12 + F.month("ts")).alias("mon")
+    um = e.select("user_id", mon).distinct()
+    cmon = F.min("mon").over(W.partitionBy("user_id"))
+    c = um.select("user_id", "mon", cmon.alias("cmon"))
+    cohort_month = F.make_date(
+        ((F.col("cmon") - 1) / 12).cast("int"),
+        ((F.col("cmon") - 1) % 12) + 1,
+        F.lit(1),
+    )
+    return (
+        c.groupBy(
+            cohort_month.alias("cohort_month"),
+            (F.col("mon") - F.col("cmon")).alias("month_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+_TRANSITION_SQL = """
+WITH s AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev
+  FROM events
+)
+SELECT prev, event_type AS curr, count(*) AS n,
+       cast(count(*) AS DOUBLE)
+         / sum(count(*)) OVER (PARTITION BY prev) AS prob
+FROM s WHERE prev IS NOT NULL GROUP BY prev, event_type
+"""
+
+
+@query("events_transition_matrix", oracle=_TRANSITION_SQL)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts and probabilities between event
+    types: per user, each event is paired with its predecessor (lag over the
+    deterministic ts/event_id order), then pairs are counted globally and
+    normalized per source state.
+
+    The lag window is key-partitioned (per user) so it distributes; the
+    transition matrix itself is |event_types|^2 rows — the classic
+    big-input/tiny-output funnel. The probability is an IEEE division of two
+    exact integers, so it is bit-identical cross-engine."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev")
+    ).where(F.col("prev").isNotNull())
+    counts = s.groupBy("prev", F.col("event_type").alias("curr")).agg(
+        F.count("*").alias("n")
+    )
+    prob = F.col("n").cast("double") / F.sum("n").over(W.partitionBy("prev"))
+    return counts.select("prev", "curr", "n", prob.alias("prob"))

@@ -208,3 +208,62 @@ def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first_value("s_suppkey").over(w).alias("first_supp"),
         F.last_value("s_suppkey").over(wfull).alias("last_supp"),
     )
+
+
+_ABC_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, sum(cast(o_totalprice AS DECIMAL(30,6))) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT o_custkey, rev,
+    sum(rev) OVER (ORDER BY rev DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+    sum(rev) OVER () AS total
+  FROM per_cust
+)
+SELECT o_custkey, cast(round(rev, 2) AS DOUBLE) AS revenue,
+  cast(cum AS DOUBLE) / cast(total AS DOUBLE) AS cum_share,
+  CASE WHEN cast(cum AS DOUBLE) / cast(total AS DOUBLE) <= 0.5 THEN 'A'
+       WHEN cast(cum AS DOUBLE) / cast(total AS DOUBLE) <= 0.8 THEN 'B'
+       ELSE 'C' END AS abc_class
+FROM ranked
+"""
+
+
+@query("window_abc_classification", oracle=_ABC_SQL)
+def window_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto classification: customers ranked by revenue, cumulative
+    revenue share computed, and each customer classed A (top 50% of spend),
+    B (to 80%) or C (tail) — the inventory-analysis standard.
+
+    The cumulative sum runs over exact DECIMAL partials so the running
+    value is order-independent-exact no matter how the engine's window
+    aggregator associates additions (DuckDB uses a segment tree — a plain
+    double cumsum would hash-differ); the share is then one IEEE division
+    of bit-identical operands. Input to the global window is the per-key
+    aggregate (|customers| rows, not |orders|); at 100 TB replace the
+    single global sort-window with the two-pass range-partitioned
+    equivalent (per-partition totals → broadcast offsets)."""
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev")
+    )
+    w_cum = W.orderBy(F.col("rev").desc(), "o_custkey").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    ranked = per_cust.select(
+        "o_custkey",
+        "rev",
+        F.sum("rev").over(w_cum).alias("cum"),
+        F.sum("rev").over(W.partitionBy()).alias("total"),
+    )
+    share = F.col("cum").cast("double") / F.col("total").cast("double")
+    return ranked.select(
+        "o_custkey",
+        F.round("rev", 2).cast("double").alias("revenue"),
+        share.alias("cum_share"),
+        F.when(share <= 0.5, "A").when(share <= 0.8, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
