@@ -1,0 +1,42 @@
+"""Invariants for graph_pagerank (rows-only op — these tests are its
+correctness gate, alongside the driver's row-count check)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from vat_etl_spark.queries import QUERIES
+
+
+def _ranks(spark, sf_smoke):
+    return {
+        (r["node_type"], r["node_id"]): r["rank"]
+        for r in QUERIES["graph_pagerank"](spark, sf_smoke).collect()
+    }
+
+
+def test_pagerank_deterministic_and_positive(spark, sf_smoke):
+    a = _ranks(spark, sf_smoke)
+    b = _ranks(spark, sf_smoke)
+    assert a.keys() == b.keys()
+    # deterministic per node (plan re-executes from scratch both times)
+    for k in a:
+        assert math.isclose(a[k], b[k], rel_tol=0, abs_tol=0.0), k
+    assert all(r >= 0.15 for r in a.values())
+
+
+def test_pagerank_mass_and_structure(spark, sf_smoke):
+    ranks = _ranks(spark, sf_smoke)
+    n = len(ranks)
+    total = sum(ranks.values())
+    # total rank mass stays near n (teleport term keeps it bounded; exact
+    # conservation holds in the limit for this dangling-free graph)
+    assert 0.8 * n <= total <= 1.2 * n
+    # the graph is bipartite customer<->supplier: both types present
+    types = {t for t, _ in ranks}
+    assert types == {"customer", "supplier"}
+    # suppliers are far fewer and aggregate trade flows from many customers,
+    # so the max-rank node should be a supplier
+    assert max(ranks, key=ranks.get)[0] == "supplier"

@@ -36,6 +36,7 @@ from vat_etl_spark.queries import events  # noqa: E402,F401
 from vat_etl_spark.queries import timeseries  # noqa: E402,F401
 from vat_etl_spark.queries import text  # noqa: E402,F401
 from vat_etl_spark.queries import dedup  # noqa: E402,F401
+from vat_etl_spark.queries import graph  # noqa: E402,F401
 from vat_etl_spark.queries import similarity  # noqa: E402,F401
 from vat_etl_spark.queries import multimodal  # noqa: E402,F401
 from vat_etl_spark.queries import quality  # noqa: E402,F401

@@ -1444,3 +1444,47 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "yr", "n", slope.alias("slope"), ((sy - slope * sx) / n).alias("intercept")
     )
+
+
+_INCR_SQL = f"""
+SELECT year(o_orderdate) * 100 + month(o_orderdate) AS yyyymm,
+       count(*) AS n_orders, {{rev}} AS total_revenue
+FROM orders GROUP BY 1
+""".format(rev=dsum_sql("o_totalprice"))
+
+
+@query("pipeline_incremental_agg", oracle=_INCR_SQL)
+def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the monthly revenue
+    aggregate is computed as merge(partials(base), partials(delta)) — base
+    is history before 2000-01-01, delta the rows at/after — and the ORACLE
+    is the direct one-shot aggregate over everything, so the driver gate
+    proves merge == recompute exactly.
+
+    This is the 100 TB refresh pattern: store the per-key partials
+    (decimal sum + count — both mergeable), and on each new partition
+    aggregate only the delta and re-reduce partials by key; history is
+    never re-scanned. Exactness of the decimal partials is what makes the
+    equivalence bit-perfect — float partials would drift from the one-shot
+    result by accumulation order."""
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("2000-01-01").cast("date")
+    yyyymm = (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("yyyymm")
+
+    def partials(df: DataFrame) -> DataFrame:
+        from vat_etl_spark.functions.numeric import micros
+
+        return df.groupBy(yyyymm).agg(
+            F.count("*").alias("pn"),
+            F.sum(micros(F.col("o_totalprice")).cast("decimal(26,0)")).alias("ps"),
+        )
+
+    base = partials(o.where(F.col("o_orderdate") < cutoff))
+    delta = partials(o.where(F.col("o_orderdate") >= cutoff))
+    merged = base.unionByName(delta).groupBy("yyyymm").agg(
+        F.sum("pn").alias("n_orders"), F.sum("ps").alias("ps")
+    )
+    total = F.coalesce(
+        F.round(F.col("ps") / F.lit(10**6), 2).cast("double"), F.lit(0.0)
+    )
+    return merged.select("yyyymm", "n_orders", total.alias("total_revenue"))
