@@ -213,3 +213,31 @@ def test_cached_table_plans_in_memory_scan(spark, sf_smoke):
         assert "InMemoryTableScan" in plan, plan[:1200]
     finally:
         li.unpersist()
+
+
+def test_fuzzy_match_broadcasts_supplier_side(spark, sf_smoke):
+    # blocked fuzzy join: equi-join on the blocking key with the small side
+    # broadcast — levenshtein must not force a cross join or extra shuffle
+    df = QUERIES["fuzzy_match_names"](spark, sf_smoke)
+    assert has_broadcast_join(df)
+    assert shuffle_count(df) == 0
+
+
+def test_zscore_broadcasts_group_stats(spark, sf_smoke):
+    # two-pass normalize: the fact table must NOT be shuffled to attach the
+    # group stats — stats aggregate shuffles (tiny), stats broadcast back
+    df = QUERIES["feature_zscore_normalize"](spark, sf_smoke)
+    assert has_broadcast_join(df)
+    schemas = read_schema_columns(df)
+    li = next(s for s in schemas if "l_quantity" in s)
+    assert "l_comment" not in li and "l_extendedprice" not in li
+
+
+def test_rollup_cascade_scans_fact_once(spark, sf_smoke):
+    # the cascade's coarser grains re-aggregate the persisted day-grain
+    # partials: executed plan reads the cache (InMemoryTableScan), and the
+    # union branches add no extra parquet scans beyond the cached one
+    df = QUERIES["ts_rollup_cascade"](spark, sf_smoke)
+    df.write.format("noop").mode("overwrite").save()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert executed.count("InMemoryTableScan") == 3

@@ -1488,3 +1488,111 @@ def pipeline_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ps") / F.lit(10**6), 2).cast("double"), F.lit(0.0)
     )
     return merged.select("yyyymm", "n_orders", total.alias("total_revenue"))
+
+
+_CORR_SQL = """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+    sum(cast(l_quantity AS DECIMAL(30,6))) AS sx,
+    sum(cast(l_discount AS DECIMAL(30,6))) AS sy,
+    sum(cast(l_quantity * l_quantity AS DECIMAL(30,6))) AS sxx,
+    sum(cast(l_discount * l_discount AS DECIMAL(30,6))) AS syy,
+    sum(cast(l_quantity * l_discount AS DECIMAL(30,6))) AS sxy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+  (n * cast(sxy AS DOUBLE) - cast(sx AS DOUBLE) * cast(sy AS DOUBLE)) / (n - 1) / n
+    AS covar_qty_disc,
+  (n * cast(sxy AS DOUBLE) - cast(sx AS DOUBLE) * cast(sy AS DOUBLE))
+    / sqrt((n * cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE))
+           * (n * cast(syy AS DOUBLE) - cast(sy AS DOUBLE) * cast(sy AS DOUBLE)))
+    AS corr_qty_disc
+FROM s
+"""
+
+
+@query("agg_correlation_exact", oracle=_CORR_SQL)
+def agg_correlation_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-free sample covariance and Pearson correlation per group,
+    from the five exact decimal co-moments (the bivariate extension of
+    agg_statistics_exact; built-in corr()/covar_samp() accumulate floats
+    and cannot promise cross-engine bits).
+
+    Column choice is deliberate: quantity (integer-valued) × discount
+    (2 decimals) keeps every product within the exact-decimal domain —
+    price² would overflow the 2^53 micros window (the same trap
+    agg_linear_trend documents). One map-side-combined shuffle; the final
+    expressions are fixed IEEE arithmetic over bit-identical operands."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.sum(c.cast("decimal(30,6)"))  # noqa: E731
+    x, y = F.col("l_quantity"), F.col("l_discount")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        dec(x).alias("sx"), dec(y).alias("sy"),
+        dec(x * x).alias("sxx"), dec(y * y).alias("syy"),
+        dec(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = n * sxy - sx * sy
+    covar = num / (n - F.lit(1)) / n
+    corr = num / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return s.select(
+        "l_returnflag", "n", covar.alias("covar_qty_disc"), corr.alias("corr_qty_disc")
+    )
+
+
+_ZSCORE_SQL = """
+WITH s AS (
+  SELECT l_returnflag, count(*) AS n,
+    sum(cast(l_quantity AS DECIMAL(30,6))) AS sx,
+    sum(cast(l_quantity * l_quantity AS DECIMAL(30,6))) AS sxx
+  FROM lineitem GROUP BY l_returnflag
+),
+m AS (
+  SELECT l_returnflag,
+    cast(sx AS DOUBLE) / n AS mean_q,
+    sqrt((cast(sxx AS DOUBLE) - cast(sx AS DOUBLE) * cast(sx AS DOUBLE) / n)
+         / (n - 1)) AS sd_q
+  FROM s
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       (l.l_quantity - m.mean_q) / m.sd_q AS qty_z
+FROM lineitem l JOIN m USING (l_returnflag)
+"""
+
+
+@query("feature_zscore_normalize", oracle=_ZSCORE_SQL)
+def feature_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score standardization of a feature column — the
+    feature-engineering normalization primitive, as a two-pass aggregate +
+    broadcast-joined rescale (NOT a window: group stats are a tiny
+    aggregate, and broadcasting them back costs no second shuffle of the
+    fact table).
+
+    Mean and stddev come from exact decimal co-moments, so every row's z
+    is one fixed IEEE expression over bit-identical operands —
+    deterministic feature values across engines and cluster layouts, which
+    is what makes training sets reproducible."""
+    li = _t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    s = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x.cast("decimal(30,6)")).alias("sx"),
+        F.sum((x * x).cast("decimal(30,6)")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    m = s.select(
+        "l_returnflag",
+        (sx / n).alias("mean_q"),
+        F.sqrt((sxx - sx * sx / n) / (n - F.lit(1))).alias("sd_q"),
+    )
+    return li.join(F.broadcast(m), "l_returnflag").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        ((F.col("l_quantity") - F.col("mean_q")) / F.col("sd_q")).alias("qty_z"),
+    )
