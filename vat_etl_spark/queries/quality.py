@@ -168,3 +168,53 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+_OUTLIER_SQL = """
+WITH f AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       CASE WHEN e.value < f.q1 - 1.5 * (f.q3 - f.q1) THEN 'low'
+            ELSE 'high' END AS side
+FROM events e JOIN f USING (event_type)
+WHERE e.value < f.q1 - 1.5 * (f.q3 - f.q1)
+   OR e.value > f.q3 + 1.5 * (f.q3 - f.q1)
+"""
+
+
+@query("dq_outlier_fences", oracle=_OUTLIER_SQL)
+def dq_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier detection per stratum: quartile fences (q1 −
+    1.5·IQR, q3 + 1.5·IQR) computed per event type over the heavy-tailed
+    event values, rows outside flagged with their side — the robust (quantile-based, distribution-free) complement
+    to z-score screening.
+
+    Same two-pass shape as feature_zscore_normalize: fences are a tiny
+    aggregate broadcast back onto the fact scan, so outlier flagging adds
+    no fact shuffle. Exact percentiles need a per-group sort — at 100 TB
+    substitute approx_percentile for the fence estimation (fences are
+    robust to sketch error by construction; a 1e-3-quantile wobble moves
+    no fence materially). Spark ``percentile`` and DuckDB ``quantile_cont``
+    share the interpolation definition, so the fences — and therefore the
+    flagged set — are oracle-exact."""
+    e = _t(spark, sf_dir, "events")
+    f = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo, hi = F.col("q1") - 1.5 * iqr, F.col("q3") + 1.5 * iqr
+    return (
+        e.join(F.broadcast(f), "event_type")
+        .where((F.col("value") < lo) | (F.col("value") > hi))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.when(F.col("value") < lo, "low").otherwise("high").alias("side"),
+        )
+    )
