@@ -560,3 +560,55 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(50)
     )
+
+
+_CHISQ_SQL = """
+WITH cell AS (
+  SELECT lang, source, count(*) AS observed FROM documents GROUP BY 1, 2
+),
+rowt AS (SELECT lang, sum(observed) AS r FROM cell GROUP BY lang),
+colt AS (SELECT source, sum(observed) AS c FROM cell GROUP BY source),
+tot AS (SELECT sum(observed) AS t FROM cell)
+SELECT cell.lang, cell.source, observed,
+  cast(r AS DOUBLE) * cast(c AS DOUBLE) / cast(t AS DOUBLE) AS expected,
+  (observed - cast(r AS DOUBLE) * cast(c AS DOUBLE) / cast(t AS DOUBLE))
+    * (observed - cast(r AS DOUBLE) * cast(c AS DOUBLE) / cast(t AS DOUBLE))
+    / (cast(r AS DOUBLE) * cast(c AS DOUBLE) / cast(t AS DOUBLE))
+    AS chi2_contribution
+FROM cell JOIN rowt USING (lang) JOIN colt USING (source) CROSS JOIN tot
+"""
+
+
+@query("text_chisq_contingency", oracle=_CHISQ_SQL)
+def text_chisq_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence analysis of the lang × source contingency
+    table: observed counts, expected-under-independence, and each cell's
+    χ² contribution — the corpus-composition diagnostic for training-data
+    curation (which sources skew which languages).
+
+    One fact aggregation to the cell grain; marginals are re-aggregates of
+    the (|langs|·|sources|)-row cell table, broadcast back. The result is
+    deliberately PER-CELL: contributions are deterministic IEEE expressions
+    over exact integer counts, whereas the scalar χ² statistic would sum
+    float cells in engine-specific order — the caller can sum the tiny
+    result exactly if a single statistic is wanted."""
+    d = _t(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(F.count("*").alias("observed"))
+    cell = cell.persist()
+    rowt = cell.groupBy("lang").agg(F.sum("observed").alias("r"))
+    colt = cell.groupBy("source").agg(F.sum("observed").alias("c"))
+    tot = cell.agg(F.sum("observed").alias("t"))
+    j = (
+        cell.join(F.broadcast(rowt), "lang")
+        .join(F.broadcast(colt), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    expected = (
+        F.col("r").cast("double") * F.col("c").cast("double") / F.col("t").cast("double")
+    )
+    dev = F.col("observed") - expected
+    return j.select(
+        "lang", "source", "observed",
+        expected.alias("expected"),
+        (dev * dev / expected).alias("chi2_contribution"),
+    )

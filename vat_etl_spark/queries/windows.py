@@ -267,3 +267,41 @@ def window_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class"
         ),
     )
+
+
+_MAD_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, any_value(m) AS median_value,
+       quantile_cont(abs(e.value - m), 0.5) AS mad,
+       count(*) AS n
+FROM events e JOIN med USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@query("agg_median_abs_deviation", oracle=_MAD_SQL)
+def agg_median_abs_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread measure
+    (50% breakdown point vs stddev's 0%), computed as two percentile
+    passes: group medians broadcast back onto the scan, then the median of
+    absolute deviations.
+
+    |x − m| is one exact IEEE subtraction per row and both engines share
+    the percentile interpolation definition, so MAD is oracle-exact. Same
+    scale posture as agg_percentiles: exact quantiles sort per group; at
+    100 TB swap both passes to approx_percentile (MAD tolerates sketch
+    error by construction, like the IQR fences in dq_outlier_fences)."""
+    e = _t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.expr("percentile(value, 0.5)").alias("m"))
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value(F.col("m")).alias("median_value"),
+            F.expr("percentile(abs(value - m), 0.5)").alias("mad"),
+            F.count("*").alias("n"),
+        )
+    )
