@@ -344,3 +344,58 @@ def test_stream_stream_left_outer_join_with_watermark(spark, tmp_path):
     # matched rows don't wait for the watermark: all inner rows present
     inner_rows = set(map(tuple, purchases_with_recent_clicks(cb, pb).collect()))
     assert inner_rows <= got_rows
+
+
+def test_foreachbatch_incremental_partials_equal_recompute(spark, tmp_path):
+    """Streaming form of pipeline_incremental_agg: foreachBatch maintains
+    the mergeable per-month partials (count + exact decimal micros sum)
+    across micro-batches, and the merged state must equal the one-shot
+    batch aggregate EXACTLY — the streaming materialized-view refresh
+    pattern (state here is a dict; in production the same merge targets a
+    keyed partials table)."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.functions.numeric import micros
+    from vat_etl_spark.streaming.events import EVENTS_STREAM_SCHEMA
+
+    src = str(tmp_path / "src")
+    full = read_events(spark, "/root/testdata/sf0.001")
+    for i in range(3):  # three files → three micro-batches
+        full.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    state: dict[int, list[int]] = {}
+
+    def merge_partials(batch_df, _batch_id):
+        part = batch_df.groupBy(
+            (F.year("ts") * 100 + F.month("ts")).alias("yyyymm")
+        ).agg(
+            F.count("*").alias("pn"),
+            F.sum(micros(F.col("value")).cast("decimal(26,0)")).alias("ps"),
+        )
+        for r in part.collect():
+            acc = state.setdefault(r.yyyymm, [0, 0])
+            acc[0] += r.pn
+            acc[1] += int(r.ps)
+
+    stream = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = stream.writeStream.foreachBatch(merge_partials).trigger(
+        availableNow=True
+    ).start()
+    q.awaitTermination(120)
+
+    batch = (
+        spark.read.parquet(src)
+        .groupBy((F.year("ts") * 100 + F.month("ts")).alias("yyyymm"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(micros(F.col("value")).cast("decimal(26,0)")).alias("s"),
+        )
+    )
+    expected = {r.yyyymm: (r.n, int(r.s)) for r in batch.collect()}
+    assert {k: tuple(v) for k, v in state.items()} == expected

@@ -577,3 +577,48 @@ def arrow_python_udf_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = _t(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 300)
     return c.select("c_custkey", slugify(F.col("c_name")).alias("slug"))
+
+
+_ARGMAX_SQL = """
+WITH enc AS (
+  SELECT o_orderstatus,
+         cast(round(o_totalprice * 100) AS BIGINT) * 10000000000
+           + o_orderkey AS ord,
+         o_orderkey % 4096 AS flags
+  FROM orders
+)
+SELECT o_orderstatus,
+       max(ord) % 10000000000 AS top_orderkey,
+       cast(max(ord) // 10000000000 AS DOUBLE) / 100 AS top_price,
+       bit_or(flags) AS flags_or,
+       bit_and(flags) AS flags_and,
+       bit_xor(flags) AS flags_xor
+FROM enc GROUP BY o_orderstatus
+"""
+
+
+@query("agg_argmax_bitwise", oracle=_ARGMAX_SQL)
+def agg_argmax_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable argmax with a deterministic tie-break, plus bitwise
+    aggregates. ``max_by`` ties are engine-defined (and DuckDB's arg_max
+    cannot order by a struct), so the (value, key) pair is packed into one
+    sortable BIGINT — cents × 10^10 + key — making argmax a plain integer
+    ``max`` that every engine resolves identically; decode afterwards.
+    bit_or/bit_and/bit_xor fold per-row flag words into group masks — the
+    cheap roll-your-own bitmap-index summary (e.g. "which shard bits are
+    present per status"). Everything is integer arithmetic: exact at any
+    scale, partial-aggregable, one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    ord_ = (
+        F.round(F.col("o_totalprice") * 100).cast("bigint") * F.lit(10_000_000_000)
+        + F.col("o_orderkey")
+    )
+    flags = F.col("o_orderkey") % 4096
+    enc = o.select("o_orderstatus", ord_.alias("ord"), flags.alias("flags"))
+    return enc.groupBy("o_orderstatus").agg(
+        (F.max("ord") % 10_000_000_000).alias("top_orderkey"),
+        (F.expr("max(ord) div 10000000000").cast("double") / 100).alias("top_price"),
+        F.bit_or("flags").alias("flags_or"),
+        F.bit_and("flags").alias("flags_and"),
+        F.bit_xor("flags").alias("flags_xor"),
+    )
