@@ -21,9 +21,11 @@ def test_pagerank_deterministic_and_positive(spark, sf_smoke):
     a = _ranks(spark, sf_smoke)
     b = _ranks(spark, sf_smoke)
     assert a.keys() == b.keys()
-    # deterministic per node (plan re-executes from scratch both times)
+    # stable per node across re-executions — up to float-sum reassociation:
+    # the inflow sum's accumulation order follows shuffle arrival, so bits
+    # may differ between runs even though the value is determined
     for k in a:
-        assert math.isclose(a[k], b[k], rel_tol=0, abs_tol=0.0), k
+        assert math.isclose(a[k], b[k], rel_tol=1e-9, abs_tol=1e-12), k
     assert all(r >= 0.15 for r in a.values())
 
 

@@ -289,3 +289,88 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prob = F.col("n").cast("double") / F.sum("n").over(W.partitionBy("prev"))
     return counts.select("prev", "curr", "n", prob.alias("prob"))
+
+
+_CONCURRENCY_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              IS NULL
+         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS new_session,
+    event_id
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+sess AS (
+  SELECT user_id, sid, min(ts) AS s0, max(ts) AS s1
+  FROM numbered GROUP BY user_id, sid
+),
+bounds AS (
+  SELECT s0 AS t, 1 AS delta FROM sess
+  UNION ALL
+  SELECT s1 + INTERVAL '1 second' AS t, -1 AS delta FROM sess
+),
+swept AS (
+  SELECT t, sum(delta) OVER (ORDER BY t, delta
+                             ROWS UNBOUNDED PRECEDING) AS concurrency
+  FROM bounds
+)
+SELECT cast(date_trunc('day', t) AS DATE) AS day,
+       max(concurrency) AS peak_concurrent_sessions
+FROM swept GROUP BY 1
+"""
+
+
+@query("events_max_concurrency", oracle=_CONCURRENCY_SQL)
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day via the sweep-line algorithm:
+    sessionize (30-min gap), emit +1 at session start and −1 just after
+    session end, running-sum the boundary stream in time order, take the
+    daily max.
+
+    The running sum is pure integer arithmetic (order-independent-exact
+    under the deterministic (t, delta) order — −1 before +1 at equal
+    timestamps, the conservative tie rule), so the sweep is oracle-exact.
+    Scale shape: sessionization and boundary emission are key-partitioned;
+    only the boundary stream (2 rows per session, not per event) crosses
+    the global ordered window — at 100 TB, range-partition the sweep by
+    day after carrying each day's opening balance (two-pass prefix-sum),
+    same discipline as ids_assign_stable."""
+    e = _t(spark, sf_dir, "events")
+    wu = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
+    marked = e.select(
+        "user_id", "ts", "event_id",
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+    )
+    sid = F.sum("new_session").over(
+        W.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    sess = (
+        marked.select("user_id", "ts", sid.alias("sid"))
+        .groupBy("user_id", "sid")
+        .agg(F.min("ts").alias("s0"), F.max("ts").alias("s1"))
+    )
+    bounds = sess.select(F.col("s0").alias("t"), F.lit(1).alias("delta")).unionByName(
+        sess.select(
+            (F.col("s1") + F.expr("INTERVAL 1 SECOND")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    swept = bounds.select(
+        "t",
+        F.sum("delta")
+        .over(W.orderBy("t", "delta").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("concurrency"),
+    )
+    return swept.groupBy(F.to_date("t").alias("day")).agg(
+        F.max("concurrency").alias("peak_concurrent_sessions")
+    )
