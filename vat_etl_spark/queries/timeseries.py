@@ -374,3 +374,44 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.groupBy(F.to_date("t").alias("day")).agg(
         F.max("concurrency").alias("peak_concurrent_sessions")
     )
+
+
+_YOY_SQL = """
+WITH monthly AS (
+  SELECT cast(date_trunc('month', o_orderdate) AS DATE) AS m,
+         sum(cast(o_totalprice AS DECIMAL(30,6))) AS td
+  FROM orders GROUP BY 1
+)
+SELECT m,
+  cast(round(td, 2) AS DOUBLE) AS revenue,
+  cast(td AS DOUBLE)
+    / lag(cast(td AS DOUBLE), 1) OVER (ORDER BY m) - 1 AS mom_growth,
+  cast(td AS DOUBLE)
+    / lag(cast(td AS DOUBLE), 12) OVER (ORDER BY m) - 1 AS yoy_growth
+FROM monthly
+"""
+
+
+@query("ts_yoy_growth", oracle=_YOY_SQL)
+def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month and year-over-year growth rates on the monthly
+    revenue series — lag(1) and lag(12) over the calendar-ordered exact
+    decimal totals, then one IEEE division each (NULL for the first
+    month/year, standard KPI semantics).
+
+    Same calendar-grain discipline as the other ts_* ops: the global
+    ordered window sees |months| rows, so its single partition is
+    irrelevant at any data volume; growth is computed from bit-identical
+    operands, so the ratios are oracle-exact."""
+    o = _t(spark, sf_dir, "orders")
+    monthly = o.groupBy(F.trunc("o_orderdate", "month").alias("m")).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(30,6)")).alias("td")
+    )
+    w = W.orderBy("m")
+    tdd = F.col("td").cast("double")
+    return monthly.select(
+        "m",
+        F.round("td", 2).cast("double").alias("revenue"),
+        (tdd / F.lag(tdd, 1).over(w) - 1).alias("mom_growth"),
+        (tdd / F.lag(tdd, 12).over(w) - 1).alias("yoy_growth"),
+    )
