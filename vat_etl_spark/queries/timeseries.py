@@ -415,3 +415,49 @@ def ts_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         (tdd / F.lag(tdd, 1).over(w) - 1).alias("mom_growth"),
         (tdd / F.lag(tdd, 12).over(w) - 1).alias("yoy_growth"),
     )
+
+
+_ROLLING_DAU_SQL = """
+WITH du AS (
+  SELECT DISTINCT cast(date_trunc('day', ts) AS DATE) AS day, user_id
+  FROM events
+),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day,
+       count(DISTINCT u.user_id) AS users_7d,
+       count(*) AS user_days_7d
+FROM days d
+JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+"""
+
+
+@query("ts_rolling_distinct_users", oracle=_ROLLING_DAU_SQL)
+def ts_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct users per day (rolling DAU/WAU): distinct
+    (day, user) pairs first, then a banded range join from the day spine
+    onto the trailing window, then count distinct per anchor day.
+
+    Distinct-over-a-sliding-window cannot be a window function (COUNT
+    DISTINCT is not frame-able), so the exact spelling is this range join
+    over the *day grain* — the fact table is touched once for the dedup;
+    the join fans out at most 7 × |day-user| rows. At 100 TB the exact
+    form's fan-out is still fine (it is grain-bounded), but the cheaper
+    path is per-day HLL sketches merged over the trailing window
+    (agg_hll_mergeable shows the sketch machinery) — estimate vs exact is
+    the only trade."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct().alias("d")
+    u = du.alias("u")
+    cond = (F.col("u.day") >= F.date_sub(F.col("d.day"), 6)) & (
+        F.col("u.day") <= F.col("d.day")
+    )
+    return (
+        days.join(u, cond)
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(
+            F.countDistinct("u.user_id").alias("users_7d"),
+            F.count("*").alias("user_days_7d"),
+        )
+    )
