@@ -49,3 +49,40 @@ def test_kmeans_lloyd_deterministic_and_total(spark, sf_smoke):
     n_vecs = read_table(spark, sf_smoke, "embeddings").count()
     assert sum(r[1] for r in a) == n_vecs
     assert len(a) <= 8
+
+
+def test_prefix_filter_shrinks_candidates_losslessly(spark, sf_smoke):
+    """The prefix-filtered join must (a) index strictly fewer posting rows
+    than the naive inverted index and (b) return exactly the naive result
+    (the oracle also re-proves (b) at sf0.01 every round)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.queries.text import tokens_expr
+    from vat_etl_spark.sources.catalog import read_table
+
+    d = read_table(spark, sf_smoke, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok")
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_ = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    rk = F.row_number().over(W.partitionBy("doc_id").orderBy("df", "tok"))
+    ranked = toks.join(df_, "tok").join(sizes, "doc_id").select("n", rk.alias("rk"))
+    n_naive = ranked.count()
+    n_prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(0.6) * F.col("n")) + 1
+    ).count()
+    assert n_prefix < 0.55 * n_naive  # ~40% of postings indexed at tau=0.6
+
+    keys = ["doc_a", "doc_b", "common"]
+    naive = sorted(
+        tuple(r[k] for k in keys)
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf_smoke).collect()
+    )
+    pref = sorted(
+        tuple(r[k] for k in keys)
+        for r in QUERIES["dedup_jaccard_prefix"](spark, sf_smoke).collect()
+    )
+    assert naive == pref

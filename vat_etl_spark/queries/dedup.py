@@ -349,3 +349,68 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dist <= 1)
         .select("c_custkey", "s_suppkey", dist.alias("dist"))
     )
+
+
+@query("dedup_jaccard_prefix", oracle=_JACCARD_SQL)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity join (PPJoin-lite): identical result
+    contract to dedup_ngram_jaccard — the ORACLE IS THE NAIVE ALGORITHM, so
+    the driver gate re-proves losslessness every round — but candidates are
+    generated from only each document's prefix tokens.
+
+    Theory: for Jaccard ≥ τ, any qualifying pair overlaps in ≥ ⌈τ·n⌉ tokens
+    of EACH document (a pair failing min-size τ·max can't reach τ at all),
+    so a document can withhold its ⌈τ·n⌉−1 most common tokens from the
+    inverted index and no pair is lost: prefix length L = n − ⌈τ·n⌉ + 1
+    under a global rarest-first (df asc, tok) token order. At τ=0.6 that
+    indexes ~40% of each token set, and because the withheld tokens are
+    precisely the highest-df ones, the hot-token skew that dominates the
+    naive join's shuffle is what gets dropped (candidate-pair reduction
+    asserted in tests/test_dedup_determinism.py). Verification then counts
+    true overlap only for candidate pairs."""
+    tau = 0.6
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    df_ = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.partitionBy("doc_id").orderBy("df", "tok"))
+    ranked = toks.join(df_, "tok").join(sizes, "doc_id").select(
+        "doc_id", "lang", "tok", "n", rk.alias("rk")
+    )
+    prefix = ranked.filter(
+        F.col("rk") <= F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok"))
+    pairs = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    return (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_a", "doc_b", "common", "n_a", "n_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= tau)
+    )
