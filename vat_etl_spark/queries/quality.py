@@ -218,3 +218,67 @@ def dq_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("value") < lo, "low").otherwise("high").alias("side"),
         )
     )
+
+
+_BENFORD_PROBS = {
+    1: 0.3010299956639812, 2: 0.17609125905568124, 3: 0.12493873660829992,
+    4: 0.09691001300805642, 5: 0.07918124604762482, 6: 0.06694678963061322,
+    7: 0.05799194697768673, 8: 0.05115252244738129, 9: 0.04575749056067514,
+}
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_PROBS.items()
+)
+
+_BENFORD_SQL = f"""
+WITH digits AS (
+  SELECT cast(substr(cast(cast(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+              1, 1) AS INTEGER) AS digit
+  FROM orders WHERE o_totalprice > 0
+),
+tot AS (SELECT count(*) AS n FROM digits)
+SELECT digit, count(*) AS observed,
+  cast(count(*) AS DOUBLE) / any_value(n) AS observed_p,
+  cast(CASE digit {_BENFORD_CASE} END AS DOUBLE) AS benford_p,
+  (cast(count(*) AS DOUBLE) / any_value(n)
+   - cast(CASE digit {_BENFORD_CASE} END AS DOUBLE)) AS deviation
+FROM digits CROSS JOIN tot
+GROUP BY digit
+"""
+
+
+@query("dq_benford_digits", oracle=_BENFORD_SQL)
+def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen (the classic financial-fraud /
+    data-fabrication tripwire): observed leading-digit shares of the money
+    amounts vs the log10(1+1/d) expectation, per digit.
+
+    The leading digit is taken from the DECIMAL STRING of exact integer
+    cents — never via log10/pow (libm, engine-specific bits) and never from
+    double repr (formatting differs across engines); bigint→string is
+    identical everywhere. Benford expectations are baked-in literals shared
+    by both engines. One scan, 9-row output. (Synthetic uniform prices
+    won't follow Benford — the point here is the measurement contract, and
+    the deviation column quantifies exactly how un-Benford the data is.)"""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    digits = o.select(digit.alias("digit"))
+    tot = digits.count()  # driver-side scalar: single job, avoids window-over-all
+    benford = F.create_map(
+        *[F.lit(x) for kv in _BENFORD_PROBS.items() for x in kv]
+    )[F.col("digit")]
+    return (
+        digits.groupBy("digit")
+        .agg(F.count("*").alias("observed"))
+        .select(
+            "digit",
+            "observed",
+            (F.col("observed").cast("double") / F.lit(tot)).alias("observed_p"),
+            benford.alias("benford_p"),
+            (
+                F.col("observed").cast("double") / F.lit(tot) - benford
+            ).alias("deviation"),
+        )
+    )
