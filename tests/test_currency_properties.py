@@ -36,7 +36,10 @@ def model(value):
         if sym in text:
             rate = r
             break
-    cleaned = re.sub(r"[^\d\.\-\(\)]", "", text)
+    # ASCII digit class: the engine's documented deviation from CPython —
+    # Unicode decimal digits (which Python \d and float() accept) are
+    # stripped as noise by Java regex / Spark cast / DuckDB alike.
+    cleaned = re.sub(r"[^0-9\.\-\(\)]", "", text)
     if cleaned.startswith("(") and cleaned.endswith(")"):
         cleaned = "-" + cleaned[1:-1]
     try:

@@ -11,7 +11,11 @@ Behavioral contract (compat):
 - first currency symbol/code appearing *as a substring, in dict insertion
   order* wins (quirk Q3) — not longest/leftmost
 - strip every char except ``[0-9.\\-()]``; ``(x)`` → ``-x`` (accounting
-  negative); unparseable → 0.0 (quirk Q6)
+  negative); unparseable → 0.0 (quirk Q6). Documented deviation: digits are
+  ASCII-only — the reference's CPython ``\\d``/``float()`` also accept
+  Unicode decimal digits (e.g. ``٣``, ``꩑``), which Java regex, Spark's
+  cast, and DuckDB all reject; such characters are stripped as noise here
+  in BOTH engines, keeping the oracle pair bit-identical.
 - ``round(value * rate, 2)`` — HALF_UP on the shortest-decimal repr of the
   double (Spark ``F.round`` == Java ``BigDecimal.valueOf`` == the DuckDB
   oracle). Documented deviation: CPython's ``round`` rounds the exact binary
@@ -48,7 +52,7 @@ CURRENCY_RATES: dict[str, float] = {
     "₹": 0.044,
 }
 
-_CLEAN_RE = r"[^\d\.\-\(\)]"
+_CLEAN_RE = r"[^0-9\.\-\(\)]"  # ASCII digits only (matches the SQL oracle path)
 
 
 def _rate_expr(text: Column) -> Column:

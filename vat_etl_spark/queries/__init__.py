@@ -40,3 +40,4 @@ from vat_etl_spark.queries import graph  # noqa: E402,F401
 from vat_etl_spark.queries import similarity  # noqa: E402,F401
 from vat_etl_spark.queries import multimodal  # noqa: E402,F401
 from vat_etl_spark.queries import quality  # noqa: E402,F401
+from vat_etl_spark.queries import finance  # noqa: E402,F401

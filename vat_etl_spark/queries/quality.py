@@ -282,3 +282,69 @@ def dq_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("deviation"),
         )
     )
+
+
+_DUP_PAY_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+    cast(round(value * 100) AS BIGINT) AS amount_cents,
+    epoch_us(ts) AS us
+  FROM events
+)
+SELECT a.user_id, a.amount_cents,
+  a.event_id AS event_id_a, b.event_id AS event_id_b,
+  b.us - a.us AS gap_us
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND a.amount_cents = b.amount_cents
+ AND a.event_id < b.event_id
+WHERE abs(b.us - a.us) <= 604800000000
+"""
+
+
+@query("dq_duplicate_payments", oracle=_DUP_PAY_SQL)
+def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment detection: pairs of events by the same user for the
+    same exact amount within 7 days — the canonical accounts-payable /
+    double-charge audit (the reference's domain is VAT ledgers; this is the
+    control that runs next to them).
+
+    Amounts compare as exact integer cents (never float equality) and the
+    gap as integer epoch-microseconds. Scale shape: a self-equi-join on the
+    composite key (user_id, amount_cents) — already highly selective, so
+    the time window is a cheap residual filter; the shuffle is one
+    co-partitioned hash join on the pair key, skew handled by AQE. Each
+    pair is emitted once (event_id_a < event_id_b)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("amount_cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    a = e.select(
+        F.col("event_id").alias("event_id_a"),
+        "user_id",
+        "amount_cents",
+        F.col("us").alias("us_a"),
+    )
+    b = e.select(
+        F.col("event_id").alias("event_id_b"),
+        F.col("user_id").alias("user_b"),
+        F.col("amount_cents").alias("cents_b"),
+        F.col("us").alias("us_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("user_id") == F.col("user_b"))
+            & (F.col("amount_cents") == F.col("cents_b"))
+            & (F.col("event_id_a") < F.col("event_id_b")),
+        )
+        .where(F.abs(F.col("us_b") - F.col("us_a")) <= F.lit(604_800_000_000))
+        .select(
+            "user_id",
+            "amount_cents",
+            "event_id_a",
+            "event_id_b",
+            (F.col("us_b") - F.col("us_a")).alias("gap_us"),
+        )
+    )

@@ -461,3 +461,131 @@ def ts_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("user_days_7d"),
         )
     )
+
+
+_TWAP_SQL = """
+WITH e AS (
+  SELECT user_id,
+    cast(round(value * 100) AS BIGINT) AS cents,
+    epoch_us(ts) AS us,
+    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_us
+  FROM events
+),
+agg AS (
+  SELECT user_id,
+    count(*) AS n_intervals,
+    cast(sum(next_us - us) AS BIGINT) AS total_dur_us,
+    sum(cast(cents AS HUGEINT) * (next_us - us)) AS wsum
+  FROM e WHERE next_us IS NOT NULL
+  GROUP BY user_id
+)
+SELECT user_id, n_intervals, total_dur_us,
+  cast(wsum AS DOUBLE) / cast(total_dur_us * 100 AS DOUBLE) AS twap
+FROM agg
+"""
+
+
+@query("ts_time_weighted_avg", oracle=_TWAP_SQL)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP — the standard metric
+    whenever observations are irregularly spaced: a value 'holds' until the
+    next event, so each reading is weighted by its holding duration, not
+    counted once).
+
+    Exactness contract: durations are integer epoch-microsecond diffs,
+    values exact integer cents; the weighted sum is a 64-bit integer sum of
+    integer products (per-user bound ≈ max_cents × user_span_us ≈ 10^17 ≪
+    2^63 — DuckDB's HUGEINT sum equals Spark's long sum in that domain),
+    and the single terminal division is IEEE-exact over identical
+    operands. Scale shape: one window + one aggregation, both partitioned
+    by user_id — a single shuffle, no skew beyond a user's own event
+    count; the tie-break (ts, event_id) makes the lead() deterministic
+    under concurrent timestamps."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("us"),
+    )
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    e = e.withColumn("next_us", F.lead("us").over(w)).where(
+        F.col("next_us").isNotNull()
+    )
+    agg = e.groupBy("user_id").agg(
+        F.count("*").alias("n_intervals"),
+        F.sum(F.col("next_us") - F.col("us")).alias("total_dur_us"),
+        F.sum(F.col("cents") * (F.col("next_us") - F.col("us"))).alias("wsum"),
+    )
+    return agg.select(
+        "user_id",
+        "n_intervals",
+        "total_dur_us",
+        (
+            F.col("wsum").cast("double")
+            / (F.col("total_dur_us") * 100).cast("double")
+        ).alias("twap"),
+    )
+
+
+_CUSUM_SQL = """
+WITH daily AS (
+  SELECT cast(o_orderdate AS DATE) AS day,
+    sum(cast(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1
+),
+tot AS (SELECT count(*) AS n, sum(rev_cents) AS t FROM daily),
+c AS (
+  SELECT day, rev_cents,
+    sum(rev_cents) OVER (ORDER BY day) AS cum,
+    row_number() OVER (ORDER BY day) AS k
+  FROM daily
+)
+SELECT day, rev_cents,
+  cast(cum * n - k * t AS BIGINT) AS dev_num_cents,
+  cast(cum * n - k * t AS DOUBLE) / cast(n * 100 AS DOUBLE) AS cusum,
+  CASE WHEN abs(cum * n - k * t) =
+    (SELECT max(abs(cum * n - k * t)) FROM c CROSS JOIN tot)
+  THEN TRUE ELSE FALSE END AS is_peak_excursion
+FROM c CROSS JOIN tot
+"""
+
+
+@query("ts_cusum_drift", oracle=_CUSUM_SQL)
+def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection on the daily-revenue KPI series: the running
+    cumulative deviation from the series mean (C_k = Σ_{i≤k}(x_i − μ)),
+    whose peak excursion marks the most likely change-point — the standard
+    SPC/monitoring primitive for 'did the level of this metric shift?'.
+
+    Exactness: the deviation is kept as the INTEGER numerator
+    cum·n − k·total (multiplying through by n avoids a per-row float mean;
+    bounded ≈ total_cents × n_days ≪ 2^63), so running sums stay integer
+    in both engines; the reported `cusum` is one terminal IEEE division.
+    Scale shape: the window runs over the DAY grain (rows = calendar days,
+    not orders — the aggregate-first discipline of this module), so the
+    single-partition ordered window is bounded by the date span at any
+    data volume."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias(
+            "rev_cents"
+        )
+    ).persist()  # consumed by the totals agg AND the windowed walk
+    n, t = daily.agg(F.count("*"), F.sum("rev_cents")).first()
+    w = W.orderBy("day")
+    c = daily.withColumn("cum", F.sum("rev_cents").over(w)).withColumn(
+        "k", F.row_number().over(w)
+    )
+    dev = F.col("cum") * F.lit(n) - F.col("k") * F.lit(t)
+    c = c.select("day", "rev_cents", dev.alias("dev_num_cents")).persist()
+    peak = c.agg(F.max(F.abs("dev_num_cents"))).first()[0]
+    return c.select(
+        "day",
+        "rev_cents",
+        "dev_num_cents",
+        (F.col("dev_num_cents").cast("double") / F.lit(float(n * 100))).alias(
+            "cusum"
+        ),
+        (F.abs("dev_num_cents") == F.lit(peak)).alias("is_peak_excursion"),
+    )
