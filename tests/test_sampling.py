@@ -53,3 +53,11 @@ def test_orc_roundtrip(spark, sf_smoke, tmp_path):
     assert sorted(r.n_name for r in back.collect()) == sorted(
         r.n_name for r in df.collect()
     )
+
+
+def test_countmin_estimates_bound_exact_counts(spark, sf_smoke):
+    rows = QUERIES["agg_countmin_heavy_hitters"](spark, sf_smoke).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.est_count >= r.exact_count  # CMS never undercounts
+        assert r.est_count <= r.exact_count + 0.01 * r.n_total  # ε·N w.h.p.

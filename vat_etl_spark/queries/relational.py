@@ -1596,3 +1596,51 @@ def feature_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         ((F.col("l_quantity") - F.col("mean_q")) / F.col("sd_q")).alias("qty_z"),
     )
+
+
+@query("agg_countmin_heavy_hitters")  # rows-only: sketch binaries are engine-specific
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketching with partial-merge rollup: per-month
+    CMS sketches of part demand (one pass, `count_min_sketch` aggregate),
+    merged driver-side into a corpus sketch that answers point frequency
+    queries for the exact top-10 parts — the frequency-domain sibling of
+    the HLL rollup above, and the other half of the mergeable-sketch
+    story: HLL answers 'how many distinct', CMS answers 'how often does X
+    appear', both without re-scanning raw data at coarser grains.
+
+    The merged estimate is compared row-by-row against exact counts; CMS
+    guarantees est ≥ exact and (w.h.p.) est ≤ exact + ε·N — asserted in
+    tests/test_sampling.py. At 100 TB the per-partition sketches are a few
+    KB each (ε=0.01 → 2000×7 counters), so the merge moves kilobytes where
+    a re-aggregation would move the fact table."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").cast("int").alias("pk"), "l_shipdate"
+    )
+    monthly = li.groupBy(
+        F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mon")
+    ).agg(F.expr("count_min_sketch(pk, 0.01d, 0.99d, 42)").alias("sk"))
+    jvm = spark.sparkContext._jvm
+    merged = None
+    for row in monthly.collect():
+        sk = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            bytes(row["sk"])
+        )
+        if merged is None:
+            merged = sk
+        else:
+            merged.mergeInPlace(sk)
+    top = (
+        li.groupBy("pk")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("pk"))
+        .limit(10)
+        .collect()
+    )
+    n_total = li.count()
+    out = [
+        (int(r["pk"]), int(r["exact_count"]), int(merged.estimateCount(r["pk"])), n_total)
+        for r in top
+    ]
+    return spark.createDataFrame(
+        out, "partkey int, exact_count long, est_count long, n_total long"
+    )

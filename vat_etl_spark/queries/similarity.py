@@ -296,3 +296,56 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_members"),
         F.round(F.avg("cos"), 6).alias("mean_cos"),
     )
+
+
+_QUANT_SQL = """
+WITH v AS (
+  SELECT vec_id, cast(embedding AS DOUBLE[]) AS x FROM embeddings
+),
+m AS (
+  SELECT vec_id, x,
+    list_max(list_transform(x, e -> abs(e))) AS max_abs
+  FROM v
+)
+SELECT vec_id, cast(len(x) AS INTEGER) AS n_dims, max_abs,
+  list_transform(x, e -> cast(floor((e * 127) / max_abs + 0.5) AS INTEGER))
+    AS quant,
+  list_reduce(
+    list_prepend(cast(0 AS BIGINT),
+      list_transform(x, e -> cast(floor((e * 127) / max_abs + 0.5) AS BIGINT))),
+    (acc, q) -> acc + q * q) AS quant_norm_sq
+FROM m WHERE max_abs > 0
+"""
+
+
+@query("embed_quantize_int8", oracle=_QUANT_SQL)
+def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (max-abs
+    calibration per vector) — the standard 4× memory/IO compression step
+    before an ANN index is built or vectors are shipped to a serving tier.
+
+    Determinism contract: the quantizer is floor(x·127/m + 0.5) — an
+    explicit rule over identical IEEE doubles, NOT round() (whose half-up /
+    half-away conventions differ per engine on exact .5 doubles). The
+    integer norm is an ordered left fold (F.aggregate == list_reduce), so
+    every output column is bit-stable. Scale shape: pure map — zero
+    shuffles, scales with scan bandwidth; the fold keeps the checksum
+    JVM-side (no Python boundary)."""
+    v = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("x")
+    )
+    m = v.withColumn(
+        "max_abs", F.array_max(F.transform(F.col("x"), lambda e: F.abs(e)))
+    ).where(F.col("max_abs") > 0)
+    q8 = lambda e: F.floor(e * 127 / F.col("max_abs") + F.lit(0.5))  # noqa: E731
+    return m.select(
+        "vec_id",
+        F.size("x").alias("n_dims"),
+        "max_abs",
+        F.transform(F.col("x"), lambda e: q8(e).cast("int")).alias("quant"),
+        F.aggregate(
+            F.transform(F.col("x"), lambda e: q8(e).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, q: acc + q * q,
+        ).alias("quant_norm_sq"),
+    )

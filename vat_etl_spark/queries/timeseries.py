@@ -589,3 +589,50 @@ def ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.abs("dev_num_cents") == F.lit(peak)).alias("is_peak_excursion"),
     )
+
+
+_INTERARRIVAL_SQL = """
+WITH g AS (
+  SELECT event_type,
+    epoch_us(ts) - lag(epoch_us(ts))
+      OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type, count(gap_us) AS n_gaps,
+  cast(min(gap_us) AS BIGINT) AS min_gap_us,
+  quantile_cont(gap_us, 0.5) AS p50_gap_us,
+  quantile_cont(gap_us, 0.95) AS p95_gap_us,
+  cast(max(gap_us) AS BIGINT) AS max_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
+@query("ts_interarrival_p95", oracle=_INTERARRIVAL_SQL)
+def ts_interarrival_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-gap distribution per event type (p50/p95/min/max of
+    the gap between consecutive events) — the standard liveness/SLA
+    monitor: 'this feed normally ticks every N seconds; its p95 gap is the
+    alert threshold'.
+
+    Gaps are integer epoch-µs diffs (deterministic lag over the
+    (ts, event_id) total order); exact linear-interpolation percentiles
+    (Spark `percentile` == DuckDB `quantile_cont` — verified bit-stable on
+    integer inputs). Scale shape: one event_type-keyed window + one agg on
+    the same key — a single shuffle; per-type sequences are the natural
+    partition and a hot type splits cleanly by day if needed (gaps only
+    break at partition seams, fixable with a boundary-row overlap)."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", F.unix_micros("ts").alias("us")
+    )
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.withColumn("gap_us", F.col("us") - F.lag("us").over(w)).where(
+        F.col("gap_us").isNotNull()
+    )
+    return g.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.expr("percentile(gap_us, 0.5)").alias("p50_gap_us"),
+        F.expr("percentile(gap_us, 0.95)").alias("p95_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
