@@ -241,3 +241,27 @@ def test_rollup_cascade_scans_fact_once(spark, sf_smoke):
     df.write.format("noop").mode("overwrite").save()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert executed.count("InMemoryTableScan") == 3
+
+
+def test_proration_single_shuffle(spark, sf_smoke):
+    # join broadcasts, then all three windows share one orderkey exchange
+    df = QUERIES["fin_allocate_proration"](spark, sf_smoke)
+    assert shuffle_count(df) == 1
+    assert has_broadcast_join(df)
+
+
+def test_pvm_date_range_pushed_to_scan(spark, sf_smoke):
+    df = QUERIES["fin_price_volume_mix"](spark, sf_smoke)
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+    assert has_broadcast_join(df)
+
+
+def test_weighted_median_windows_share_shuffle(spark, sf_smoke):
+    # pre-agg exchange + one brand exchange shared by both windows
+    df = QUERIES["agg_weighted_median"](spark, sf_smoke)
+    assert shuffle_count(df) <= 2
+    assert has_broadcast_join(df)
+
+
+def test_quantize_is_map_only(spark, sf_smoke):
+    assert shuffle_count(QUERIES["embed_quantize_int8"](spark, sf_smoke)) == 0

@@ -175,7 +175,8 @@ WITH g AS (
   FROM lineitem l
   JOIN orders o ON l.l_orderkey = o.o_orderkey
   JOIN part p ON l.l_partkey = p.p_partkey
-  WHERE year(o.o_orderdate) IN (1995, 1996)
+  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01'
   GROUP BY 1, 2
 ),
 w AS (
@@ -219,7 +220,13 @@ def fin_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .where(F.year("o_orderdate").isin(1995, 1996))
+        # range predicate, not year(col) IN (...): a raw-column comparison
+        # reaches the parquet scan as a PushedFilter; a function-wrapped
+        # column does not (asserted in tests/test_plans.py)
+        .where(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
         .groupBy(
             F.col("p_brand").alias("brand"), F.year("o_orderdate").alias("yr")
         )
