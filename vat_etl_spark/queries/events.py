@@ -305,3 +305,53 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(s2.agg(F.count("*").alias("n_view_click")))
         .crossJoin(s3.agg(F.count("*").alias("n_view_click_purchase")))
     )
+
+
+_DECAY_SQL = """
+WITH e AS (
+  SELECT user_id, cast(round(value * 100) AS BIGINT) AS cents,
+    cast(ts AS DATE) AS d
+  FROM events
+),
+m AS (SELECT *, max(d) OVER (PARTITION BY user_id) AS md FROM e),
+t AS (SELECT user_id, cents, (md - d) // 7 AS k FROM m)
+SELECT user_id, count(*) AS n_events,
+  sum(cast(cents AS DOUBLE) / cast(1 << k AS DOUBLE)) AS decayed_score_cents
+FROM t GROUP BY user_id
+"""
+
+
+@query("events_decayed_score", oracle=_DECAY_SQL)
+def events_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user value: Σ value·(1/2)^(weeks-of-age), anchored
+    at each user's last active day — the standard decayed engagement /
+    RFM-style score where a purchase last week counts double one from two
+    weeks ago.
+
+    Exact float contract WITHOUT decimal machinery: the half-life is
+    dyadic, and the weight is built as 1/shiftleft(1,k) (an exact power of
+    two — never libm pow()). Each term is an integer-cents value scaled by
+    2^-k, so every partial sum fits a 53-bit significand (≈16-bit cents ×
+    k ≤ a few weeks) — the float sum is EXACT and therefore
+    association-order-free, which is what makes it safe under Spark's
+    nondeterministic shuffle-merge order AND hash-identical to DuckDB.
+    Scale shape: one user-keyed window + agg on the same key (single
+    shuffle)."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.to_date("ts").alias("d"),
+    )
+    m = e.withColumn("md", F.max("d").over(W.partitionBy("user_id")))
+    t = m.select(
+        "user_id",
+        "cents",
+        F.expr("datediff(md, d) div 7").cast("int").alias("k"),
+    )
+    # F.shiftleft only takes a literal bit count — use the SQL form for a
+    # column-valued shift (still an exact power of two, never libm pow)
+    term = F.col("cents").cast("double") / F.expr("shiftleft(1, k)").cast("double")
+    return t.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(term).alias("decayed_score_cents"),
+    )

@@ -1644,3 +1644,66 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         out, "partkey int, exact_count long, est_count long, n_total long"
     )
+
+
+_POFP_SQL = """
+WITH b AS (
+  SELECT p.p_type AS category, p.p_brand AS brand,
+    sum(cast(round(l.l_extendedprice * 100) AS BIGINT)) AS rev
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+m AS (SELECT category, sum(rev) AS crev FROM b GROUP BY 1),
+t AS (SELECT sum(rev) AS trev FROM b)
+SELECT b.category, b.brand,
+  cast(b.rev AS BIGINT) AS rev_cents,
+  cast(m.crev AS BIGINT) AS category_rev_cents,
+  cast(b.rev AS DOUBLE) / cast(m.crev AS DOUBLE) AS share_of_parent,
+  cast(b.rev AS DOUBLE) / cast(t.trev AS DOUBLE) AS share_of_total
+FROM b JOIN m ON b.category = m.category CROSS JOIN t
+"""
+
+
+@query("agg_percent_of_parent", oracle=_POFP_SQL)
+def agg_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent contribution down a dimension hierarchy
+    ((category,brand)→category→total): each brand-within-category revenue
+    as a share of its category and of the grand total — the OLAP 'contribution' readout
+    every drill-down UI renders next to the raw measure.
+
+    Scale shape: ONE fact aggregation to the leaf (brand) grain; parent
+    and total grains re-aggregate the persisted leaf partials (the
+    rollup-cascade discipline — Catalyst does not share aggregate subtrees
+    across consumers), and the dim-sized parent table broadcasts back.
+    Integer cents throughout; the two shares are terminal IEEE divisions,
+    so the oracle hash-matches exactly."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
+    b = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_type").alias("category"), F.col("p_brand").alias("brand"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "rev"
+            )
+        )
+        .persist()  # leaf partials feed parent, total, AND the final join
+    )
+    m = b.groupBy(F.col("category").alias("m_cat")).agg(F.sum("rev").alias("crev"))
+    t = b.agg(F.sum("rev").alias("trev"))
+    return (
+        b.join(F.broadcast(m), F.col("category") == F.col("m_cat"))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "category",
+            "brand",
+            F.col("rev").alias("rev_cents"),
+            F.col("crev").alias("category_rev_cents"),
+            (F.col("rev").cast("double") / F.col("crev").cast("double")).alias(
+                "share_of_parent"
+            ),
+            (F.col("rev").cast("double") / F.col("trev").cast("double")).alias(
+                "share_of_total"
+            ),
+        )
+    )
