@@ -61,3 +61,17 @@ def test_countmin_estimates_bound_exact_counts(spark, sf_smoke):
     for r in rows:
         assert r.est_count >= r.exact_count  # CMS never undercounts
         assert r.est_count <= r.exact_count + 0.01 * r.n_total  # ε·N w.h.p.
+
+
+def test_rolling_hll_tracks_exact_rolling_distinct(spark, sf_smoke):
+    est = {
+        r.anchor_day: r.approx_users_7d
+        for r in QUERIES["ts_rolling_distinct_hll"](spark, sf_smoke).collect()
+    }
+    exact = {
+        r.day: r.users_7d
+        for r in QUERIES["ts_rolling_distinct_users"](spark, sf_smoke).collect()
+    }
+    assert set(est) == set(exact)
+    for day, ex in exact.items():
+        assert abs(est[day] - ex) <= max(2, 0.03 * ex), (day, est[day], ex)

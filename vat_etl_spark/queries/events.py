@@ -355,3 +355,92 @@ def events_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(term).alias("decayed_score_cents"),
     )
+
+
+_RFM_SQL = """
+WITH p AS (
+  SELECT user_id, cast(ts AS DATE) AS d,
+    cast(round(value * 100) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+anchor AS (SELECT max(d) AS d1 FROM p),
+base AS (
+  SELECT user_id,
+    (SELECT d1 FROM anchor) - max(d) AS recency_days,
+    count(*) AS frequency,
+    cast(sum(cents) AS BIGINT) AS monetary_cents
+  FROM p GROUP BY user_id
+),
+scored AS (
+  SELECT *,
+    cast(ntile(5) OVER (ORDER BY recency_days ASC, user_id) AS INTEGER) AS r_score,
+    cast(ntile(5) OVER (ORDER BY frequency DESC, user_id) AS INTEGER) AS f_score,
+    cast(ntile(5) OVER (ORDER BY monetary_cents DESC, user_id) AS INTEGER) AS m_score
+  FROM base
+)
+SELECT user_id, cast(recency_days AS BIGINT) AS recency_days,
+  frequency, monetary_cents, r_score, f_score, m_score,
+  CASE
+    WHEN r_score <= 2 AND f_score <= 2 THEN 'champion'
+    WHEN r_score <= 2 THEN 'recent'
+    WHEN f_score <= 2 THEN 'loyal'
+    WHEN r_score >= 4 AND f_score >= 4 THEN 'at_risk'
+    ELSE 'regular'
+  END AS segment
+FROM scored
+"""
+
+
+@query("events_rfm_segmentation", oracle=_RFM_SQL)
+def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (recency / frequency / monetary quintiles
+    + rule-based segment labels) over purchase events — the marketing-
+    analytics workhorse for lifecycle campaigns.
+
+    Determinism: metrics are exact integers (days, counts, cents); each
+    ntile orders by (metric, user_id) — the tie-break key that makes
+    quintile assignment a total order (the verified-safe ntile contract,
+    scores 1 = best). Scale shape: one filtered fact agg to user grain;
+    the three global ntiles run over USER-grain rows — at 100 TB these
+    become two-pass range-partitioned quantile assignment, same results
+    (ntile boundaries are rank arithmetic, layout-free)."""
+    p = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.to_date("ts").alias("d"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    d1 = p.agg(F.max("d")).first()[0]
+    base = p.groupBy("user_id").agg(
+        F.datediff(F.lit(d1), F.max("d")).cast("bigint").alias("recency_days"),
+        F.count("*").alias("frequency"),
+        F.sum("cents").alias("monetary_cents"),
+    )
+    scored = (
+        base.withColumn(
+            "r_score", F.ntile(5).over(W.orderBy(F.asc("recency_days"), "user_id"))
+        )
+        .withColumn(
+            "f_score", F.ntile(5).over(W.orderBy(F.desc("frequency"), "user_id"))
+        )
+        .withColumn(
+            "m_score",
+            F.ntile(5).over(W.orderBy(F.desc("monetary_cents"), "user_id")),
+        )
+    )
+    seg = (
+        F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
+        .when(F.col("r_score") <= 2, "recent")
+        .when(F.col("f_score") <= 2, "loyal")
+        .when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "at_risk")
+        .otherwise("regular")
+    )
+    return scored.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        "r_score",
+        "f_score",
+        "m_score",
+        seg.alias("segment"),
+    )

@@ -7,7 +7,7 @@ hot path scales to a 100 TB corpus as a scan + one shuffle per aggregate.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from vat_etl_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
@@ -611,4 +611,66 @@ def text_chisq_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "source", "observed",
         expected.alias("expected"),
         (dev * dev / expected).alias("chi2_contribution"),
+    )
+
+
+_KEYWORDS_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+  FROM documents
+),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT word, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT t.doc_id, t.word, t.tf, df.df,
+    cast(t.tf AS DOUBLE)
+      * (cast(n_docs - df.df AS DOUBLE) + 0.5) / (cast(df.df AS DOUBLE) + 0.5)
+      AS score
+  FROM tf t JOIN df ON t.word = df.word CROSS JOIN n
+)
+SELECT doc_id, word, tf, df, score,
+  cast(rk AS INTEGER) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+  FROM scored
+) WHERE rk <= 3
+"""
+
+
+@query("text_keywords_rational_idf", oracle=_KEYWORDS_SQL)
+def text_keywords_rational_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-3 terms by tf × rational-idf,
+    where idf is the Robertson-Sparck-Jones form (N − df + ½)/(df + ½)
+    WITHOUT the log — monotone in the same variable, so the top-k set is
+    identical to log-idf's, and (being one IEEE divide over exact integer
+    counts) it hash-matches across engines where ln() ulps would not (the
+    same trick as text_bm25_ranking).
+
+    Scale shape: explode → (doc,term) tf agg; term-grain df table joins
+    back keyed on term (term lexicon ≪ corpus — broadcastable); top-k per
+    doc is a doc-partitioned window, never a global sort. Ties break on
+    the term itself, so ranking is total and deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    dfreq = tok.distinct().groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = d.count()
+    scored = tf.join(F.broadcast(dfreq), "word").select(
+        "doc_id",
+        "word",
+        "tf",
+        "df",
+        (
+            F.col("tf").cast("double")
+            * (F.lit(float(n_docs)) - F.col("df").cast("double") + F.lit(0.5))
+            / (F.col("df").cast("double") + F.lit(0.5))
+        ).alias("score"),
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("word"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "word", "tf", "df", "score", "rank")
     )

@@ -636,3 +636,38 @@ def ts_interarrival_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(gap_us, 0.95)").alias("p95_gap_us"),
         F.max("gap_us").alias("max_gap_us"),
     )
+
+
+@query("ts_rolling_distinct_hll")  # rows-only: sketch estimates are engine-specific
+def ts_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB spelling of trailing-7-day distinct users: ONE per-day HLL
+    sketch pass over the facts, then each day's sketch is broadcast onto
+    the ≤7 anchor days it serves (explode of a 7-day sequence) and merged
+    with `hll_union_agg` — no per-(day,user) fan-out ever crosses the
+    network, only kilobyte sketches.
+
+    This is the estimate/exact trade documented on
+    `ts_rolling_distinct_users` (the exact banded-join form) made real;
+    tests/test_sampling.py pins the estimate to within ±3% of the exact
+    rolling counts at lgConfigK=14. Scale shape: 1 fact agg to day grain +
+    1 day-grain shuffle of sketches; works identically as a streaming
+    foreachBatch partial-merge (the sketches are mergeable state)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    bounds = daily.agg(F.max("day").alias("dmax")).first()
+    fanned = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.least(F.date_add(F.col("day"), 6), F.lit(bounds["dmax"])))
+        ).alias("anchor_day"),
+        "sk",
+    )
+    return (
+        fanned.groupBy("anchor_day")
+        .agg(F.hll_union_agg("sk").alias("sk7"))
+        .select(
+            "anchor_day",
+            F.hll_sketch_estimate("sk7").cast("long").alias("approx_users_7d"),
+        )
+    )
