@@ -414,3 +414,80 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "common", "n_a", "n_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= tau)
     )
+
+
+_CONTAIN_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   for i in range(1, len(ws) - 1)]) AS shingles
+  FROM w WHERE len(ws) >= 3
+),
+toks AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM toks a JOIN toks b ON a.tok = b.tok
+  WHERE a.doc_id != b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, common, sa.n AS n_a,
+  cast(common AS DOUBLE) / sa.n AS containment
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a
+WHERE common * 2 >= sa.n
+"""
+
+
+@query("dedup_shingle_containment", oracle=_CONTAIN_SQL)
+def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTIONAL near-dup detection: 3-word-shingle containment
+    |A∩B|/|A| ≥ ½ finds documents substantially CONTAINED in another
+    (quotes, excerpts, supersets) — pairs symmetric Jaccard misses by
+    construction whenever the two documents differ in length (an excerpt
+    of a long doc has high containment but low Jaccard).
+
+    Threshold is integer cross-multiplication (2·common ≥ |A| — no float
+    at the decision boundary); the ratio column is display-only. Scale
+    shape: shingling is map-side; the postings self-join is the same
+    token-keyed shuffle as dedup_ngram_jaccard, and the same prefix-filter
+    / stop-shingle cap applies at 100 TB (SCALE.md dedup notes — hot
+    shingles are exactly the skew drivers)."""
+    d = _t(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")).where(
+        F.size("ws") >= 3
+    )
+    sh = w.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(ws) - 3),"
+                " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+            )
+        ).alias("shingles"),
+    )
+    toks = sh.select("doc_id", F.explode("shingles").alias("tok"))
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, (F.col("tok") == F.col("tok_b")) & (F.col("doc_a") != F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
+            "doc_a",
+        )
+        .where(F.col("common") * 2 >= F.col("n_a"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "common",
+            "n_a",
+            (F.col("common").cast("double") / F.col("n_a")).alias("containment"),
+        )
+    )

@@ -444,3 +444,132 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "m_score",
         seg.alias("segment"),
     )
+
+
+_BOUNCE_SQL = """
+WITH marked AS (
+  SELECT user_id, ts,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              > INTERVAL '30 minutes'
+         THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id,
+    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_seq,
+    ts
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_seq, cast(min(ts) AS DATE) AS day,
+    count(*) AS n_events
+  FROM sessions GROUP BY 1, 2
+)
+SELECT day, count(*) AS n_sessions,
+  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+  cast(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS bounce_rate
+FROM per_session GROUP BY day
+"""
+
+
+@query("events_bounce_rate", oracle=_BOUNCE_SQL)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: share of sessions (30-min inactivity gap) that
+    contain exactly one event, keyed to the session's start day — the
+    composition of sessionization and a day-grain aggregate that every
+    product-analytics dashboard carries.
+
+    Counts are integers and the rate one IEEE division, so the oracle
+    hash-matches. Scale shape: the gaps-and-islands pass shuffles once on
+    user_id; everything after is session-grain (≪ events) then day-grain
+    (calendar-bounded)."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    marked = e.select(
+        "user_id",
+        "ts",
+        "event_id",  # kept: the running-sum window orders on (ts, event_id)
+        F.when(gap.isNull() | (gap > 30 * 60), 1).otherwise(0).alias("new_session"),
+    )
+    sessions = marked.select(
+        "user_id",
+        "ts",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    per_session = sessions.groupBy("user_id", "session_seq").agg(
+        F.to_date(F.min("ts")).alias("day"), F.count("*").alias("n_events")
+    )
+    return per_session.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).alias("n_bounces"),
+        (
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+            / F.count("*")
+        ).alias("bounce_rate"),
+    )
+
+
+_SEASONAL_SQL = """
+WITH hourly AS (
+  SELECT cast(ts AS DATE) AS day, hour(ts) AS hr,
+    dayofweek(cast(ts AS DATE)) AS dow,
+    count(*) AS n
+  FROM events GROUP BY 1, 2, 3
+),
+baseline AS (
+  SELECT dow, hr, sum(n) AS tot, count(*) AS n_slots FROM hourly GROUP BY 1, 2
+)
+SELECT h.day, h.hr, h.n,
+  b.tot AS baseline_total, b.n_slots AS baseline_slots,
+  cast(b.tot AS DOUBLE) / b.n_slots AS baseline_mean,
+  CASE WHEN h.n * b.n_slots > 2 * b.tot THEN 'high'
+       WHEN 2 * h.n * b.n_slots < b.tot THEN 'low'
+       ELSE 'normal' END AS flag
+FROM hourly h JOIN baseline b ON h.dow = b.dow AND h.hr = b.hr
+WHERE h.n * b.n_slots > 2 * b.tot OR 2 * h.n * b.n_slots < b.tot
+"""
+
+
+@query("events_seasonal_anomaly", oracle=_SEASONAL_SQL)
+def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each (day, hour) event count is
+    compared against the mean for its (day-of-week, hour-of-day) slot and
+    flagged when >2× or <½× the seasonal baseline — load anomalies judged
+    against the RIGHT comparison group (Monday 9am vs other Monday 9ams,
+    never the global mean).
+
+    The threshold test is integer cross-multiplication (n·slots vs 2·total)
+    — no float comparison anywhere near the decision boundary, so both
+    engines flag identical rows; the reported baseline_mean is display-only
+    division. Scale shape: one fact agg to the (day,hour) grain, a
+    dow×hour (≤168-row) baseline re-agg, broadcast back."""
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+        F.dayofweek(F.to_date("ts")).alias("dow"),
+    ).agg(F.count("*").alias("n")).persist()
+    baseline = hourly.groupBy(
+        F.col("dow").alias("b_dow"), F.col("hr").alias("b_hr")
+    ).agg(F.sum("n").alias("tot"), F.count("*").alias("n_slots"))
+    j = hourly.join(
+        F.broadcast(baseline),
+        (F.col("dow") == F.col("b_dow")) & (F.col("hr") == F.col("b_hr")),
+    )
+    hi = F.col("n") * F.col("n_slots") > 2 * F.col("tot")
+    lo = 2 * F.col("n") * F.col("n_slots") < F.col("tot")
+    return j.where(hi | lo).select(
+        "day",
+        "hr",
+        "n",
+        F.col("tot").alias("baseline_total"),
+        F.col("n_slots").alias("baseline_slots"),
+        (F.col("tot").cast("double") / F.col("n_slots")).alias("baseline_mean"),
+        F.when(hi, "high").when(lo, "low").otherwise("normal").alias("flag"),
+    )
