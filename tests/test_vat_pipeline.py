@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from vat_etl_spark.operators.vat_summary import vat_box_summary
+from vat_etl_spark.queries import QUERIES
 from vat_etl_spark.sources.excel import normalize_vat_sheet
 
 SHEET = [
@@ -98,3 +99,35 @@ def test_missing_columns_padded(spark):
     row = norm.first()
     assert row["VAT Value"] == 0.0  # padded NULL money → 0.0 after conversion
     assert row["Year"] == 2024  # no parseable dates → as_of_year fallback
+
+
+def test_golden_db_invariant_holds_here_and_in_reference(spark, sf_smoke):
+    """BASELINE.md row 4: the reference's published output satisfies
+    Box D VAT = BoxA_VAT − BoxC_VAT per period. Pin that invariant on the
+    golden SQLite rows themselves AND on this engine's flagship output —
+    same schema, same wiring (fianl2.py:182, vat.py)."""
+    import sqlite3
+    from decimal import Decimal
+
+    con = sqlite3.connect("/root/reference/vat_summary.db")
+    gold = con.execute(
+        'SELECT "Period", "FTA Box", "VAT Value" FROM vat_summary'
+    ).fetchall()
+    golden_cols = [d[0] for d in con.execute("SELECT * FROM vat_summary").description]
+
+    def cents(x: float) -> int:
+        return int(Decimal(repr(x)).scaleb(2).to_integral_value())
+
+    def check(rows):
+        vat = {}
+        for period, box, v in rows:
+            vat.setdefault(period, {})[box] = cents(v)
+        assert vat, "no rows"
+        for period, boxes in vat.items():
+            assert boxes["Box D"] == boxes["Box A"] - boxes["Box C"], period
+
+    check(gold)
+
+    ours = QUERIES["vat_summary"](spark, sf_smoke)
+    assert ours.columns == golden_cols  # exact reference schema, same order
+    check([(r["Period"], r["FTA Box"], r["VAT Value"]) for r in ours.collect()])

@@ -573,3 +573,106 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("tot").cast("double") / F.col("n_slots")).alias("baseline_mean"),
         F.when(hi, "high").when(lo, "low").otherwise("normal").alias("flag"),
     )
+
+
+_ATTRIBUTION_SQL = """
+WITH purchases AS (
+  SELECT event_id AS pid, user_id, epoch_us(ts) AS pus
+  FROM events WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT event_id AS tid, user_id, epoch_us(ts) AS tus,
+    cast(json_extract_string(props, '$.k') AS INTEGER) % 4 AS channel
+  FROM events WHERE event_type IN ('click', 'view')
+),
+joined AS (
+  SELECT p.pid, t.tid, t.channel, t.tus
+  FROM purchases p JOIN touches t
+    ON p.user_id = t.user_id AND t.tus < p.pus
+   AND p.pus - t.tus <= 604800000000
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY pid ORDER BY tus, tid) AS rn,
+    count(*) OVER (PARTITION BY pid) AS cnt
+  FROM joined
+),
+credited AS (
+  SELECT channel,
+    CASE WHEN cnt = 1 THEN 1000000
+         WHEN cnt = 2 THEN 500000
+         WHEN rn = 1 OR rn = cnt THEN 400000
+         ELSE 200000 // (cnt - 2)
+              + (CASE WHEN rn - 1 <= 200000 % (cnt - 2) THEN 1 ELSE 0 END)
+    END AS credit
+  FROM ranked
+)
+SELECT channel, count(*) AS n_touches,
+  cast(sum(credit) AS BIGINT) AS credit_micro,
+  cast(sum(credit) AS DOUBLE) / 1000000 AS credited_purchases
+FROM credited GROUP BY channel
+"""
+
+
+@query("events_attribution_position", oracle=_ATTRIBUTION_SQL)
+def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: every purchase
+    distributes EXACTLY 1,000,000 integer micro-credits over the
+    click/view touches in its trailing 7 days — 40% to the first touch,
+    40% to the last, 20% split over the middle with the integer remainder
+    going to the earliest middle touches (the proration discipline of
+    fin_allocate_proration applied to marketing attribution). Credits are
+    conserved by construction: sum(credit_micro) == 10^6 × attributed
+    purchases, with no float leakage ever — the classic failure of
+    share-as-double attribution pipelines.
+
+    Channel comes out of the JSON props (engine JSON surface), the touch
+    window is an integer-µs range join keyed on user_id, and per-purchase
+    ranking is a purchase-keyed window — one user shuffle + one purchase
+    shuffle. Scale: fan-out bounded by touches-per-purchase-window;
+    skewed mega-users split by AQE."""
+    e = _t(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("pus"),
+    )
+    touches = e.where(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("tid"),
+        "user_id",
+        F.unix_micros("ts").alias("tus"),
+        (F.get_json_object("props", "$.k").cast("int") % 4).alias("channel"),
+    )
+    joined = purchases.join(
+        touches,
+        (F.col("p_user") == F.col("user_id"))
+        & (F.col("tus") < F.col("pus"))
+        & (F.col("pus") - F.col("tus") <= F.lit(604_800_000_000)),
+    )
+    wp = W.partitionBy("pid")
+    ranked = joined.select(
+        "pid",
+        "tid",
+        "channel",
+        F.row_number().over(wp.orderBy("tus", "tid")).alias("rn"),
+        F.count("*").over(wp).alias("cnt"),
+    )
+    credit = (
+        F.when(F.col("cnt") == 1, 1_000_000)
+        .when(F.col("cnt") == 2, 500_000)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("cnt")), 400_000)
+        .otherwise(
+            F.expr("200000 div (cnt - 2)")
+            + F.when(F.col("rn") - 1 <= F.expr("200000 % (cnt - 2)"), 1).otherwise(0)
+        )
+    )
+    return (
+        ranked.select("channel", credit.alias("credit"))
+        .groupBy("channel")
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum("credit").alias("credit_micro"),
+            (F.sum("credit").cast("double") / F.lit(1_000_000)).alias(
+                "credited_purchases"
+            ),
+        )
+    )
