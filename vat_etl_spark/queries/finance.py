@@ -323,3 +323,69 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("weighted_median_price"),
     )
+
+
+_AGING_SQL = """
+WITH anchor AS (SELECT max(cast(o_orderdate AS DATE)) AS d1 FROM orders),
+open_ar AS (
+  SELECT o_custkey,
+    cast(round(o_totalprice * 100) AS BIGINT) AS cents,
+    (SELECT d1 FROM anchor) - cast(o_orderdate AS DATE) AS age_days
+  FROM orders WHERE o_orderstatus = 'O'
+),
+bucketed AS (
+  SELECT *,
+    CASE WHEN age_days <= 30 THEN '0-30'
+         WHEN age_days <= 60 THEN '31-60'
+         WHEN age_days <= 90 THEN '61-90'
+         ELSE '90+' END AS bucket
+  FROM open_ar
+)
+SELECT bucket, count(*) AS n_orders,
+  count(DISTINCT o_custkey) AS n_customers,
+  cast(sum(cents) AS BIGINT) AS total_cents,
+  cast(min(age_days) AS BIGINT) AS min_age_days,
+  cast(max(age_days) AS BIGINT) AS max_age_days
+FROM bucketed GROUP BY bucket
+"""
+
+
+@query("fin_receivables_aging", oracle=_AGING_SQL)
+def fin_receivables_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accounts-receivable aging report: open orders bucketed by age
+    (0-30 / 31-60 / 61-90 / 90+ days as of the ledger's latest date) with
+    order counts, distinct debtors, and exact cent totals — the collections
+    report every finance close produces, and the VAT ledger's natural
+    sibling output.
+
+    Ages are integer day diffs against a data-derived anchor (no wall
+    clock — the reference's datetime.now() nondeterminism wart, SURVEY §2.3
+    F11, is exactly what this avoids); bucket edges are integer
+    comparisons. Scale shape: status filter pushed to the scan, one
+    aggregation to 4 bucket rows; the anchor is a driver-side scalar
+    (one tiny job), never a window-over-everything."""
+    o = _t(spark, sf_dir, "orders")
+    # anchor over ALL orders (matches the oracle's unfiltered max)
+    d1 = o.agg(F.max(F.to_date("o_orderdate"))).first()[0]
+    open_ar = o.where(F.col("o_orderstatus") == "O").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.datediff(F.lit(d1), F.to_date("o_orderdate")).cast("bigint").alias(
+            "age_days"
+        ),
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 60, "31-60")
+        .when(F.col("age_days") <= 90, "61-90")
+        .otherwise("90+")
+    )
+    return open_ar.select("o_custkey", "cents", "age_days", bucket.alias("bucket")).groupBy(
+        "bucket"
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.min("age_days").alias("min_age_days"),
+        F.max("age_days").alias("max_age_days"),
+    )

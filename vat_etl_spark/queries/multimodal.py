@@ -67,3 +67,56 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return sample_frames(attach_payload(docs), frame_bytes=64, every_nth=2)
+
+
+_SHARD_SQL = """
+WITH sized AS (
+  SELECT doc_id, octet_length(encode(text)) AS payload_bytes FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY payload_bytes DESC, doc_id) AS rk
+  FROM sized
+),
+assigned AS (SELECT *, cast((rk - 1) % 8 AS INTEGER) AS shard FROM ranked)
+SELECT shard, count(*) AS n_items,
+  cast(sum(payload_bytes) AS BIGINT) AS shard_bytes,
+  cast(min(payload_bytes) AS BIGINT) AS min_item,
+  cast(max(payload_bytes) AS BIGINT) AS max_item
+FROM assigned GROUP BY shard
+"""
+
+
+@query("multimodal_shard_packing", oracle=_SHARD_SQL)
+def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment for binary payloads: items sorted
+    by size (desc, id tie-break) are dealt round-robin over 8 shards — the
+    deterministic size-striped layout that keeps every shard within one
+    max-item of the mean (the distributed stand-in for greedy LPT
+    bin-packing, whose sequential state doesn't parallelize), so no
+    training worker drags the epoch.
+
+    Output is the per-shard manifest (counts + byte totals — what the data
+    loader reads). Scale shape: sizes are map-side (octet_length, no
+    payload movement); the global size-rank is the only coordination and
+    runs over (size,id) pairs, not payloads — at 100 TB a two-pass
+    range-partitioned rank (sample boundaries → rank within range) keeps
+    it off a single partition, same assignment."""
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        F.octet_length(F.encode(F.col("text"), "utf-8")).cast("bigint").alias(
+            "payload_bytes"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.orderBy(F.desc("payload_bytes"), F.asc("doc_id")))
+    assigned = sized.select(
+        "payload_bytes", ((rk - 1) % 8).cast("int").alias("shard")
+    )
+    return assigned.groupBy("shard").agg(
+        F.count("*").alias("n_items"),
+        F.sum("payload_bytes").alias("shard_bytes"),
+        F.min("payload_bytes").alias("min_item"),
+        F.max("payload_bytes").alias("max_item"),
+    )

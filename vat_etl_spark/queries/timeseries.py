@@ -671,3 +671,40 @@ def ts_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.hll_sketch_estimate("sk7").cast("long").alias("approx_users_7d"),
         )
     )
+
+
+_ROLLMED_SQL = """
+WITH daily AS (
+  SELECT cast(o_orderdate AS DATE) AS day,
+    sum(cast(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT day, rev_cents,
+  quantile_cont(rev_cents, 0.5) OVER (
+    ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS rolling_median_cents
+FROM daily
+"""
+
+
+@query("ts_rolling_median", oracle=_ROLLMED_SQL)
+def ts_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centered 7-day rolling MEDIAN of daily revenue — the robust
+    smoother that, unlike a rolling mean, shrugs off single-day spikes
+    (a flash sale doesn't drag the baseline it's judged against).
+
+    Exactness: the frame holds ≤7 integer cent values; both engines
+    compute the same linear-interpolated median over the same sorted
+    integers (the verified-safe percentile contract). Scale shape: the
+    window runs over the DAY grain (aggregate-first discipline), so the
+    single-partition ordered frame is calendar-bounded at any volume."""
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents")
+    )
+    return daily.select(
+        "day",
+        "rev_cents",
+        F.expr("percentile(rev_cents, 0.5)")
+        .over(W.orderBy("day").rowsBetween(-3, 3))
+        .alias("rolling_median_cents"),
+    )
