@@ -348,3 +348,48 @@ def dq_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("us_b") - F.col("us_a")).alias("gap_us"),
         )
     )
+
+
+_FRESHNESS_SQL = """
+WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+per AS (
+  SELECT event_type, count(*) AS n_events,
+    max(epoch_us(ts)) AS last_us, min(epoch_us(ts)) AS first_us
+  FROM events GROUP BY event_type
+)
+SELECT event_type, n_events,
+  cast(gmax - last_us AS BIGINT) AS staleness_us,
+  cast((gmax - last_us) // 60000000 AS BIGINT) AS staleness_min,
+  CASE WHEN gmax - last_us > 3600000000 THEN 'stale' ELSE 'fresh' END AS status
+FROM per CROSS JOIN g
+"""
+
+
+@query("dq_freshness_by_source", oracle=_FRESHNESS_SQL)
+def dq_freshness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feed freshness monitor: each event type's lag behind the most
+    recent event anywhere, with a 1-hour staleness flag — the first alarm
+    any unattended 100 TB ingest needs ('feed X stopped landing'), judged
+    against the DATA's own high-water mark, never the wall clock (the
+    reference's datetime.now() wart again).
+
+    Staleness is an integer µs diff; the flag is an integer comparison.
+    One scan, one aggregate to feed-cardinality rows, global max rides
+    along as a broadcast 1-row cross join."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    per = e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.max("us").alias("last_us"),
+        F.min("us").alias("first_us"),
+    )
+    g = e.agg(F.max("us").alias("gmax"))
+    stale = F.col("gmax") - F.col("last_us")
+    return per.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        stale.alias("staleness_us"),
+        F.expr("(gmax - last_us) div 60000000").alias("staleness_min"),
+        F.when(stale > 3_600_000_000, "stale").otherwise("fresh").alias("status"),
+    )
