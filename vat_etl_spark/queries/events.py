@@ -676,3 +676,68 @@ def events_attribution_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_STREAK_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id, cast(ts AS DATE) AS d FROM events
+),
+grp AS (
+  SELECT user_id, d,
+    d - cast(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER)
+      AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, anchor, count(*) AS len, min(d) AS streak_start,
+    max(d) AS streak_end
+  FROM grp GROUP BY 1, 2
+),
+best AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY user_id ORDER BY len DESC, streak_start) AS rk
+  FROM streaks
+)
+SELECT user_id, len AS longest_streak_days, streak_start, streak_end
+FROM best WHERE rk = 1
+"""
+
+
+@query("events_longest_streak", oracle=_STREAK_SQL)
+def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest run of CONSECUTIVE active days per user (engagement streaks
+    — the retention mechanic every consumer product tracks), via the
+    classic date-minus-rank trick: within a user, consecutive days share
+    the constant `day − row_number()` anchor, so streaks fall out of one
+    GROUP BY with no iteration.
+
+    Everything is integer date arithmetic; earliest streak wins ties
+    deterministically. Scale shape: dedup to (user, day) grain first (the
+    aggregate-first discipline — windows run over active-day rows, not
+    raw events), then two user-keyed windows and a user-keyed aggregate
+    share one shuffle."""
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    grp = days.select(
+        "user_id",
+        "d",
+        F.date_sub(F.col("d"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = grp.groupBy("user_id", "anchor").agg(
+        F.count("*").alias("len"),
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+    )
+    best = streaks.withColumn(
+        "rk",
+        F.row_number().over(
+            W.partitionBy("user_id").orderBy(F.desc("len"), F.asc("streak_start"))
+        ),
+    )
+    return best.where(F.col("rk") == 1).select(
+        "user_id",
+        F.col("len").alias("longest_streak_days"),
+        "streak_start",
+        "streak_end",
+    )

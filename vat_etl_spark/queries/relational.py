@@ -1707,3 +1707,127 @@ def agg_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_GINI_SQL = """
+WITH cust AS (
+  SELECT o_custkey, sum(cast(round(o_totalprice * 100) AS BIGINT)) AS spend
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT spend, row_number() OVER (ORDER BY spend, o_custkey) AS rk FROM cust
+),
+agg AS (
+  SELECT count(*) AS n,
+    cast(sum(spend) AS BIGINT) AS total,
+    cast(sum(rk * spend) AS BIGINT) AS weighted
+  FROM ranked
+)
+SELECT n, total AS total_cents,
+  cast(2 * weighted AS DOUBLE) / (cast(n AS DOUBLE) * cast(total AS DOUBLE))
+    - (cast(n + 1 AS DOUBLE) / cast(n AS DOUBLE)) AS gini
+FROM agg
+"""
+
+
+@query("agg_gini_concentration", oracle=_GINI_SQL)
+def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer-spend concentration — the one-number
+    answer to 'how dependent is revenue on a few whales?' (0 = uniform,
+    →1 = winner-take-all), via the exact rank formula
+    G = 2·Σ(rank·x)/(n·Σx) − (n+1)/n over spend sorted ascending.
+
+    rank·spend products and both sums are exact 64-bit integers (rank ≤
+    customers, cents ≤ 2^47 — no overflow until ~10^11 customers); the
+    final expression is a fixed tree of IEEE ops, so both engines emit the
+    same double. The rank tie-breaks on custkey → total order. Scale
+    shape: one fact agg to customer grain, one global rank over that grain
+    (two-pass range-partitioned at 100 TB — rank arithmetic is
+    layout-free), one tiny reduce."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("spend")
+    )
+    ranked = cust.select(
+        "spend",
+        F.row_number().over(W.orderBy("spend", "o_custkey")).alias("rk"),
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("spend").alias("total"),
+        F.sum(F.col("rk") * F.col("spend")).alias("weighted"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    return agg.select(
+        "n",
+        F.col("total").alias("total_cents"),
+        (
+            (2 * F.col("weighted")).cast("double") / (d("n") * d("total"))
+            - (F.col("n") + 1).cast("double") / d("n")
+        ).alias("gini"),
+    )
+
+
+_SIMPSON_SQL = """
+WITH mix AS (
+  SELECT o.o_custkey, p.p_brand, count(*) AS n
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  GROUP BY 1, 2
+),
+per_cust AS (
+  SELECT o_custkey,
+    cast(sum(n) AS BIGINT) AS n_lines,
+    cast(count(*) AS BIGINT) AS n_brands,
+    cast(sum(n * (n - 1)) AS BIGINT) AS same_pairs
+  FROM mix GROUP BY 1
+)
+SELECT o_custkey, n_lines, n_brands,
+  CASE WHEN n_lines > 1 THEN
+    1 - cast(same_pairs AS DOUBLE) / cast(n_lines * (n_lines - 1) AS DOUBLE)
+  ELSE cast(0 AS DOUBLE) END AS simpson_diversity
+FROM per_cust
+"""
+
+
+@query("agg_simpson_diversity", oracle=_SIMPSON_SQL)
+def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer brand-mix diversity via the unbiased Gini-Simpson index
+    1 − Σnᵢ(nᵢ−1)/(N(N−1)) — the probability two randomly drawn purchase
+    lines are DIFFERENT brands. The information-theoretic alternative
+    (Shannon entropy) needs ln(), whose libm ulps differ per engine;
+    Simpson carries the same 'concentrated vs diverse' signal as pure
+    integer pair-counting plus ONE division, so it hash-matches exactly —
+    the entropy-shaped metric done the cross-engine-safe way.
+
+    Scale shape: one fact aggregation to (customer, brand) grain, then a
+    customer-grain re-aggregate — two shuffles on shrinking grains, dims
+    broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    mix = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("o_custkey", "p_brand")
+        .agg(F.count("*").alias("n"))
+    )
+    per_cust = mix.groupBy("o_custkey").agg(
+        F.sum("n").alias("n_lines"),
+        F.count("*").alias("n_brands"),
+        F.sum(F.col("n") * (F.col("n") - 1)).alias("same_pairs"),
+    )
+    return per_cust.select(
+        "o_custkey",
+        "n_lines",
+        "n_brands",
+        F.when(
+            F.col("n_lines") > 1,
+            1
+            - F.col("same_pairs").cast("double")
+            / (F.col("n_lines") * (F.col("n_lines") - 1)).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("simpson_diversity"),
+    )
