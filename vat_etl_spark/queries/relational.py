@@ -1831,3 +1831,60 @@ def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("simpson_diversity"),
     )
+
+
+_LORENZ_SQL = """
+WITH cust AS (
+  SELECT o_custkey, sum(cast(round(o_totalprice * 100) AS BIGINT)) AS spend
+  FROM orders GROUP BY o_custkey
+),
+d AS (
+  SELECT spend,
+    cast(ntile(10) OVER (ORDER BY spend, o_custkey) AS INTEGER) AS decile
+  FROM cust
+),
+g AS (
+  SELECT decile, count(*) AS n_customers,
+    cast(sum(spend) AS BIGINT) AS decile_cents
+  FROM d GROUP BY decile
+)
+SELECT decile, n_customers, decile_cents,
+  cast(sum(decile_cents) OVER (ORDER BY decile
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+    / cast(sum(decile_cents) OVER () AS DOUBLE) AS cum_share
+FROM g
+"""
+
+
+@query("agg_lorenz_deciles", oracle=_LORENZ_SQL)
+def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve in decile form: customers ranked by spend into tie-
+    broken ntiles, each decile's exact cent total and the cumulative share
+    of revenue up to it — the table behind every 'bottom 50% of customers
+    = X% of revenue' statement, and the curve whose area the Gini
+    coefficient (agg_gini_concentration) summarizes.
+
+    Integer window sums over 10 decile rows; shares are terminal
+    divisions. Scale: fact → customer grain → 10 rows; the global ntile is
+    rank arithmetic (range-partitioned two-pass at 100 TB)."""
+    o = _t(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("spend")
+    )
+    d = cust.select(
+        "spend", F.ntile(10).over(W.orderBy("spend", "o_custkey")).alias("decile")
+    )
+    g = d.groupBy("decile").agg(
+        F.count("*").alias("n_customers"), F.sum("spend").alias("decile_cents")
+    )
+    return g.select(
+        "decile",
+        "n_customers",
+        "decile_cents",
+        (
+            F.sum("decile_cents")
+            .over(W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow))
+            .cast("double")
+            / F.sum("decile_cents").over(W.partitionBy()).cast("double")
+        ).alias("cum_share"),
+    )

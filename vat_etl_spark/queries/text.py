@@ -674,3 +674,39 @@ def text_keywords_rational_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "word", "tf", "df", "score", "rank")
     )
+
+
+_CONFUSION_SQL = f"""
+WITH pred AS ({_LANGID_SQL})
+SELECT labeled_lang, predicted_lang, count(*) AS n,
+  cast(count(*) AS DOUBLE)
+    / cast(sum(count(*)) OVER (PARTITION BY labeled_lang) AS DOUBLE)
+    AS row_share
+FROM pred GROUP BY 1, 2
+"""
+
+
+@query("text_langid_confusion", oracle=_CONFUSION_SQL)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the language-ID heuristic against the labeled
+    lang column (counts + per-true-label row shares) — the eval artifact
+    that turns a classifier into a monitored component: diagonal mass =
+    accuracy per language, off-diagonal cells name the failure pairs.
+
+    Composes the registered predictor (text_language_id) — evals and
+    predictions share ONE definition, so the matrix can never drift from
+    the model it scores. Counts are integer; row shares one division.
+    Scale: matrix cardinality is |langs|² regardless of corpus size."""
+    pred = text_language_id(spark, sf_dir)
+    counts = pred.groupBy("labeled_lang", "predicted_lang").agg(
+        F.count("*").alias("n")
+    )
+    return counts.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("labeled_lang")).cast("double")
+        ).alias("row_share"),
+    )
