@@ -86,3 +86,9 @@ def test_prefix_filter_shrinks_candidates_losslessly(spark, sf_smoke):
         for r in QUERIES["dedup_jaccard_prefix"](spark, sf_smoke).collect()
     )
     assert naive == pref
+
+
+def test_lsh_recall_against_exact_ground_truth(spark, sf_smoke):
+    row = QUERIES["dedup_lsh_recall_eval"](spark, sf_smoke).collect()[0]
+    assert row.n_truth_pairs > 0  # a vacuous audit verifies nothing
+    assert row.recall >= 0.9, (row.n_hits, row.n_truth_pairs)

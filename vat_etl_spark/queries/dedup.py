@@ -491,3 +491,52 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("common").cast("double") / F.col("n_a")).alias("containment"),
         )
     )
+
+
+@query("dedup_lsh_recall_eval")  # rows-only: evaluates the Spark-specific LSH path
+def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the MinHash-LSH candidate generator against exact
+    ground truth: every 3-shingle-set pair with true Jaccard ≥ 0.6 (the
+    integer cross-multiplied 5·common ≥ 3·(|A|+|B|−common) test — no float
+    boundary) is checked for presence in dedup_minhash_lsh's candidate set.
+    One row out: truth size, candidate size, hits, recall — the number
+    that tells you whether the banded index is safe to swap in for the
+    exact join at 100 TB (precision is cheap to recover by re-verifying
+    candidates; RECALL loss is silent data corruption, so it is the
+    audited quantity). tests/test_dedup_determinism.py pins recall ≥ 0.9."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = d.where(F.size(toks) >= 3).select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(0, size(split(trim(text), '\\\\s+')) - 3),"
+                " i -> concat_ws(' ', split(trim(text), '\\\\s+')[i],"
+                " split(trim(text), '\\\\s+')[i+1], split(trim(text), '\\\\s+')[i+2]))"
+            )
+        ).alias("shingles"),
+    )
+    t = sh.select("doc_id", F.explode("shingles").alias("tok"))
+    sizes = t.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = t.select(F.col("doc_id").alias("doc_a"), "tok")
+    b = t.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
+    common = (
+        a.join(b, (F.col("tok") == F.col("tok_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("common"))
+    )
+    truth = (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .where(5 * F.col("common") >= 3 * (F.col("na") + F.col("nb") - F.col("common")))
+        .select("doc_a", "doc_b")
+    )
+    cand = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_hit = truth.join(cand, ["doc_a", "doc_b"]).count()
+    recall = (n_hit / n_truth) if n_truth else 1.0
+    return spark.createDataFrame(
+        [(n_truth, n_cand, n_hit, float(recall))],
+        "n_truth_pairs long, n_candidates long, n_hits long, recall double",
+    )

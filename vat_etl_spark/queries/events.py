@@ -741,3 +741,73 @@ def events_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         "streak_start",
         "streak_end",
     )
+
+
+_PIT_SQL = """
+WITH dim AS (
+  SELECT user_id, event_type AS status, ts AS valid_from,
+    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM (
+    SELECT user_id, event_type, ts, event_id,
+      lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+    FROM events WHERE event_type <> 'purchase'
+  ) WHERE prev IS NULL OR prev <> event_type
+),
+facts AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT f.event_id, f.user_id, f.ts,
+  coalesce(d.status, 'unknown') AS status_at_purchase,
+  d.valid_from
+FROM facts f LEFT JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
+@query("join_point_in_time", oracle=_PIT_SQL)
+def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) correct dimension join — the feature-store
+    operator that prevents training-data leakage: each purchase is joined
+    to the user-status SCD2 interval that was valid AT ITS TIMESTAMP
+    (status = latest preceding non-purchase event type), never to a later
+    version of the dimension.
+
+    The SCD2 build shares one user shuffle across both window passes; the
+    PIT join is equi on user_id with the interval containment as residual
+    — at 100 TB both sides co-partition on the key and a validity-month
+    band column bounds the residual scan (same banding as the range-join
+    family). LEFT semantics keep pre-history facts ('unknown'), so fact
+    cardinality is preserved — the invariant PIT joins must hold."""
+    e = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nonp = e.where(F.col("event_type") != "purchase")
+    changes = nonp.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+    dim = changes.select(
+        F.col("user_id").alias("d_user"),
+        F.col("event_type").alias("status"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(
+            W.partitionBy("user_id").orderBy("ts", "event_id")
+        ).alias("valid_to"),
+    )
+    facts = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    return facts.join(
+        dim,
+        (F.col("user_id") == F.col("d_user"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to"))),
+        "left",
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("status"), F.lit("unknown")).alias("status_at_purchase"),
+        "valid_from",
+    )
