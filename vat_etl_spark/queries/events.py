@@ -811,3 +811,43 @@ def join_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("status"), F.lit("unknown")).alias("status_at_purchase"),
         "valid_from",
     )
+
+
+_NEW_RETURNING_SQL = """
+WITH du AS (SELECT DISTINCT user_id, cast(ts AS DATE) AS day FROM events),
+first_day AS (SELECT user_id, min(day) AS d0 FROM du GROUP BY user_id)
+SELECT du.day,
+  count(*) AS active_users,
+  sum(CASE WHEN du.day = f.d0 THEN 1 ELSE 0 END) AS new_users,
+  sum(CASE WHEN du.day > f.d0 THEN 1 ELSE 0 END) AS returning_users,
+  cast(sum(CASE WHEN du.day > f.d0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+    AS returning_share
+FROM du JOIN first_day f ON du.user_id = f.user_id
+GROUP BY du.day
+"""
+
+
+@query("events_new_vs_returning", oracle=_NEW_RETURNING_SQL)
+def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever active day) vs
+    RETURNING — the growth-accounting decomposition behind every DAU
+    chart ('is growth acquisition or retention?').
+
+    Scale shape: dedup to (user, day) grain, derive each user's first day
+    as a re-aggregate of that same grain, join back on user_id (both
+    sides co-partition — one shuffle), aggregate to calendar days.
+    Integer counts + one terminal division."""
+    e = _t(spark, sf_dir, "events")
+    du = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first_day = du.groupBy(F.col("user_id").alias("f_user")).agg(
+        F.min("day").alias("d0")
+    )
+    j = du.join(first_day, F.col("user_id") == F.col("f_user"))
+    is_new = F.when(F.col("day") == F.col("d0"), 1).otherwise(0)
+    is_ret = F.when(F.col("day") > F.col("d0"), 1).otherwise(0)
+    return j.groupBy("day").agg(
+        F.count("*").alias("active_users"),
+        F.sum(is_new).alias("new_users"),
+        F.sum(is_ret).alias("returning_users"),
+        (F.sum(is_ret).cast("double") / F.count("*")).alias("returning_share"),
+    )

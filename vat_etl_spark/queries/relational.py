@@ -1888,3 +1888,74 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("decile_cents").over(W.partitionBy()).cast("double")
         ).alias("cum_share"),
     )
+
+
+_WINSOR_SQL = """
+WITH e AS (
+  SELECT event_type, cast(round(value * 100) AS BIGINT) AS cents FROM events
+),
+bounds AS (
+  SELECT event_type,
+    cast(quantile_disc(cents, 0.05) AS BIGINT) AS lo,
+    cast(quantile_disc(cents, 0.95) AS BIGINT) AS hi
+  FROM e GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+  any_value(lo) AS p05_cents, any_value(hi) AS p95_cents,
+  cast(sum(CASE WHEN cents < lo THEN lo WHEN cents > hi THEN hi
+                ELSE cents END) AS BIGINT) AS winsorized_sum_cents,
+  cast(sum(CASE WHEN cents < lo THEN lo WHEN cents > hi THEN hi
+                ELSE cents END) AS DOUBLE) / (count(*) * 100)
+    AS winsorized_mean,
+  sum(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END) AS n_clamped
+FROM e JOIN bounds USING (event_type)
+GROUP BY e.event_type
+"""
+
+
+@query("agg_winsorized_mean", oracle=_WINSOR_SQL)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event type: values clamped at the DISCRETE
+    p5/p95 before averaging — the robust mean that keeps heavy-tail
+    outliers from owning the statistic while (unlike trimming) preserving
+    row count.
+
+    Exactness hinges on percentile_disc, not percentile: discrete
+    quantiles are actual data values (integer cents), so the clamped sum
+    is a pure integer aggregate — an interpolated boundary would inject a
+    float into the sum and break order-independence. Scale shape: two
+    passes over the same event_type-keyed shuffle (bounds, then clamped
+    agg with bounds broadcast back); at 100 TB the bounds pass can run on
+    a sample or a mergeable quantile sketch with the same plumbing."""
+    e = _t(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    bounds = e.groupBy(F.col("event_type").alias("b_type")).agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("lo"),
+        F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY cents)")
+        .cast("bigint")
+        .alias("hi"),
+    )
+    clamped = F.when(F.col("cents") < F.col("lo"), F.col("lo")).when(
+        F.col("cents") > F.col("hi"), F.col("hi")
+    ).otherwise(F.col("cents"))
+    return (
+        e.join(F.broadcast(bounds), F.col("event_type") == F.col("b_type"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.any_value("lo").alias("p05_cents"),
+            F.any_value("hi").alias("p95_cents"),
+            F.sum(clamped).alias("winsorized_sum_cents"),
+            (F.sum(clamped).cast("double") / (F.count("*") * 100)).alias(
+                "winsorized_mean"
+            ),
+            F.sum(
+                F.when(
+                    (F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")), 1
+                ).otherwise(0)
+            ).alias("n_clamped"),
+        )
+    )
