@@ -92,3 +92,12 @@ def test_lsh_recall_against_exact_ground_truth(spark, sf_smoke):
     row = QUERIES["dedup_lsh_recall_eval"](spark, sf_smoke).collect()[0]
     assert row.n_truth_pairs > 0  # a vacuous audit verifies nothing
     assert row.recall >= 0.9, (row.n_hits, row.n_truth_pairs)
+
+
+def test_phonetic_blocking_deterministic_and_blocked(spark, sf_smoke):
+    df = QUERIES["dedup_phonetic_blocking"](spark, sf_smoke)
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, df.collect()))
+    assert a == b
+    for r in a:
+        assert r[1] < r[3]  # each pair emitted once (key_a < key_b)

@@ -75,3 +75,18 @@ def test_rolling_hll_tracks_exact_rolling_distinct(spark, sf_smoke):
     assert set(est) == set(exact)
     for day, ex in exact.items():
         assert abs(est[day] - ex) <= max(2, 0.03 * ex), (day, est[day], ex)
+
+
+def test_hll_intersection_tracks_exact_overlap(spark, sf_smoke):
+    from pyspark.sql import functions as F
+
+    row = QUERIES["agg_hll_intersection"](spark, sf_smoke).collect()[0]
+    e = spark.read.parquet(f"{sf_smoke}/events.parquet").withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+    clickers = {r.user_id for r in e.where("event_type = 'click'").select("user_id").distinct().collect()}
+    purchasers = {r.user_id for r in e.where("event_type = 'purchase'").select("user_id").distinct().collect()}
+    exact = len(clickers & purchasers)
+    assert exact > 0
+    # inclusion-exclusion compounds three ±~1% sketch errors
+    assert abs(row.intersection_est - exact) <= max(3, 0.1 * exact), (row, exact)

@@ -540,3 +540,83 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_truth, n_cand, n_hit, float(recall))],
         "n_truth_pairs long, n_candidates long, n_hits long, recall double",
     )
+
+
+@query("dedup_phonetic_blocking")  # rows-only: soundex has no DuckDB twin
+def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic entity resolution: part names blocked by the SOUNDEX code
+    of their head word (sound-alike words share a block), then in-block
+    levenshtein ≤ 3 pairs — catches 'Smith/Smyth'-style spelling drift
+    that prefix blocking (fuzzy_match_names) misses, the other standard
+    blocking key in record linkage.
+
+    Rows-only: DuckDB has no soundex; determinism is pinned in
+    tests/test_dedup_determinism.py instead (stable codes, symmetric-free
+    pair emission). Blocking keys must be validated against the DATA:
+    soundex of customer names here degenerates to ONE code (synthetic
+    names differ only in digits, which soundex drops — 785 K pairs in a
+    single block), so the key is soundex of the part name's head word,
+    which is real vocabulary. Scale shape identical to the fuzzy join:
+    block key is map-side, the self-join shuffles once on the code, and
+    quadratic work is confined inside blocks."""
+    c = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    keyed = c.select(
+        F.col("p_partkey").alias("key"),
+        F.col("p_name").alias("name"),
+        F.soundex(F.split(F.col("p_name"), " ")[0]).alias("code"),
+    )
+    a = keyed.select(
+        F.col("key").alias("key_a"), F.col("name").alias("name_a"), "code"
+    )
+    b = keyed.select(
+        F.col("key").alias("key_b"),
+        F.col("name").alias("name_b"),
+        F.col("code").alias("code_b"),
+    )
+    return (
+        a.join(b, (F.col("code") == F.col("code_b")) & (F.col("key_a") < F.col("key_b")))
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("edit_dist") <= 3)
+        .select("code", "key_a", "name_a", "key_b", "name_b", "edit_dist")
+    )
+
+
+@query("agg_hll_intersection")  # rows-only: sketch estimates are engine-specific
+def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set algebra: estimated overlap of two behavioral cohorts
+    (users who click vs users who purchase) by inclusion-exclusion over
+    HLL sketches — |A∩B| ≈ |A| + |B| − |A∪B|, where the union is a sketch
+    MERGE, never a re-scan. This is how audience-overlap questions get
+    answered at 100 TB: per-segment sketches are materialized once and any
+    pairwise (or k-way) overlap is driver-side sketch arithmetic.
+
+    tests/test_sampling.py bounds the estimate against the exact overlap
+    (inclusion-exclusion compounds the per-sketch error, so the bound is
+    looser than a single sketch's)."""
+    e = _t(spark, sf_dir, "events")
+    sk = e.where(F.col("event_type").isin("click", "purchase")).groupBy(
+        "event_type"
+    ).agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sk"))
+    both = sk.agg(
+        F.hll_union_agg("sk").alias("sk_union"),
+        F.count("*").alias("n_segments"),
+    )
+    per = sk.select(
+        "event_type", F.hll_sketch_estimate("sk").cast("long").alias("est")
+    ).collect()
+    est = {r["event_type"]: r["est"] for r in per}
+    union_est = both.select(
+        F.hll_sketch_estimate("sk_union").cast("long").alias("u")
+    ).first()["u"]
+    inter = est.get("click", 0) + est.get("purchase", 0) - union_est
+    return spark.createDataFrame(
+        [
+            (
+                est.get("click", 0),
+                est.get("purchase", 0),
+                union_est,
+                int(inter),
+            )
+        ],
+        "clickers long, purchasers long, union_est long, intersection_est long",
+    )
