@@ -851,3 +851,143 @@ def events_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_ret).alias("returning_users"),
         (F.sum(is_ret).cast("double") / F.count("*")).alias("returning_share"),
     )
+
+
+_FUNNEL_TIME_SQL = """
+WITH s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+),
+gaps AS (
+  SELECT 'view_to_click' AS stage,
+    epoch_us(s2.t_click) - epoch_us(s1.t_view) AS gap_us
+  FROM s1 JOIN s2 ON s1.user_id = s2.user_id
+  UNION ALL
+  SELECT 'click_to_purchase',
+    epoch_us(s3.t_purchase) - epoch_us(s2.t_click)
+  FROM s2 JOIN s3 ON s2.user_id = s3.user_id
+)
+SELECT stage, count(*) AS n_users,
+  cast(min(gap_us) AS BIGINT) AS min_gap_us,
+  quantile_cont(gap_us, 0.5) AS median_gap_us,
+  quantile_cont(gap_us, 0.9) AS p90_gap_us,
+  cast(max(gap_us) AS BIGINT) AS max_gap_us
+FROM gaps GROUP BY stage
+"""
+
+
+@query("events_funnel_time_to_convert", oracle=_FUNNEL_TIME_SQL)
+def events_funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per funnel transition (view→click,
+    click→purchase): median/p90 of the gap between a user's stage
+    frontiers — the latency companion to events_funnel's count-based
+    drop-off (a funnel that converts but takes 3 days is a different
+    product problem than one that converts in 3 minutes).
+
+    Same co-partitioned stage-frontier joins as the funnel; gaps are
+    integer µs and percentiles the verified-safe interpolated form.
+    Output is 2 rows regardless of volume."""
+    e = _t(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    g1 = s1.join(s2, "user_id").select(
+        F.lit("view_to_click").alias("stage"),
+        (F.unix_micros("t_click") - F.unix_micros("t_view")).alias("gap_us"),
+    )
+    g2 = s2.join(s3, "user_id").select(
+        F.lit("click_to_purchase").alias("stage"),
+        (F.unix_micros("t_purchase") - F.unix_micros("t_click")).alias("gap_us"),
+    )
+    return g1.unionByName(g2).groupBy("stage").agg(
+        F.count("*").alias("n_users"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.expr("percentile(gap_us, 0.5)").alias("median_gap_us"),
+        F.expr("percentile(gap_us, 0.9)").alias("p90_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+_WILSON_SQL = """
+WITH daily AS (
+  SELECT cast(ts AS DATE) AS day,
+    count(*) AS n,
+    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+  FROM events GROUP BY 1
+),
+w AS (
+  SELECT day, n, errors,
+    cast(errors AS DOUBLE) / cast(n AS DOUBLE) AS p,
+    cast(1.96 AS DOUBLE) AS z
+  FROM daily
+)
+SELECT day, n, errors, p AS error_rate,
+  (p + z * z / (2 * n) - z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+    / (1 + z * z / n) AS ci_low,
+  (p + z * z / (2 * n) + z * sqrt(p * (1 - p) / n + z * z / (4 * n * n)))
+    / (1 + z * z / n) AS ci_high
+FROM w
+"""
+
+
+@query("dq_error_rate_wilson_ci", oracle=_WILSON_SQL)
+def dq_error_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily error rate with a Wilson-score 95% confidence interval — the
+    statistically honest version of an error-rate dashboard: on a
+    200-event day, 3% vs 5% is noise, and the CI says so (the naive ±
+    normal interval misbehaves exactly at the low rates monitoring cares
+    about; Wilson doesn't).
+
+    Every term is +,−,×,÷,sqrt over exact integer-derived doubles — all
+    IEEE correctly-rounded and cross-engine deterministic (the verified
+    sqrt contract; no libm transcendentals) — with the expression tree
+    spelled IDENTICALLY in both engines, z=1.96 a shared literal. One
+    fact agg to day grain, then map-side arithmetic."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "errors"
+        ),
+    )
+    p = F.col("errors").cast("double") / F.col("n").cast("double")
+    z = F.lit(1.96).cast("double")
+    half = z * F.sqrt(p * (1 - p) / F.col("n") + z * z / (4 * F.col("n") * F.col("n")))
+    center = p + z * z / (2 * F.col("n"))
+    denom = 1 + z * z / F.col("n")
+    return daily.select(
+        "day",
+        "n",
+        "errors",
+        p.alias("error_rate"),
+        ((center - half) / denom).alias("ci_low"),
+        ((center + half) / denom).alias("ci_high"),
+    )
