@@ -991,3 +991,75 @@ def dq_error_rate_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((center - half) / denom).alias("ci_low"),
         ((center + half) / denom).alias("ci_high"),
     )
+
+
+_LTV_SQL = """
+WITH p AS (
+  SELECT user_id, cast(round(value * 100) AS BIGINT) AS cents,
+    cast(date_trunc('week', ts) AS DATE) AS w
+  FROM events WHERE event_type = 'purchase'
+),
+cohort AS (SELECT user_id, min(w) AS w0 FROM p GROUP BY user_id),
+sizes AS (SELECT w0, count(*) AS cohort_users FROM cohort GROUP BY w0),
+weekly AS (
+  SELECT c.w0, (p.w - c.w0) // 7 AS offset_w, sum(p.cents) AS rev
+  FROM p JOIN cohort c ON p.user_id = c.user_id
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT w0, offset_w, rev,
+    sum(rev) OVER (PARTITION BY w0 ORDER BY offset_w
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+  FROM weekly
+)
+SELECT cum.w0 AS cohort_week, cast(offset_w AS INTEGER) AS week_offset,
+  s.cohort_users,
+  cast(rev AS BIGINT) AS revenue_cents,
+  cast(cum_rev AS BIGINT) AS cum_revenue_cents,
+  cast(cum_rev AS DOUBLE) / (s.cohort_users * 100) AS ltv_per_user
+FROM cum JOIN sizes s ON cum.w0 = s.w0
+"""
+
+
+@query("events_cohort_ltv", oracle=_LTV_SQL)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative revenue per user by first-purchase
+    cohort × week offset — the money companion to the retention matrix
+    (events_cohort_retention counts WHO comes back; this accumulates WHAT
+    they spend, the curve payback/CAC decisions read).
+
+    Integer cents throughout; the cumulative walk is an integer window
+    over week offsets (≤ span weeks per cohort); ltv_per_user is one
+    terminal division. Scale shape: fact → (cohort, offset) grain before
+    any window runs — the aggregate-first discipline. (Week grain because
+    the events table spans one month — month cohorts would be a 1-row
+    curve; probe the data before picking grains.)"""
+    e = _t(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        F.to_date(F.date_trunc("week", "ts")).alias("w"),
+    )
+    cohort = p.groupBy(F.col("user_id").alias("c_user")).agg(F.min("w").alias("w0"))
+    sizes = cohort.groupBy(F.col("w0").alias("s_w0")).agg(
+        F.count("*").alias("cohort_users")
+    )
+    weekly = (
+        p.join(cohort, F.col("user_id") == F.col("c_user"))
+        .groupBy("w0", F.expr("datediff(w, w0) div 7").alias("offset_w"))
+        .agg(F.sum("cents").alias("rev"))
+    )
+    win = W.partitionBy("w0").orderBy("offset_w").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    cum = weekly.withColumn("cum_rev", F.sum("rev").over(win))
+    return cum.join(F.broadcast(sizes), F.col("w0") == F.col("s_w0")).select(
+        F.col("w0").alias("cohort_week"),
+        F.col("offset_w").cast("int").alias("week_offset"),
+        "cohort_users",
+        F.col("rev").alias("revenue_cents"),
+        F.col("cum_rev").alias("cum_revenue_cents"),
+        (
+            F.col("cum_rev").cast("double") / (F.col("cohort_users") * 100)
+        ).alias("ltv_per_user"),
+    )

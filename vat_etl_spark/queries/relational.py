@@ -1959,3 +1959,48 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_clamped"),
         )
     )
+
+
+_LOG2_HIST_SQL = """
+WITH b AS (
+  SELECT event_type,
+    length(bin(cast(round(value * 100) AS BIGINT))) AS bucket
+  FROM events WHERE value > 0
+)
+SELECT event_type, cast(bucket AS INTEGER) AS log2_bucket,
+  cast(1 << (bucket - 1) AS BIGINT) AS bucket_lo_cents,
+  cast((1 << bucket) - 1 AS BIGINT) AS bucket_hi_cents,
+  count(*) AS n
+FROM b GROUP BY event_type, bucket
+"""
+
+
+@query("agg_log2_histogram", oracle=_LOG2_HIST_SQL)
+def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-scale (power-of-two bucket) value histogram per event type —
+    the right shape for heavy-tailed money distributions, where linear
+    buckets put everything in bin 1 — computed WITHOUT log2(): the bucket
+    is the bit length of the integer cents (length of its binary string,
+    an exact integer both engines agree on), the no-libm spelling of
+    floor(log2)+1.
+
+    Buckets are map-side; one aggregate to (type × ~20 buckets) rows.
+    The [lo, hi] bounds are reconstructed by integer shifts."""
+    e = _t(spark, sf_dir, "events").where(F.col("value") > 0)
+    bucket = F.length(F.bin(F.round(F.col("value") * 100).cast("bigint")))
+    return (
+        e.select("event_type", bucket.cast("int").alias("log2_bucket"))
+        .groupBy("event_type", "log2_bucket")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            "log2_bucket",
+            F.expr("cast(shiftleft(1L, log2_bucket - 1) AS BIGINT)").alias(
+                "bucket_lo_cents"
+            ),
+            F.expr("cast(shiftleft(1L, log2_bucket) - 1 AS BIGINT)").alias(
+                "bucket_hi_cents"
+            ),
+            "n",
+        )
+    )
