@@ -710,3 +710,52 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(W.partitionBy("labeled_lang")).cast("double")
         ).alias("row_share"),
     )
+
+
+_VOCAB_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS w
+  FROM documents
+),
+first_seen AS (SELECT w, min(doc_id) AS d0 FROM tok GROUP BY w),
+bounds AS (SELECT max(doc_id) AS dmax, count(DISTINCT doc_id) AS n_docs FROM tok),
+thresholds AS (
+  SELECT k, ((k * (dmax + 1)) // 10) - 1 AS n_k
+  FROM bounds CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS k)
+)
+SELECT cast(t.k AS INTEGER) AS decile, cast(t.n_k AS BIGINT) AS through_doc_id,
+  count(f.w) AS vocab_size
+FROM thresholds t LEFT JOIN first_seen f ON f.d0 <= t.n_k
+GROUP BY t.k, t.n_k
+"""
+
+
+@query("text_vocab_growth", oracle=_VOCAB_SQL)
+def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth (Heaps'-law) curve: distinct-token count after
+    each successive tenth of the corpus — the standard diagnostic for
+    'is this corpus still contributing new tokens, or is it saturated?'
+    (a dedup/quality signal: a flat curve means the tail is repetition).
+
+    Cumulative-distinct is not frame-able as a window, so the exact
+    spelling is first-occurrence doc per token (one aggregate), then a
+    10-row threshold table joined against it — integer comparisons only.
+    Scale shape: the token→min(doc) aggregate is the only fact-sized
+    shuffle; the curve itself is dim-sized."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("w"),
+    )
+    first_seen = tok.groupBy("w").agg(F.min("doc_id").alias("d0"))
+    dmax = tok.agg(F.max("doc_id")).first()[0]
+    thresholds = spark.range(1, 11).select(
+        F.col("id").cast("int").alias("decile"),
+        ((F.col("id") * (dmax + 1)) / 10).cast("bigint").alias("n_k_plus1"),
+    ).select("decile", (F.col("n_k_plus1") - 1).alias("through_doc_id"))
+    return (
+        F.broadcast(thresholds)
+        .join(first_seen, F.col("d0") <= F.col("through_doc_id"), "left")
+        .groupBy("decile", "through_doc_id")
+        .agg(F.count("w").alias("vocab_size"))
+    )
