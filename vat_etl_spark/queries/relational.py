@@ -2004,3 +2004,86 @@ def agg_log2_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+_SKEWKURT_SQL = """
+WITH e AS (
+  SELECT event_type, cast(cast(round(value * 100) AS BIGINT) AS HUGEINT) AS c
+  FROM events
+),
+s AS (
+  SELECT event_type, count(*) AS n,
+    sum(c) AS s1, sum(c * c) AS s2, sum(c * c * c) AS s3,
+    sum(c * c * c * c) AS s4
+  FROM e GROUP BY event_type
+),
+d AS (
+  -- hugeint -> double via VARCHAR: DuckDB's direct HUGEINT cast rounds
+  -- through two 64-bit limbs and can be off by an ulp above 2^53; the
+  -- string path is correctly rounded (matches Spark's decimal cast)
+  SELECT event_type, n,
+    cast(cast(s1 AS VARCHAR) AS DOUBLE) AS d1,
+    cast(cast(s2 AS VARCHAR) AS DOUBLE) AS d2,
+    cast(cast(s3 AS VARCHAR) AS DOUBLE) AS d3,
+    cast(cast(s4 AS VARCHAR) AS DOUBLE) AS d4,
+    cast(n AS DOUBLE) AS dn
+  FROM s
+),
+m AS (
+  SELECT event_type, n, d1 / dn AS mu,
+    d2 / dn - (d1 / dn) * (d1 / dn) AS m2,
+    d3 / dn - 3 * (d1 / dn) * (d2 / dn)
+      + 2 * (d1 / dn) * (d1 / dn) * (d1 / dn) AS m3,
+    d4 / dn - 4 * (d1 / dn) * (d3 / dn)
+      + 6 * (d1 / dn) * (d1 / dn) * (d2 / dn)
+      - 3 * (d1 / dn) * (d1 / dn) * (d1 / dn) * (d1 / dn) AS m4
+  FROM d
+)
+SELECT event_type, n, mu / 100 AS mean_value,
+  m3 / (m2 * sqrt(m2)) AS skewness,
+  m4 / (m2 * m2) - 3 AS excess_kurtosis
+FROM m
+"""
+
+
+@query("agg_skew_kurtosis_exact", oracle=_SKEWKURT_SQL)
+def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact skewness and excess kurtosis per event type — the 3rd/4th-
+    moment tail diagnostics that tell you a mean/variance summary is
+    lying (heavy-tailed payment values have kurtosis ≫ 0 long before the
+    variance moves).
+
+    The raw power sums S1..S4 accumulate as EXACT integers (cents in
+    DECIMAL(38)/HUGEINT — cents⁴ overflows int64, which is why the naive
+    bigint spelling is wrong); central moments are then a FIXED tree of
+    IEEE ops over the exactly-cast doubles, mirrored term-for-term in
+    both engines (sqrt is correctly rounded, no libm). Scale: one
+    partial-aggregable pass — the moment sums merge associatively, so
+    this is also the mergeable-partials shape."""
+    c = F.round(F.col("value") * 100).cast("bigint").cast("decimal(38,0)")
+    e = _t(spark, sf_dir, "events").select("event_type", c.alias("c"))
+    s = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+        F.sum(F.col("c") * F.col("c") * F.col("c")).alias("s3"),
+        F.sum(F.col("c") * F.col("c") * F.col("c") * F.col("c")).alias("s4"),
+    )
+    d1, d2, d3, d4 = (F.col(x).cast("double") for x in ("s1", "s2", "s3", "s4"))
+    dn = F.col("n").cast("double")
+    mu = d1 / dn
+    m2 = d2 / dn - (d1 / dn) * (d1 / dn)
+    m3 = d3 / dn - 3 * (d1 / dn) * (d2 / dn) + 2 * (d1 / dn) * (d1 / dn) * (d1 / dn)
+    m4 = (
+        d4 / dn
+        - 4 * (d1 / dn) * (d3 / dn)
+        + 6 * (d1 / dn) * (d1 / dn) * (d2 / dn)
+        - 3 * (d1 / dn) * (d1 / dn) * (d1 / dn) * (d1 / dn)
+    )
+    return s.select(
+        "event_type",
+        "n",
+        (mu / 100).alias("mean_value"),
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - 3).alias("excess_kurtosis"),
+    )
