@@ -399,3 +399,41 @@ def test_foreachbatch_incremental_partials_equal_recompute(spark, tmp_path):
     )
     expected = {r.yyyymm: (r.n, int(r.s)) for r in batch.collect()}
     assert {k: tuple(v) for k, v in state.items()} == expected
+
+
+def test_stateful_operator_runs_on_rocksdb_state_store(spark, tmp_path):
+    """Same stateful operator, RocksDB state store provider — the 100 TB
+    state backend (state spills off-heap/on-disk instead of living on the
+    executor heap). Results must be identical to the default provider."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.streaming import user_running_totals_stateful
+    from vat_etl_spark.streaming.events import EVENTS_STREAM_SCHEMA
+
+    src = str(tmp_path / "src")
+    read_events(spark, "/root/testdata/sf0.001").coalesce(1).write.parquet(src)
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(src)
+        got = run_available_now(
+            user_running_totals_stateful(stream), "rocksdb_state", "update"
+        )
+        latest = {r.user_id: (r.n_events, r.total_cents) for r in got.collect()}
+        batch = (
+            spark.read.parquet(src)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long")).alias("c"),
+            )
+        )
+        assert latest == {r.user_id: (r.n, r.c) for r in batch.collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
