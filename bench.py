@@ -39,6 +39,10 @@ BENCH_QUERIES = [
     "text_corpus_stats",
     "dedup_exact",
     "knn_bruteforce_cosine",
+    # LLM-pipeline composite: quality-filter → exact-dedup survivor pick →
+    # shard assignment, end-to-end — guards the north-star tier, not just
+    # the relational surface.
+    "pipeline_training_set",
 ]
 
 

@@ -101,3 +101,53 @@ def test_phonetic_blocking_deterministic_and_blocked(spark, sf_smoke):
     assert a == b
     for r in a:
         assert r[1] < r[3]  # each pair emitted once (key_a < key_b)
+
+
+def test_df_cap_candidate_index_is_lossless(spark, sf_smoke):
+    """dedup_ngram_jaccard's df-capped candidate index must equal the naive
+    (uncapped) inverted-index join. Run with a cap small enough to actually
+    bite at this corpus size (df_cap=5 drops every common token's postings
+    from the capped side of the index), so equality exercises the prefix
+    rescue, not a no-op cap."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.dedup import _ngram_jaccard_capped
+    from vat_etl_spark.queries.text import tokens_expr
+    from vat_etl_spark.sources.catalog import read_table
+
+    keys = ["doc_a", "doc_b", "common", "n_a", "n_b"]
+    capped = sorted(
+        tuple(r[k] for k in keys)
+        for r in _ngram_jaccard_capped(spark, sf_smoke, df_cap=5).collect()
+    )
+    # naive reference: full postings self-join, no cap (the r02 plan)
+    d = read_table(spark, sf_smoke, "documents")
+    toks = d.select(
+        "doc_id", "lang",
+        F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok"),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = toks.alias("a"), toks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    naive = sorted(
+        tuple(r[k] for k in keys)
+        for r in pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= 0.6)
+        .select(*keys)
+        .collect()
+    )
+    assert capped == naive and len(capped) > 0

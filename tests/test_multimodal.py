@@ -4,6 +4,7 @@ feature extraction determinism, decode stub behavior."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from vat_etl_spark.operators.multimodal import (
     attach_payload,
@@ -44,9 +45,44 @@ def test_feature_extraction_deterministic(mm):
     assert sum(some[1]) == some[0]  # histogram mass == byte count
 
 
-def test_decode_stub_raises(mm):
-    with pytest.raises(NotImplementedError):
-        decode_image(mm)
+def test_decode_image_fills_dims_for_known_formats(spark):
+    # synthetic headers: a 640x480 PNG IHDR, a 13x11 GIF89a screen, a 7x5
+    # BMP info header, a 3x2 netpbm, and a text payload (→ NULL dims)
+    import struct
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 640, 480) + b"\x08"
+    gif = b"GIF89a" + struct.pack("<HH", 13, 11) + b"\x00" * 4
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 7, -5) + b"\x00" * 4
+    pbm = b"P6\n# comment\n3 2\n255\n" + b"\x00" * 18
+    txt = b"just some text"
+    rows = [(1, png), (2, gif), (3, bmp), (4, pbm), (5, txt)]
+    src = spark.createDataFrame(rows, "doc_id long, payload binary").select(
+        "doc_id",
+        "payload",
+        F.lit(None).cast("string").alias("uri"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+            F.md5("payload").alias("checksum"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+    out = {r.doc_id: (r.meta.width, r.meta.height) for r in decode_image(src).collect()}
+    assert out[1] == (640, 480)
+    assert out[2] == (13, 11)
+    assert out[3] == (7, 5)  # negative BMP height = top-down DIB → abs
+    assert out[4] == (3, 2)
+    assert out[5] == (None, None)
+
+
+def test_decode_image_pure_python_probe_direct():
+    # the fallback probe must behave identically whether or not PIL exists
+    from vat_etl_spark.operators.multimodal import _probe_image_dims
+
+    assert _probe_image_dims(b"") == (None, None)
+    assert _probe_image_dims(b"\x89PNG\r\n\x1a\n\x00") == (None, None)  # truncated
+    assert _probe_image_dims(b"P1 4 9") == (4, 9)
 
 
 def test_frame_sample_is_map_only(spark, sf_smoke):

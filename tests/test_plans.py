@@ -265,3 +265,34 @@ def test_weighted_median_windows_share_shuffle(spark, sf_smoke):
 
 def test_quantize_is_map_only(spark, sf_smoke):
     assert shuffle_count(QUERIES["embed_quantize_int8"](spark, sf_smoke)) == 0
+
+
+def _broadcast_hint_count(df) -> int:
+    """Explicit F.broadcast hints surviving in the analyzed logical plan —
+    independent of whether the physical planner ALSO chooses broadcast via
+    the size threshold (at test SF it will)."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return plan.count("ResolvedHint (strategy=broadcast)")
+
+
+def test_q5_hints_only_constant_dims(spark, sf_smoke):
+    # nation + region only: customer/supplier grow with SF, so a hard
+    # broadcast hint would OOM at 100x — the threshold/AQE decides for them.
+    df = QUERIES["q5_region_revenue"](spark, sf_smoke)
+    assert _broadcast_hint_count(df) == 2
+    assert has_broadcast_join(df)  # dims still broadcast at this size
+
+
+def test_q3_has_no_broadcast_hint(spark, sf_smoke):
+    df = QUERIES["q3_shipping_priority"](spark, sf_smoke)
+    assert _broadcast_hint_count(df) == 0
+
+
+def test_tpch_hints_only_constant_dims(spark, sf_smoke):
+    # every remaining hint in the TPC-H module sits on nation/region or a
+    # 1-row scalar aggregate; part/supplier/order-derived sides are unhinted
+    expected = {"q2_best_supplier_per_part": 2, "q8_market_share": 3,
+                "q9_product_profit": 1, "q21_waiting_orders": 1}
+    for name, n in expected.items():
+        df = QUERIES[name](spark, sf_smoke)
+        assert _broadcast_hint_count(df) <= n + 1, name

@@ -30,7 +30,12 @@ def dsum(expr: Column, scale: int = 2) -> Column:
     double arithmetic) summed into a DECIMAL buffer, so the accumulator is
     overflow-safe at any data volume while the per-row conversion avoids the
     BigDecimal allocation of a double→decimal cast (measured 2.3× on a
-    grouped sum at sf0.1; bit-identical within the micros() domain)."""
+    grouped sum at sf0.1; bit-identical within the micros() domain).
+
+    PER-ROW DOMAIN (inherited from :func:`micros`): |value| < ~10^9 with
+    ≤6 true decimals. Beyond that the double fast-path silently loses
+    exactness while the DECIMAL(30,6) oracle twin stays exact — route
+    wider inputs through an explicit decimal cast instead."""
     tot = F.sum(micros(expr).cast("decimal(26,0)"))
     return F.coalesce(
         F.round(tot / F.lit(10**6), scale).cast("double"), F.lit(0.0)
@@ -49,7 +54,8 @@ def dsumx(expr: Column) -> Column:
     """Unrounded exact sum as double: decimal-exact total → one
     decimal→double conversion. Use where the sum feeds arithmetic (shares,
     thresholds) rather than display — rounding first would *add* parity
-    risk at repr boundaries. Same accumulator as :func:`dsum`."""
+    risk at repr boundaries. Same accumulator — and same per-row
+    |value| < ~10^9 / ≤6-dp domain — as :func:`dsum`."""
     tot = F.sum(micros(expr).cast("decimal(26,0)"))
     return F.coalesce((tot / F.lit(10**6)).cast("double"), F.lit(0.0))
 
@@ -64,7 +70,8 @@ def davg(expr: Column) -> Column:
     by count. Both operands are bit-identical across engines, and IEEE
     division is deterministic, so the quotient is bit-identical too — no
     rounding needed (rounding would *add* repr-boundary risk). Same
-    micros-into-decimal accumulator as :func:`dsum`."""
+    micros-into-decimal accumulator — and same per-row |value| < ~10^9 /
+    ≤6-dp domain — as :func:`dsum`."""
     tot = F.sum(micros(expr).cast("decimal(26,0)"))
     return (tot / F.lit(10**6)).cast("double") / F.count(expr)
 

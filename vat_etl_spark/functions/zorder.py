@@ -41,10 +41,16 @@ def spread_bits(col: Column) -> Column:
 
 
 def zorder_key(a: Column, b: Column) -> Column:
-    """Interleaved 64-bit Z-value of two non-negative ≤32-bit ints:
+    """Interleaved Z-value of two non-negative **≤31-bit** ints:
     ``z = spread(a) | spread(b) << 1``. Rows sorted by z traverse the
     (a, b) plane along the Z curve — locality in z ⇒ locality in BOTH a
-    and b (each 2k-bit z prefix pins a 2^k × 2^k square)."""
+    and b (each 2k-bit z prefix pins a 2^k × 2^k square).
+
+    Domain bound: if b has bit 31 set, ``spread`` places it at bit 62 and
+    the ``<<1`` pushes it into the long's SIGN bit — those rows would sort
+    before all others and break Z-curve locality. Inputs wider than 31
+    bits must be grid-normalized first (``grid_normalize`` enforces
+    bits ≤ 31)."""
     return spread_bits(a).bitwiseOR(F.shiftleft(spread_bits(b), 1))
 
 
@@ -52,7 +58,15 @@ def grid_normalize(col: Column, lo: float, hi: float, bits: int = 16) -> Column:
     """Affine-map a numeric column from [lo, hi] onto the dense integer
     grid [0, 2^bits): the rank-normalization step that makes interleaving
     meaningful for skewed/sparse domains. Driver supplies lo/hi (from
-    stats or a sample); values outside clamp to the grid edges."""
+    stats or a sample); values outside clamp to the grid edges.
+
+    ``bits`` caps at 31 (zorder_key's sign-bit-safe domain); ``hi`` must
+    exceed ``lo`` (a degenerate range would divide by zero and emit
+    Infinity/NaN grid cells instead of a clear error)."""
+    if bits > 31:
+        raise ValueError(f"bits={bits} exceeds zorder_key's 31-bit domain")
+    if not float(hi) > float(lo):
+        raise ValueError(f"grid_normalize requires hi > lo, got [{lo}, {hi}]")
     cells = (1 << bits) - 1
     scaled = F.floor(
         (col.cast("double") - F.lit(float(lo)))

@@ -86,28 +86,59 @@ WHERE cast(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
 """
 
 
-@query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup detection by token-set Jaccard ≥ 0.6, candidate pairs
-    generated via an inverted-index token join (key-partitioned — no cross
-    join; hot tokens are the skew risk at scale, where a doc-frequency cap
-    or LSH banding bounds the blowup)."""
+def _ngram_jaccard_capped(
+    spark: SparkSession, sf_dir: str, df_cap: int, tau: float = 0.6
+) -> DataFrame:
+    """Token-set Jaccard ≥ τ with a SKEW-BOUNDED candidate index.
+
+    The naive inverted-index self-join is quadratic in the hottest token's
+    document frequency — at 100 TB a stop-word's postings list alone makes
+    the shuffle explode. This plan caps it losslessly:
+
+    - index = (each doc's rarest-first prefix of length n − ⌈τ·n⌉ + 1)
+      ∪ (tokens with df ≤ ``df_cap``).
+    - The prefix part alone already guarantees no qualifying pair is lost
+      (the PPJoin prefix-filter theorem — see dedup_jaccard_prefix), so
+      adding df-capped tokens keeps a superset of a lossless candidate
+      set: still exact, proven equal to the naive join in
+      tests/test_dedup_determinism.py with a cap small enough to bite.
+    - Postings of a token are bounded by max(df_cap, its prefix
+      occurrences); a hot token enters a doc's prefix only when the doc
+      has almost nothing rarer, so the quadratic blowup is gone.
+
+    Candidates are then verified exactly (count true overlap per pair)."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang",
         F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok"),
     )
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = toks.alias("a")
-    b = toks.alias("b")
-    pairs = (
+    df_ = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.partitionBy("doc_id").orderBy("df", "tok"))
+    ranked = toks.join(df_, "tok").join(sizes, "doc_id").select(
+        "doc_id", "lang", "tok", "n", F.col("df"), rk.alias("rk")
+    )
+    prefix_len = F.col("n") - F.ceil(F.lit(tau) * F.col("n")) + 1
+    index = ranked.filter((F.col("rk") <= prefix_len) | (F.col("df") <= df_cap))
+    a, b = index.alias("a"), index.alias("b")
+    cands = (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok"))
+    pairs = (
+        cands.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
@@ -116,8 +147,18 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(sa, "doc_a").join(sb, "doc_b")
         .select("doc_a", "doc_b", "common", "n_a", "n_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.6)
+        .filter(F.col("jaccard") >= tau)
     )
+
+
+@query("dedup_ngram_jaccard", oracle=_JACCARD_SQL)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection by token-set Jaccard ≥ 0.6 via an inverted-index
+    token join — with the hot-token postings capped in-plan (df ≤ 1000,
+    prefix rescue keeps it lossless; see _ngram_jaccard_capped) so the
+    candidate shuffle is no longer quadratic in the hottest token at
+    100 TB."""
+    return _ngram_jaccard_capped(spark, sf_dir, df_cap=1000)
 
 
 _COSDUP_SQL = """
@@ -345,7 +386,7 @@ def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dist = F.levenshtein("c_sfx", "s_sfx")
     return (
-        c.join(F.broadcast(s), "blk")
+        c.join(s, "blk")
         .where(dist <= 1)
         .select("c_custkey", "s_suppkey", dist.alias("dist"))
     )

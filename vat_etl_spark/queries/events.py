@@ -179,7 +179,8 @@ numbered AS (
                                 ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM marked
 )
-SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_last,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       min(ts) AS session_start, max(ts) AS session_last,
        count(*) AS n_events
 FROM numbered GROUP BY user_id, session_seq
 """
@@ -468,7 +469,7 @@ per_session AS (
   FROM sessions GROUP BY 1, 2
 )
 SELECT day, count(*) AS n_sessions,
-  sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS n_bounces,
+  CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
   cast(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
     AS bounce_rate
 FROM per_session GROUP BY day
@@ -526,7 +527,7 @@ baseline AS (
   SELECT dow, hr, sum(n) AS tot, count(*) AS n_slots FROM hourly GROUP BY 1, 2
 )
 SELECT h.day, h.hr, h.n,
-  b.tot AS baseline_total, b.n_slots AS baseline_slots,
+  CAST(b.tot AS BIGINT) AS baseline_total, b.n_slots AS baseline_slots,
   cast(b.tot AS DOUBLE) / b.n_slots AS baseline_mean,
   CASE WHEN h.n * b.n_slots > 2 * b.tot THEN 'high'
        WHEN 2 * h.n * b.n_slots < b.tot THEN 'low'
@@ -818,8 +819,8 @@ WITH du AS (SELECT DISTINCT user_id, cast(ts AS DATE) AS day FROM events),
 first_day AS (SELECT user_id, min(day) AS d0 FROM du GROUP BY user_id)
 SELECT du.day,
   count(*) AS active_users,
-  sum(CASE WHEN du.day = f.d0 THEN 1 ELSE 0 END) AS new_users,
-  sum(CASE WHEN du.day > f.d0 THEN 1 ELSE 0 END) AS returning_users,
+  CAST(sum(CASE WHEN du.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+  CAST(sum(CASE WHEN du.day > f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS returning_users,
   cast(sum(CASE WHEN du.day > f.d0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
     AS returning_share
 FROM du JOIN first_day f ON du.user_id = f.user_id
@@ -940,7 +941,7 @@ _WILSON_SQL = """
 WITH daily AS (
   SELECT cast(ts AS DATE) AS day,
     count(*) AS n,
-    sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors
+    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
   FROM events GROUP BY 1
 ),
 w AS (

@@ -40,7 +40,8 @@ z AS (
   FROM y
 )
 SELECT l_orderkey, l_linenumber,
-  base + CASE WHEN rk <= t_cents - base_sum THEN 1 ELSE 0 END AS alloc_cents,
+  CAST(base + CASE WHEN rk <= t_cents - base_sum THEN 1 ELSE 0 END AS BIGINT)
+    AS alloc_cents,
   cast(base + CASE WHEN rk <= t_cents - base_sum THEN 1 ELSE 0 END AS DOUBLE) / 100
     AS allocated
 FROM z
@@ -123,17 +124,18 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     order→brand baskets — the A-priori pair stage, the workhorse of
     affinity analytics.
 
-    Scale shape: the item dimension broadcasts into the fact scan; the
-    basket self-join is keyed on l_orderkey (one co-partitioned shuffle,
-    pair blowup bounded by per-basket item count ≤ brands-per-order); the
-    tiny per-item count table broadcasts back twice. All measures are
+    Scale shape: the item dimension joins under the broadcast-threshold/AQE
+    policy (part scales with SF, so no hard hint); the basket self-join is
+    keyed on l_orderkey (one co-partitioned shuffle, pair blowup bounded by
+    per-basket item count ≤ brands-per-order); the per-BRAND count table
+    (25 rows at every SF) broadcasts back twice by hint. All measures are
     integer counts; the three ratios are single IEEE divisions over exact
     integers, so Spark and DuckDB agree bitwise. The total-basket count is
     a driver-side scalar (one job) rather than a window-over-everything."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("brand"))
         .distinct()
     )
@@ -219,7 +221,7 @@ def fin_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     g = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         # range predicate, not year(col) IN (...): a raw-column comparison
         # reaches the parquet scan as a PushedFilter; a function-wrapped
         # column does not (asserted in tests/test_plans.py)
@@ -302,7 +304,7 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     g = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .select(
             F.col("p_brand").alias("brand"),
             F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("pc"),

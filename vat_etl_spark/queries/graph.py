@@ -150,8 +150,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     du = deg.select(F.col("node").alias("nu"), F.col("d").alias("du"))
     dv = deg.select(F.col("node").alias("nv"), F.col("d").alias("dv"))
-    ej = e.join(F.broadcast(du), F.col("u") == F.col("nu")).join(
-        F.broadcast(dv), F.col("v") == F.col("nv")
+    ej = e.join(du, F.col("u") == F.col("nu")).join(
+        dv, F.col("v") == F.col("nv")
     )
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))

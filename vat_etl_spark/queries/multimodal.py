@@ -18,9 +18,27 @@ from vat_etl_spark.sources.catalog import read_table as _t
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload column convention + Arrow-batched feature extraction
     (the deterministic stand-in for image/audio decode — see
-    operators/multimodal.py)."""
+    operators/multimodal.py). The 256-bin byte histogram stays available on
+    the operator API; the registered query projects scalar summaries (an
+    order-sensitive rolling hash of the bins, and the dominant byte) so
+    row canonicalizers can sort/hash the output."""
     docs = _t(spark, sf_dir, "documents")
-    return extract_features(attach_payload(docs))
+    feats = extract_features(attach_payload(docs))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        "entropy_proxy",
+        F.aggregate(
+            "byte_histogram",
+            F.lit(0).cast("bigint"),
+            lambda acc, c: (acc * 31 + c) % F.lit(1000000007).cast("bigint"),
+        ).alias("hist_hash"),
+        (
+            F.array_position(
+                "byte_histogram", F.array_max("byte_histogram")
+            ) - F.lit(1)
+        ).alias("dominant_byte"),
+    )
 
 
 _ASOF_SQL = """

@@ -102,21 +102,21 @@ WITH li AS (
 )
 SELECT rule, n_violations, sample_key FROM (
   SELECT 'nonneg_quantity' AS rule,
-         sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS n_violations,
+         CAST(sum(CASE WHEN l_quantity < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
          min(CASE WHEN l_quantity < 0 THEN l_orderkey END) AS sample_key FROM li
   UNION ALL
   SELECT 'discount_in_unit_range',
-         sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END),
+         CAST(sum(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 ELSE 0 END) AS BIGINT),
          min(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN l_orderkey END) FROM li
   UNION ALL
   SELECT 'shipdate_in_range',
-         sum(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01'
-                    OR l_shipdate > TIMESTAMP '2010-01-01' THEN 1 ELSE 0 END),
+         CAST(sum(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01'
+                    OR l_shipdate > TIMESTAMP '2010-01-01' THEN 1 ELSE 0 END) AS BIGINT),
          min(CASE WHEN l_shipdate < TIMESTAMP '1990-01-01'
                     OR l_shipdate > TIMESTAMP '2010-01-01' THEN l_orderkey END) FROM li
   UNION ALL
   SELECT 'fk_order_exists',
-         sum(CASE WHEN orphan THEN 1 ELSE 0 END),
+         CAST(sum(CASE WHEN orphan THEN 1 ELSE 0 END) AS BIGINT),
          min(CASE WHEN orphan THEN l_orderkey END) FROM li
 )
 """

@@ -129,8 +129,12 @@ GROUP BY r_name, n_name
 
 @query("q5_region_revenue", oracle=_Q5_SQL)
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-style: two fact tables shuffled on orderkey; customer /
-    supplier / nation / region explicitly broadcast (all dim-sized)."""
+    """TPC-H-Q5-style: two fact tables shuffled on orderkey. Broadcast
+    hints go ONLY on nation/region (constant 25/5 rows at every SF).
+    customer/supplier grow linearly with SF, so a hard ``F.broadcast``
+    would override the 64 MB threshold and OOM executors at 100× — they
+    are left unhinted and the threshold + AQE pick broadcast while they
+    fit, shuffle join once they don't."""
     li, o = _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "orders")
     c, s = _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier")
     n, r = _t(spark, sf_dir, "nation"), _t(spark, sf_dir, "region")
@@ -140,9 +144,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     j = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -205,7 +209,7 @@ def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OUTER_SQL = """
 SELECT o_orderpriority, count(*) AS n_orders,
-       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS n_lineless
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_lineless
 FROM orders LEFT JOIN lineitem ON o_orderkey = l_orderkey AND l_linenumber = 1
 GROUP BY o_orderpriority
 """
@@ -628,7 +632,7 @@ def q14_promo_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     promo = F.when(F.col("p_type").like("PROMO%"), rev)
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(
             F.count("*").alias("n_lines"),
@@ -643,9 +647,9 @@ def q14_promo_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
 _UNPIVOT_SQL = """
 WITH wide AS (
   SELECT year(o_orderdate) AS yr,
-         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_f,
-         sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_o,
-         sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_p
+         CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+         CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
   FROM orders GROUP BY 1
 )
 SELECT yr, status, n FROM (
@@ -824,11 +828,24 @@ def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): one pass, fixed memory,
     mergeable partials — the 100 TB path for quantiles (exact twin:
     agg_percentiles, which needs a per-group sort). accuracy=10000 bounds
-    rank error at 1/10000."""
+    rank error at 1/10000. Output is three scalar columns (not the raw
+    array) so order-insensitive canonicalizers can sort/hash the rows."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000).alias("approx_pcts"),
-        F.count("*").alias("n"),
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.9, 0.99], 10000
+            ).alias("pcts"),
+            F.count("*").alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("pcts", 1).alias("p50_approx"),
+            F.element_at("pcts", 2).alias("p90_approx"),
+            F.element_at("pcts", 3).alias("p99_approx"),
+            "n",
+        )
     )
 
 
@@ -851,9 +868,12 @@ LIMIT 10
 
 @query("q3_shipping_priority", oracle=_Q3_SQL)
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q3-style: selective filters pushed to all three scans, customer
-    side broadcast (post-filter it is a fraction of one segment), one
-    shuffle on orderkey, top-k via TakeOrderedAndProject (no global sort)."""
+    """TPC-H-Q3-style: selective filters pushed to all three scans, one
+    shuffle on orderkey, top-k via TakeOrderedAndProject (no global sort).
+    The filtered customer side is NOT hard-broadcast: one market segment is
+    still ~1/5 of a table that grows linearly with SF, so the 64 MB
+    threshold + AQE decide at runtime (broadcast while it fits, shuffle
+    join at the scale where broadcasting would OOM)."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
@@ -864,7 +884,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(rev).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
@@ -935,7 +955,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     rev = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     return (
-        li.join(F.broadcast(o), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
@@ -978,7 +998,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l_orderkey").alias("big_orderkey"))
     )
     return (
-        li.join(F.broadcast(big), F.col("l_orderkey") == F.col("big_orderkey"))
+        li.join(big, F.col("l_orderkey") == F.col("big_orderkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
@@ -1307,8 +1327,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(per_part_avg), F.col("l_partkey") == F.col("avg_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part_avg, F.col("l_partkey") == F.col("avg_partkey"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .groupBy()
         .agg(
@@ -1680,7 +1700,7 @@ def agg_percent_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type", "p_brand")
     b = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_type").alias("category"), F.col("p_brand").alias("brand"))
         .agg(
             F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
@@ -1809,7 +1829,7 @@ def agg_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
     mix = (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy("o_custkey", "p_brand")
         .agg(F.count("*").alias("n"))
     )
@@ -1907,7 +1927,7 @@ SELECT e.event_type, count(*) AS n,
   cast(sum(CASE WHEN cents < lo THEN lo WHEN cents > hi THEN hi
                 ELSE cents END) AS DOUBLE) / (count(*) * 100)
     AS winsorized_mean,
-  sum(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END) AS n_clamped
+  CAST(sum(CASE WHEN cents < lo OR cents > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped
 FROM e JOIN bounds USING (event_type)
 GROUP BY e.event_type
 """

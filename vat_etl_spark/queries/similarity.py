@@ -59,9 +59,9 @@ _AXIS0_SQL = "[1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 
 
 _CENTROID_SQL = f"""
 SELECT label, count(*) AS n_vectors,
-  cast(sum(cast(list_cosine_similarity(cast(embedding AS DOUBLE[]),
-                cast({_AXIS0_SQL} AS DOUBLE[])) AS DECIMAL(18,12)))
-       AS DECIMAL(38,12)) AS sum_axis0_cos
+  cast(round(sum(cast(list_cosine_similarity(cast(embedding AS DOUBLE[]),
+                cast({_AXIS0_SQL} AS DOUBLE[])) AS DECIMAL(18,12))), 9)
+       AS DOUBLE) AS sum_axis0_cos
 FROM embeddings GROUP BY label
 """
 
@@ -73,13 +73,18 @@ def similarity_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_embedding_cosine), so the exact decimal(18,12) sum is
     order-independent and digit-identical (the avg is sum/n driver-side).
     12 dp: Spark rounds the shortest double repr, DuckDB the exact binary
-    expansion — they agree to 12 dp but can differ at 17."""
+    expansion — they agree to 12 dp but can differ at 17. The final value
+    is the exact decimal sum rounded to 9 dp then cast to DOUBLE on both
+    sides (one correctly-rounded conversion each) — a DOUBLE column, not
+    DECIMAL, so every canonicalizer hashes it identically."""
     em = _t(spark, sf_dir, "embeddings")
     axis0 = F.array(*([F.lit(1.0)] + [F.lit(0.0)] * 63))
     cos = cosine_expr(_dbl(F.col("embedding")), axis0)
     return em.groupBy("label").agg(
         F.count("*").alias("n_vectors"),
-        F.sum(cos.cast("decimal(18,12)")).cast("decimal(38,12)").alias("sum_axis0_cos"),
+        F.round(F.sum(cos.cast("decimal(18,12)")), 9)
+        .cast("double")
+        .alias("sum_axis0_cos"),
     )
 
 
@@ -308,8 +313,10 @@ m AS (
   FROM v
 )
 SELECT vec_id, cast(len(x) AS INTEGER) AS n_dims, max_abs,
-  list_transform(x, e -> cast(floor((e * 127) / max_abs + 0.5) AS INTEGER))
-    AS quant,
+  list_reduce(
+    list_prepend(cast(0 AS BIGINT),
+      list_transform(x, e -> cast(floor((e * 127) / max_abs + 0.5) AS BIGINT))),
+    (acc, q) -> (acc * 31 + q + 128) % 1000000007) AS quant_hash,
   list_reduce(
     list_prepend(cast(0 AS BIGINT),
       list_transform(x, e -> cast(floor((e * 127) / max_abs + 0.5) AS BIGINT))),
@@ -328,9 +335,12 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit rule over identical IEEE doubles, NOT round() (whose half-up /
     half-away conventions differ per engine on exact .5 doubles). The
     integer norm is an ordered left fold (F.aggregate == list_reduce), so
-    every output column is bit-stable. Scale shape: pure map — zero
-    shuffles, scales with scan bandwidth; the fold keeps the checksum
-    JVM-side (no Python boundary)."""
+    every output column is bit-stable. The quantized vector itself is
+    pinned by ``quant_hash``, an order-sensitive polynomial rolling hash
+    mod 1e9+7 (no array column in the output — canonicalizers sort/hash
+    scalar rows). Scale shape: pure map — zero shuffles, scales with scan
+    bandwidth; the folds keep the checksums JVM-side (no Python
+    boundary)."""
     v = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl(F.col("embedding")).alias("x")
     )
@@ -338,13 +348,18 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_abs", F.array_max(F.transform(F.col("x"), lambda e: F.abs(e)))
     ).where(F.col("max_abs") > 0)
     q8 = lambda e: F.floor(e * 127 / F.col("max_abs") + F.lit(0.5))  # noqa: E731
+    qlist = F.transform(F.col("x"), lambda e: q8(e).cast("bigint"))
     return m.select(
         "vec_id",
         F.size("x").alias("n_dims"),
         "max_abs",
-        F.transform(F.col("x"), lambda e: q8(e).cast("int")).alias("quant"),
         F.aggregate(
-            F.transform(F.col("x"), lambda e: q8(e).cast("bigint")),
+            qlist,
+            F.lit(0).cast("bigint"),
+            lambda acc, q: (acc * 31 + q + 128) % F.lit(1000000007).cast("bigint"),
+        ).alias("quant_hash"),
+        F.aggregate(
+            qlist,
             F.lit(0).cast("bigint"),
             lambda acc, q: acc + q * q,
         ).alias("quant_norm_sq"),

@@ -545,7 +545,7 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         tf.join(dl, "doc_id")
-        .join(F.broadcast(df_), "w")
+        .join(df_, "w")
         .crossJoin(F.broadcast(stats))
         .select("doc_id", "w", (idf * tfnorm).alias("sterm"))
     )
@@ -649,15 +649,17 @@ def text_keywords_rational_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     same trick as text_bm25_ranking).
 
     Scale shape: explode → (doc,term) tf agg; term-grain df table joins
-    back keyed on term (term lexicon ≪ corpus — broadcastable); top-k per
-    doc is a doc-partitioned window, never a global sort. Ties break on
+    back keyed on term (lexicon ≪ corpus, but it still grows with the
+    corpus — no hard broadcast hint; the threshold/AQE broadcasts it while
+    it fits); top-k per doc is a doc-partitioned window, never a global
+    sort. Ties break on
     the term itself, so ranking is total and deterministic."""
     d = _t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     dfreq = tok.distinct().groupBy("word").agg(F.count("*").alias("df"))
     n_docs = d.count()
-    scored = tf.join(F.broadcast(dfreq), "word").select(
+    scored = tf.join(dfreq, "word").select(
         "doc_id",
         "word",
         "tf",

@@ -114,7 +114,8 @@ yearly AS (
   FROM monthly GROUP BY 1
 )
 SELECT grain, p AS period_start,
-       cast(round(td, 2) AS DOUBLE) AS total_revenue, n AS n_orders
+       cast(round(td, 2) AS DOUBLE) AS total_revenue,
+       CAST(n AS BIGINT) AS n_orders
 FROM (
   SELECT 'day' AS grain, * FROM daily
   UNION ALL SELECT 'month', * FROM monthly
@@ -323,7 +324,7 @@ swept AS (
   FROM bounds
 )
 SELECT cast(date_trunc('day', t) AS DATE) AS day,
-       max(concurrency) AS peak_concurrent_sessions
+       CAST(max(concurrency) AS BIGINT) AS peak_concurrent_sessions
 FROM swept GROUP BY 1
 """
 
@@ -541,7 +542,7 @@ c AS (
     row_number() OVER (ORDER BY day) AS k
   FROM daily
 )
-SELECT day, rev_cents,
+SELECT day, CAST(rev_cents AS BIGINT) AS rev_cents,
   cast(cum * n - k * t AS BIGINT) AS dev_num_cents,
   cast(cum * n - k * t AS DOUBLE) / cast(n * 100 AS DOUBLE) AS cusum,
   CASE WHEN abs(cum * n - k * t) =
@@ -679,7 +680,7 @@ WITH daily AS (
     sum(cast(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
   FROM orders GROUP BY 1
 )
-SELECT day, rev_cents,
+SELECT day, CAST(rev_cents AS BIGINT) AS rev_cents,
   quantile_cont(rev_cents, 0.5) OVER (
     ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS rolling_median_cents
 FROM daily

@@ -18,11 +18,14 @@ phone/comment columns — TESTDATA.md):
 - country code (Q22) is the last two digits of ``c_name`` instead of a
   phone prefix.
 
-Scale notes (100 TB): every query here keeps dims (part, supplier, nation,
-region — all ≤1/30 of lineitem) on the broadcast side, pushes date/flag
-filters into the parquet scans, and shuffles the fact at most once per
-distinct key. The correlated subqueries are decorrelated by hand into
-window-max / aggregate-then-broadcast-join shapes, which is exactly what a
+Scale notes (100 TB): nation/region (constant 25/5 rows at every SF) carry
+explicit ``F.broadcast`` hints; part/supplier/customer and order-derived
+sides grow linearly with SF, so they are deliberately UNhinted — the 64 MB
+autoBroadcastJoinThreshold + AQE broadcast them while they fit and fall
+back to shuffle joins at the scale where a hard hint would OOM executors.
+Date/flag filters push into the parquet scans, and the fact shuffles at
+most once per distinct key. The correlated subqueries are decorrelated by
+hand into window-max / aggregate-then-join shapes, which is exactly what a
 cost-based decorrelation would emit.
 """
 
@@ -80,8 +83,8 @@ def q2_best_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     cand = (
-        assoc.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        assoc.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("p_partkey", "p_brand", "s_name", "s_acctbal")
@@ -139,7 +142,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("_n2key"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -172,8 +175,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q8: one nation's share of PROMO-part revenue into one region,
     per order year. Numerator and denominator are unrounded exact decimal
     sums converted once to double; the share is a single IEEE division so
-    it hashes identically cross-engine. All five dims broadcast — the only
-    fact shuffles are the lineitem⋈orders join and the final tiny group."""
+    it hashes identically cross-engine. nation/region broadcast by hint;
+    part/supplier/customer join under the threshold+AQE policy — the only
+    unavoidable fact shuffle is lineitem⋈orders plus the final tiny
+    group."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
@@ -189,8 +194,8 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(c, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_n1key"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
@@ -230,9 +235,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _t(spark, sf_dir, "nation")
     profit = _rev() - F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.1)
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(dsum(profit).alias("sum_profit"))
@@ -268,7 +273,7 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
     pv = (
-        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("l_partkey")
         .agg(dsumx(_rev()).alias("val"))
@@ -287,8 +292,8 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q12_SQL = """
 SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60
             THEN 'LATE' ELSE 'ONTIME' END AS delay_band,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-  sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
 GROUP BY 1
@@ -355,7 +360,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(mx))
         .filter(F.col("total_revenue") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -391,8 +396,8 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assoc = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        assoc.join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        assoc.join(bad, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -425,7 +430,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((br == "Brand#3") & sz.between(1, 15) & q.between(20, 30))
     )
     return (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .filter(pred)
         .agg(dsum(_rev()).alias("revenue"))
     )
@@ -465,7 +470,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
     heavy = (
-        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum(F.col("l_quantity").cast("decimal(30,6)")).alias("_q"))
         .filter(F.col("_q") > 50.0)
@@ -473,7 +478,7 @@ def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(heavy), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
         .select("s_name", "s_acctbal")
         .orderBy("s_name")
     )
@@ -541,8 +546,8 @@ def q21_waiting_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.filter(F.col("_late_lines") > 0)
         .join(qualifying, F.col("l_orderkey") == F.col("_qok"))
-        .join(F.broadcast(finished), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(finished, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi")
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy("s_name")
         .agg(F.sum("_late_lines").alias("numwait"))

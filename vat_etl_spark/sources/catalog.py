@@ -20,17 +20,27 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which Spark
-    rejects by default (PARQUET_TYPE_ILLEGAL). Read nanos as long
-    (legacy conf, set at runtime so it works under any session) and convert
-    to a microsecond TimestampType — the same truncation DuckDB applies when
-    casting ns→µs, so oracle comparisons agree."""
+    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS). Spark
+    version behavior differs, so branch on the inferred schema:
+
+    - Spark ≥4.1 reads NANOS natively as ``timestamp_ntz`` truncated to
+      microseconds — verified identical to DuckDB's ``epoch_us(cast(ts AS
+      TIMESTAMP))`` down to the microsecond. Cast NTZ→LTZ (identity under
+      the UTC session timezone) so downstream ``unix_micros``/window
+      functions accept it.
+    - Older Sparks reject NANOS unless ``nanosAsLong`` is set, in which
+      case ``ts`` arrives as a long of epoch-nanos: integral-divide to
+      micros (double division loses precision above 2^53 ns) — the same
+      truncation DuckDB applies casting ns→µs, so oracle comparisons agree.
+    """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    # integral division — double division loses precision above 2^53 ns
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType.simpleString()
+    if ts_type in ("bigint", "long"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}

@@ -103,10 +103,21 @@ def compact_parquet_dir(
     footer fetch each per query; nightly compaction into ~512 MB files (a
     few row groups each) keeps scan task counts proportional to data, not
     to ingest batch count. Returns the output file count. Coalesce, not
-    repartition: merging files needs no shuffle."""
+    repartition: merging files needs no shuffle.
+
+    Flat directories only: a hive-partitioned source would both defeat the
+    top-level size estimate and lose its partition-column layout through a
+    plain read→coalesce→write, so it is rejected explicitly (compact each
+    leaf partition directory instead)."""
     import pathlib
 
-    total = sum(f.stat().st_size for f in pathlib.Path(src).glob("*.parquet"))
+    root = pathlib.Path(src)
+    if any(p.is_dir() and "=" in p.name for p in root.iterdir()):
+        raise ValueError(
+            f"{src} is hive-partitioned; compact each leaf partition "
+            "directory separately to preserve the partition layout"
+        )
+    total = sum(f.stat().st_size for f in root.rglob("*.parquet"))
     n = max(1, -(-total // target_file_bytes))
     spark.read.parquet(src).coalesce(n).write.mode("overwrite").parquet(dst)
     return n

@@ -172,7 +172,17 @@ def purchases_with_recent_clicks(
     emit immediately, so an outer stream-stream join trades tail latency
     on the unmatched rows for exactly-once correctness, and rows still
     inside the final watermark when the stream ends are withheld (the
-    batch twin has no such cutoff — tests account for it)."""
+    batch twin has no such cutoff — tests account for it).
+
+    Only ``inner`` and ``left_outer`` are defined for this operator: the
+    select order fixes purchases as the preserved side, so e.g.
+    ``right_outer`` would silently preserve unmatched *clicks* and a semi
+    join would drop the click columns the select needs."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(
+            f"how={how!r} unsupported: purchases_with_recent_clicks defines "
+            "'inner' and 'left_outer' (purchases preserved) only"
+        )
     c = clicks.select(
         F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
         F.col("event_id").alias("click_id"),
