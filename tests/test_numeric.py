@@ -101,7 +101,7 @@ def test_percentile_approx_brackets_exact(spark, sf_smoke):
 
     from vat_etl_spark.queries import QUERIES
 
-    got = {r.l_returnflag: r.approx_pcts
+    got = {r.l_returnflag: (r.p50_approx, r.p90_approx, r.p99_approx)
            for r in QUERIES["agg_percentile_approx"](spark, sf_smoke).collect()}
     li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
     exact = {

@@ -296,3 +296,30 @@ def test_tpch_hints_only_constant_dims(spark, sf_smoke):
     for name, n in expected.items():
         df = QUERIES[name](spark, sf_smoke)
         assert _broadcast_hint_count(df) <= n + 1, name
+
+
+def test_no_trivially_true_join_predicates(spark, sf_smoke, capfd):
+    """Suite-wide guard for the degenerate derived-DataFrame self-join:
+    ``parent["k"] == derived["k"]`` resolves both references to the SAME
+    attribute, Spark logs ``WARN Column: Constructing trivially true equals
+    predicate`` and (depending on whether DeduplicateRelations can repair
+    the exprIds) may silently drop the condition. Build EVERY registered
+    query's plan (no execution) and fail if any emits the warning or keeps
+    an ``attr#N = attr#N`` condition in its analyzed plan."""
+    import re
+    import sys
+
+    self_eq = re.compile(r"(\w+)#(\d+)L? = \1#\2L?\b")
+    capfd.readouterr()  # drop anything buffered from prior tests
+    offenders: list[str] = []
+    for name, fn in QUERIES.items():
+        df = fn(spark, sf_smoke)
+        analyzed = df._jdf.queryExecution().analyzed().toString()
+        if self_eq.search(analyzed):
+            offenders.append(f"{name}: self-equal predicate in analyzed plan")
+    sys.stderr.flush()
+    err = capfd.readouterr().err
+    if "trivially true equals predicate" in err:
+        lines = [l for l in err.splitlines() if "trivially true" in l]
+        offenders.append(f"WARN during plan build: {lines}")
+    assert not offenders, offenders

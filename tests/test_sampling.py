@@ -78,12 +78,13 @@ def test_rolling_hll_tracks_exact_rolling_distinct(spark, sf_smoke):
 
 
 def test_hll_intersection_tracks_exact_overlap(spark, sf_smoke):
-    from pyspark.sql import functions as F
+    from vat_etl_spark.sources.catalog import read_events
 
     row = QUERIES["agg_hll_intersection"](spark, sf_smoke).collect()[0]
-    e = spark.read.parquet(f"{sf_smoke}/events.parquet").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    # read_events branches on the parquet ts physical type (long vs
+    # timestamp_ntz) — hand-rolling the conversion breaks on Sparks that
+    # read NANOS natively (catalog.py:40-44).
+    e = read_events(spark, sf_smoke)
     clickers = {r.user_id for r in e.where("event_type = 'click'").select("user_id").distinct().collect()}
     purchasers = {r.user_id for r in e.where("event_type = 'purchase'").select("user_id").distinct().collect()}
     exact = len(clickers & purchasers)

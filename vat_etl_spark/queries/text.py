@@ -313,15 +313,24 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").cast("binary")),
     )
     survivors = keyed.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    # Alias both sides: ``survivors`` is derived from ``keyed``, so
+    # ``keyed["fp"] == survivors["fp"]`` would resolve both references to
+    # the SAME attribute and Spark silently drops it as a trivially-true
+    # predicate. Explicit aliases make the fp equality a real join key
+    # (guarded suite-wide by tests/test_plans.py::test_no_trivially_true_join_predicates).
     return (
-        keyed.join(
-            survivors,
-            (keyed["fp"] == survivors["fp"]) & (keyed["doc_id"] == survivors["keep_id"]),
+        keyed.alias("k")
+        .join(
+            survivors.alias("s"),
+            (F.col("k.fp") == F.col("s.fp")) & (F.col("k.doc_id") == F.col("s.keep_id")),
         )
-        .filter((F.col("n_tokens") >= 5) & (F.col("n_chars") >= 20))
+        .filter((F.col("k.n_tokens") >= 5) & (F.col("k.n_chars") >= 20))
         .select(
-            "doc_id", "lang", "n_chars", "n_tokens",
-            (F.col("doc_id") * F.lit(2654435761) % 8).cast("long").alias("shard"),
+            F.col("k.doc_id").alias("doc_id"),
+            F.col("k.lang").alias("lang"),
+            F.col("k.n_chars").alias("n_chars"),
+            F.col("k.n_tokens").alias("n_tokens"),
+            (F.col("k.doc_id") * F.lit(2654435761) % 8).cast("long").alias("shard"),
         )
     )
 
