@@ -47,15 +47,17 @@ def test_feature_extraction_deterministic(mm):
 
 def test_decode_image_fills_dims_for_known_formats(spark):
     # synthetic headers: a 640x480 PNG IHDR, a 13x11 GIF89a screen, a 7x5
-    # BMP info header, a 3x2 netpbm, and a text payload (→ NULL dims)
+    # BMP info header (DIB size 40), a 9x4 OS/2 BMP core header (DIB size
+    # 12, u16 dims), a 3x2 netpbm, and a text payload (→ NULL dims)
     import struct
 
     png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 640, 480) + b"\x08"
     gif = b"GIF89a" + struct.pack("<HH", 13, 11) + b"\x00" * 4
-    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 7, -5) + b"\x00" * 4
+    bmp = b"BM" + b"\x00" * 12 + struct.pack("<I", 40) + struct.pack("<ii", 7, -5) + b"\x00" * 4
+    bmp_os2 = b"BM" + b"\x00" * 12 + struct.pack("<I", 12) + struct.pack("<HH", 9, 4) + b"\x00" * 4
     pbm = b"P6\n# comment\n3 2\n255\n" + b"\x00" * 18
     txt = b"just some text"
-    rows = [(1, png), (2, gif), (3, bmp), (4, pbm), (5, txt)]
+    rows = [(1, png), (2, gif), (3, bmp), (4, pbm), (5, txt), (6, bmp_os2)]
     src = spark.createDataFrame(rows, "doc_id long, payload binary").select(
         "doc_id",
         "payload",
@@ -68,11 +70,15 @@ def test_decode_image_fills_dims_for_known_formats(spark):
             F.lit(None).cast("int").alias("height"),
         ).alias("meta"),
     )
-    out = {r.doc_id: (r.meta.width, r.meta.height) for r in decode_image(src).collect()}
+    # use_pil=False: PIL (when installed) rejects these header-only
+    # payloads, so force the probe path for environment-independence
+    out = {r.doc_id: (r.meta.width, r.meta.height)
+           for r in decode_image(src, use_pil=False).collect()}
     assert out[1] == (640, 480)
     assert out[2] == (13, 11)
     assert out[3] == (7, 5)  # negative BMP height = top-down DIB → abs
     assert out[4] == (3, 2)
+    assert out[6] == (9, 4)  # OS/2 core header, u16 dims
     assert out[5] == (None, None)
 
 

@@ -102,7 +102,9 @@ def _probe_image_dims(b: bytes) -> tuple[int | None, int | None]:
 
     - PNG: IHDR width/height at bytes 16..24 (big-endian u32)
     - GIF87a/89a: logical screen size at bytes 6..10 (little-endian u16)
-    - BMP: BITMAPINFOHEADER at bytes 18..26 (little-endian i32)
+    - BMP: DIB header size at byte 14 picks the layout — ≥40
+      (BITMAPINFOHEADER+) i32 dims at 18..26, 12 (OS/2
+      BITMAPCOREHEADER) u16 dims at 18..22, anything else unknown
     - netpbm (P1-P6): ASCII dims after the magic, comments skipped
 
     Unknown/truncated payloads → (None, None); decoding never throws on
@@ -117,9 +119,15 @@ def _probe_image_dims(b: bytes) -> tuple[int | None, int | None]:
         if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
             w, h = struct.unpack("<HH", b[6:10])
             return int(w), int(h)
-        if b[:2] == b"BM" and len(b) >= 26:
-            w, h = struct.unpack("<ii", b[18:26])
-            return int(w), abs(int(h))  # negative h = top-down DIB
+        if b[:2] == b"BM" and len(b) >= 22:
+            (dib_size,) = struct.unpack("<I", b[14:18])
+            if dib_size >= 40 and len(b) >= 26:
+                w, h = struct.unpack("<ii", b[18:26])
+                return int(w), abs(int(h))  # negative h = top-down DIB
+            if dib_size == 12:  # OS/2 BITMAPCOREHEADER: u16 dims
+                w, h = struct.unpack("<HH", b[18:22])
+                return int(w), int(h)
+            return None, None
         if len(b) >= 2 and b[0:1] == b"P" and b[1:2] in b"123456":
             header = re.sub(rb"#[^\n]*", b"", b[2:256])  # strip comments
             nums = re.findall(rb"\d+", header)[:2]
@@ -130,30 +138,37 @@ def _probe_image_dims(b: bytes) -> tuple[int | None, int | None]:
     return None, None
 
 
-def decode_image(mm: DataFrame) -> DataFrame:
+def decode_image(mm: DataFrame, use_pil: bool | None = None) -> DataFrame:
     """Decode image payloads to (width, height)-filled metadata structs.
 
     Arrow-batched mapInPandas over the multimodal convention; output schema
     equals the input's, so decode composes with featurize / frame-sample /
-    resize. Uses PIL when importable (full pixel-level decode); otherwise a
-    self-contained pure-Python header parser (:func:`_probe_image_dims`)
-    fills dimensions for PNG/GIF/BMP/netpbm — the container ships no
-    imaging lib, and the plumbing (schema, batching, null behavior) is
-    identical either way. Payloads that are not recognizable images keep
-    NULL width/height rather than failing the batch."""
-    try:
-        from PIL import Image  # noqa: F401
-        import io
+    resize. ``use_pil=None`` (default) uses PIL when importable (full
+    pixel-level decode) and otherwise a self-contained pure-Python header
+    parser (:func:`_probe_image_dims`) that fills dimensions for
+    PNG/GIF/BMP/netpbm — the container ships no imaging lib, and the
+    plumbing (schema, batching, null behavior) is identical either way.
+    Pass ``use_pil=False`` to force the header probe (tests use this so
+    results don't depend on whether PIL is installed — PIL rejects
+    header-only synthetic payloads that the probe accepts). Payloads that
+    are not recognizable images keep NULL width/height rather than failing
+    the batch."""
+    probe = _probe_image_dims
+    if use_pil is not False:
+        try:
+            from PIL import Image  # noqa: F401
+            import io
 
-        def probe(b: bytes) -> tuple[int | None, int | None]:
-            try:
-                with Image.open(io.BytesIO(b)) as im:
-                    return int(im.width), int(im.height)
-            except Exception:
-                return None, None
+            def probe(b: bytes) -> tuple[int | None, int | None]:
+                try:
+                    with Image.open(io.BytesIO(b)) as im:
+                        return int(im.width), int(im.height)
+                except Exception:
+                    return None, None
 
-    except ImportError:
-        probe = _probe_image_dims
+        except ImportError:
+            if use_pil is True:
+                raise
 
     out_schema = T.StructType(
         [

@@ -112,10 +112,19 @@ def compact_parquet_dir(
     import pathlib
 
     root = pathlib.Path(src)
-    if any(p.is_dir() and "=" in p.name for p in root.iterdir()):
+    subdirs = [p for p in root.iterdir() if p.is_dir()]
+    if any("=" in p.name for p in subdirs):
         raise ValueError(
             f"{src} is hive-partitioned; compact each leaf partition "
             "directory separately to preserve the partition layout"
+        )
+    if subdirs:
+        # any other nested dir would be counted by the rglob size estimate
+        # yet skipped by the non-recursive spark.read.parquet — reject
+        # rather than silently mis-size or drop data
+        raise ValueError(
+            f"{src} contains subdirectories {sorted(p.name for p in subdirs)[:3]}; "
+            "compact_parquet_dir only accepts flat parquet directories"
         )
     total = sum(f.stat().st_size for f in root.rglob("*.parquet"))
     n = max(1, -(-total // target_file_bytes))
