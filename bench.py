@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -69,10 +70,12 @@ def main() -> None:
     for name in BENCH_QUERIES:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
-    # two timed passes, best-of per query: a single pass makes whichever
-    # query runs first absorb residual JIT/GC noise from the warm-up (the
-    # flagship measured 4.3s in-suite vs 0.8s steady-state); the min of two
-    # passes is the steady-state latency the plans actually have.
+    # N timed passes (default 5), median-of-N per query: round 3 showed
+    # best-of-2 drifting +20% across the board on untouched plans, which
+    # makes real regressions indistinguishable from machine/JVM variance.
+    # The median is robust to a slow outlier pass and, unlike min, does not
+    # systematically reward noise; min/max per query are reported so a
+    # reader can separate spread (environment) from shift (plan change).
     # Prepared-plan protocol: each query's DataFrame is BUILT once and the
     # timed passes re-execute it (noop sink — full scan/shuffle/agg every
     # time, AQE re-plans every time). Python-side plan reconstruction is
@@ -80,16 +83,21 @@ def main() -> None:
     # O(1) in data volume, and is not a property of the plans being
     # measured — at 100 TB it is noise, at sf0.1 it would be ~30% of the
     # flagship number.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     prepared = {name: QUERIES[name](spark, sf_dir) for name in BENCH_QUERIES}
-    timings: dict[str, float] = {}
-    for _ in range(2):
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(n_passes):
         for name in BENCH_QUERIES:
             df = prepared[name]
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, dt), dt)
+            samples[name].append(time.perf_counter() - t0)
 
+    timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}
+    spread = {
+        name: {"min": round(min(s), 3), "max": round(max(s), 3)}
+        for name, s in samples.items()
+    }
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -98,6 +106,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "passes": n_passes,
                 "sf": sf,
             }
         )
