@@ -323,3 +323,16 @@ def test_no_trivially_true_join_predicates(spark, sf_smoke, capfd):
         lines = [l for l in err.splitlines() if "trivially true" in l]
         offenders.append(f"WARN during plan build: {lines}")
     assert not offenders, offenders
+
+
+def test_repetition_and_gopher_are_map_only(spark, sf_smoke):
+    # both claim "pure scan, zero shuffles at 100 TB" — pin it
+    assert shuffle_count(QUERIES["text_repetition_ngram"](spark, sf_smoke)) == 0
+    assert shuffle_count(QUERIES["pipeline_quality_gopher"](spark, sf_smoke)) == 0
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_smoke):
+    # the corpus side must never shuffle for the join; only the per-doc
+    # count aggregate shuffles
+    df = QUERIES["pipeline_contamination_ngram"](spark, sf_smoke)
+    assert has_broadcast_join(df)

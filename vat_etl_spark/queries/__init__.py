@@ -41,6 +41,7 @@ from vat_etl_spark.queries import similarity  # noqa: E402,F401
 from vat_etl_spark.queries import multimodal  # noqa: E402,F401
 from vat_etl_spark.queries import quality  # noqa: E402,F401
 from vat_etl_spark.queries import finance  # noqa: E402,F401
+from vat_etl_spark.queries import llm_pipeline  # noqa: E402,F401
 
 # Externally-verified correctness gates sample the FIRST ~50 queries in
 # registration order. Rotation policy (least-recently-verified first, NOT

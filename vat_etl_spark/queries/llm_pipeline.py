@@ -1,0 +1,352 @@
+"""Training-data pipeline operators (north-star extension, SURVEY.md §2.9):
+benchmark-contamination detection, Gopher-style quality rules, intra-document
+repetition, token-budget sequence packing, weighted domain mixing, and
+cross-source dedup with survivor priority. All native expressions — the hot
+paths are map-only or a single keyed shuffle, so every operator here scales
+to a 100 TB corpus. These compose with `pipeline_training_set` (text.py):
+contamination/quality/repetition are row filters, packing/mixing are the
+write-side layout.
+
+Public-knowledge provenance: duplicate-n-gram and word-statistics quality
+rules follow Rae et al. 2021 (Gopher, arXiv:2112.11446 §A1.1); n-gram
+decontamination follows Brown et al. 2020 (GPT-3, arXiv:2005.14165 §C).
+Thresholds and n-gram sizes here are sized for the synthetic corpus (docs
+are 10-99 whitespace tokens) so every rule actually splits the data —
+production values (13-grams, 50-100k word bounds) are parameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from vat_etl_spark.queries import query
+from vat_etl_spark.queries.text import STOPWORDS, tokens_expr
+from vat_etl_spark.sources.catalog import read_table as _t
+
+_NTOK_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
+
+
+def _ngrams(toks, n: int):
+    """Contiguous word n-grams as a native array expression (no UDF):
+    transform over 1..len-n+1 of space-joined slices. Guarded for short
+    docs — Spark's ``sequence(1, k)`` with k < 1 generates a DESCENDING
+    sequence rather than an empty one."""
+    idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _ngrams_sql(n: int) -> str:
+    """DuckDB twin of :func:`_ngrams` over alias ``t`` (token list)."""
+    return (
+        f"list_transform(generate_series(1, len(t) - {n - 1}), "
+        f"i -> array_to_string(list_slice(t, i, i + {n - 1}), ' '))"
+    )
+
+
+# --- benchmark contamination (n-gram overlap vs a held-out eval set) ----------
+
+_CONTAMINATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+tr AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+SELECT tr.doc_id, count(*) AS shared_3grams
+FROM tr JOIN ev USING (g)
+GROUP BY tr.doc_id
+"""
+
+
+@query("pipeline_contamination_ngram", oracle=_CONTAMINATION_SQL)
+def pipeline_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with a held-out eval set (here: ``doc_id % 97 == 0`` stands in
+    for the benchmark; 3-grams sized to the synthetic corpus — GPT-3 used
+    13-grams, same plan shape). Scale: the eval side is distinct-gram
+    deduped and tiny relative to the corpus → broadcast hash join against
+    the exploded training grams (map-side, no shuffle of the corpus); the
+    only shuffle is the per-doc count aggregate. At 100 TB the corpus side
+    stays exploded-but-streaming; eval grams for a benchmark suite are
+    ~10^6 rows — comfortably broadcastable."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", F.explode(_ngrams(tokens_expr(F.col("text")), 3)).alias("g")
+    )
+    ev = (
+        grams.filter(F.col("doc_id") % 97 == 0)
+        .select("g")
+        .distinct()
+    )
+    tr = grams.filter(F.col("doc_id") % 97 != 0).distinct()
+    return (
+        tr.join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("shared_3grams"))
+    )
+
+
+# --- Gopher-style quality rules ----------------------------------------------
+
+_STOP_IN_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+_GOPHER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, text
+  FROM documents
+),
+feat AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         len(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(t) AS mean_word_len,
+         len(list_filter(t, x -> x IN {_STOP_IN_SQL})) * 1.0 / len(t) AS stopword_frac
+  FROM toks
+)
+SELECT doc_id, n_words, mean_word_len, stopword_frac,
+       (n_words BETWEEN 25 AND 80) AS word_count_ok,
+       (mean_word_len BETWEEN 4.0 AND 5.0) AS word_len_ok,
+       (stopword_frac >= 0.02) AS stopword_ok,
+       ((n_words BETWEEN 25 AND 80) AND (mean_word_len BETWEEN 4.0 AND 5.0)
+        AND (stopword_frac >= 0.02)) AS passes
+FROM feat
+"""
+
+
+@query("pipeline_quality_gopher", oracle=_GOPHER_SQL)
+def pipeline_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021 §A1.1) rule-based quality gate: word
+    count bounds, mean word length bounds, stopword-fraction floor, plus
+    the conjunction. Map-only — zero shuffles at any scale; every feature
+    is a native expression (no tokenizer UDF). Fractions are int/int double
+    divisions, bit-identical across engines. Thresholds chosen to split
+    this corpus (tokens 10-99, mean word len 3.7-5.3, stop frac 0-0.22)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    n_words = F.size(toks)
+    mean_wl = F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_words
+    stop_frac = (
+        F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))) / n_words
+    )
+    base = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_frac.alias("stopword_frac"),
+    )
+    wc_ok = F.col("n_words").between(25, 80)
+    wl_ok = F.col("mean_word_len").between(4.0, 5.0)
+    st_ok = F.col("stopword_frac") >= 0.02
+    return base.select(
+        "*",
+        wc_ok.alias("word_count_ok"),
+        wl_ok.alias("word_len_ok"),
+        st_ok.alias("stopword_ok"),
+        (wc_ok & wl_ok & st_ok).alias("passes"),
+    )
+
+
+# --- intra-document repetition (duplicate n-gram fraction) --------------------
+
+_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, {_ngrams_sql(3)} AS g3 FROM toks
+)
+SELECT doc_id,
+       len(g3) AS total_3grams,
+       len(list_distinct(g3)) AS distinct_3grams,
+       CASE WHEN len(g3) > 0
+            THEN (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3)
+            ELSE 0.0 END AS dup_3gram_frac
+FROM g
+"""
+
+
+@query("text_repetition_ngram", oracle=_REPETITION_SQL)
+def text_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-3-gram fraction per document (the Gopher repetition
+    signal: boilerplate and crawler loops repeat n-grams). Map-only and
+    explode-free — the gram array, its distinct form, and the fraction are
+    all computed inside one projection, so at 100 TB this is a pure scan
+    with zero shuffles and no per-gram row blowup."""
+    d = _t(spark, sf_dir, "documents")
+    grams = _ngrams(tokens_expr(F.col("text")), 3)
+    g = d.select("doc_id", grams.alias("g3"))
+    total = F.size("g3")
+    distinct = F.size(F.array_distinct("g3"))
+    return g.select(
+        "doc_id",
+        total.cast("long").alias("total_3grams"),
+        distinct.cast("long").alias("distinct_3grams"),
+        F.when(total > 0, (total - distinct) / total)
+        .otherwise(F.lit(0.0))
+        .alias("dup_3gram_frac"),
+    )
+
+
+# --- token-budget sequence packing -------------------------------------------
+
+_PACK_BUDGET = 1024
+
+_PACKING_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens FROM documents
+),
+runs AS (
+  SELECT doc_id, lang, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY lang ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM sized
+)
+SELECT doc_id, lang, n_tokens,
+       CAST(FLOOR(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS seq_offset
+FROM runs
+"""
+
+
+@query("pipeline_seq_packing", oracle=_PACKING_SQL)
+def pipeline_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget sequence packing: docs are concatenated
+    in doc_id order within each lang partition and cut into {budget}-token
+    training sequences (seq_id) with the doc's start offset in its
+    sequence. One window shuffle keyed on lang. At 100 TB a 5-language
+    partition key is far too coarse — pack per (lang, shard) where shard
+    is a hash bucket, which keeps sequences deterministic within shards
+    and bounds window-partition size; same plan, finer key. Greedy
+    running-sum packing (vs bin-packing) is the standard streaming-
+    friendly choice — each doc's placement depends only on the prefix
+    sum."""
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id", "lang", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    runs = sized.withColumn(
+        "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return runs.select(
+        "doc_id", "lang", "n_tokens",
+        F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long").alias("seq_id"),
+        (F.col("cum_before") % _PACK_BUDGET).cast("long").alias("seq_offset"),
+    )
+
+
+# --- weighted domain mixing ---------------------------------------------------
+
+_MIX_WEIGHTS = {"en": 0.5, "fr": 0.8, "de": 1.0, "es": 0.6, "zh": 0.9}
+
+_MIX_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_WEIGHTS.items()
+) + " ELSE 0.0 END"
+
+_DOMAIN_MIX_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens,
+         (doc_id * 2654435761) % 1000 AS bucket,
+         {_MIX_CASE_SQL} AS weight
+  FROM documents
+)
+SELECT lang, CAST(round(weight * 1000) AS BIGINT) AS keep_per_mille,
+       count(*) AS n_total,
+       CAST(SUM(CASE WHEN bucket < weight * 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN bucket < weight * 1000 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM keyed GROUP BY lang, keep_per_mille
+"""
+
+
+@query("pipeline_domain_mix", oracle=_DOMAIN_MIX_SQL)
+def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted domain mixing: each language gets a target sampling weight
+    and documents are kept by a DETERMINISTIC per-doc coin — Knuth
+    multiplicative hash of doc_id into a per-mille bucket — so the sample
+    is reproducible run-to-run and engine-to-engine (no rand()). Output is
+    the per-domain mix report (kept counts + token budget). Map-side
+    Bernoulli selection + one tiny aggregate; at 100 TB the selection
+    fuses into the scan and the report aggregate shuffles 5 rows."""
+    d = _t(spark, sf_dir, "documents")
+    weight = F.element_at(
+        F.create_map(*[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv]),
+        F.col("lang"),
+    )
+    keyed = d.select(
+        "doc_id", "lang",
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+        ((F.col("doc_id") * 2654435761) % 1000).alias("bucket"),
+        F.coalesce(weight, F.lit(0.0)).alias("weight"),
+    )
+    kept = F.col("bucket") < F.col("weight") * 1000
+    return (
+        keyed.groupBy(
+            "lang", F.round(F.col("weight") * 1000).cast("long").alias("keep_per_mille")
+        )
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+        )
+    )
+
+
+# --- cross-source dedup with survivor priority --------------------------------
+
+_XSOURCE_SQL = r"""
+WITH keyed AS (
+  SELECT doc_id, lang, source,
+         CAST(substr(source, 4) AS INTEGER) AS src_prio,
+         array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 2), ' ') AS content_key
+  FROM documents
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY content_key ORDER BY src_prio, doc_id) AS rn,
+         count(*) OVER (PARTITION BY content_key) AS group_size
+  FROM keyed
+)
+SELECT doc_id, lang, source, content_key, CAST(group_size AS BIGINT) AS group_size
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("pipeline_cross_source_dedup", oracle=_XSOURCE_SQL)
+def pipeline_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source dedup with survivor priority: when the same content
+    arrives from multiple feeds, keep the copy from the most trusted
+    source (lowest source number), tie-broken by doc_id — the multi-source
+    ingestion dedup every corpus build needs. The content key here is the
+    2-token prefix (this corpus has no exact duplicates; production uses
+    the md5 fingerprint from pipeline_training_set — identical plan). One
+    window shuffle on the content key; survivor choice is rank-1 within
+    group, fully deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "lang", "source",
+        F.substring("source", 4, 10).cast("int").alias("src_prio"),
+        F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 2)).alias(
+            "content_key"
+        ),
+    )
+    w = W.partitionBy("content_key").orderBy("src_prio", "doc_id")
+    ranked = keyed.select(
+        "*",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(W.partitionBy("content_key")).alias("group_size"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "doc_id", "lang", "source", "content_key",
+        F.col("group_size").cast("long").alias("group_size"),
+    )
