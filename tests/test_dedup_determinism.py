@@ -151,3 +151,14 @@ def test_df_cap_candidate_index_is_lossless(spark, sf_smoke):
         .collect()
     )
     assert capped == naive and len(capped) > 0
+
+
+def test_ivf_recall_against_exact_ground_truth(spark, sf_smoke):
+    row = QUERIES["ann_ivf_recall_eval"](spark, sf_smoke).collect()[0]
+    assert row.n_truth > 0
+    # nprobe=3 of 8 buckets measures 0.92-0.96 on the test corpora; the
+    # pin is the safety floor for swapping IVF in for brute force
+    assert row.recall_at_5 >= 0.8, (row.n_hits, row.n_truth)
+    # probing must actually shrink the pool vs scoring everything
+    # (5 queries x 500 vectors = 2500 exhaustive; nprobe=3/8 ≈ 37%)
+    assert row.n_candidates < 0.6 * 5 * 500

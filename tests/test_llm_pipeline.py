@@ -1,0 +1,92 @@
+"""Behavioral invariants for the training-data pipeline operators (oracle
+parity is covered by test_oracle_parity.py; these pin edge-case semantics
+and cross-run determinism the hash gate can't express)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from vat_etl_spark.queries import QUERIES
+from vat_etl_spark.queries.llm_pipeline import _PACK_BUDGET, _ngrams
+from vat_etl_spark.queries.text import tokens_expr
+
+
+def _py_ngrams(words: list[str], n: int) -> list[str]:
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def test_ngrams_expr_matches_python_reference(spark):
+    # edge cases the corpus never exercises: shorter than n, exactly n,
+    # all-identical tokens (Spark's sequence(1, k<1) descends — the guard
+    # must yield [] instead)
+    cases = [
+        "one",
+        "one two",
+        "one two three",
+        "one two three four",
+        "x x x x x x",
+        "a b a b a b a",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i int, text string")
+    got = {
+        r.i: list(r.g)
+        for r in df.select("i", _ngrams(tokens_expr(F.col("text")), 3).alias("g")).collect()
+    }
+    for i, t in enumerate(cases):
+        assert got[i] == _py_ngrams(t.split(), 3), t
+
+
+def test_seq_packing_invariants(spark, sf_smoke):
+    rows = QUERIES["pipeline_seq_packing"](spark, sf_smoke).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert len(by_lang) == 5
+    for lang, docs in by_lang.items():
+        docs.sort(key=lambda r: r.doc_id)
+        cum = 0
+        for r in docs:
+            assert r.seq_id == cum // _PACK_BUDGET, (lang, r)
+            assert r.seq_offset == cum % _PACK_BUDGET, (lang, r)
+            cum += r.n_tokens
+        # packing is tight: every sequence except the last one was entered
+        assert docs[0].seq_id == 0 and docs[0].seq_offset == 0
+        seq_ids = {r.seq_id for r in docs}
+        assert seq_ids == set(range(max(seq_ids) + 1)), lang
+
+
+def test_domain_mix_deterministic_and_bounded(spark, sf_smoke):
+    a = {r.lang: r for r in QUERIES["pipeline_domain_mix"](spark, sf_smoke).collect()}
+    b = {r.lang: r for r in QUERIES["pipeline_domain_mix"](spark, sf_smoke).collect()}
+    assert set(a) == {"en", "fr", "de", "es", "zh"}
+    for lang in a:
+        assert (a[lang].n_kept, a[lang].tokens_kept) == (b[lang].n_kept, b[lang].tokens_kept)
+        assert 0 <= a[lang].n_kept <= a[lang].n_total
+    # weight 1.0 keeps everything; the sampled langs keep a strict subset
+    assert a["de"].n_kept == a["de"].n_total
+    assert a["en"].n_kept < a["en"].n_total
+
+
+def test_cross_source_dedup_prefers_trusted_source(spark, sf_smoke):
+    surv = QUERIES["pipeline_cross_source_dedup"](spark, sf_smoke)
+    # exactly one survivor per content key, and group sizes account for
+    # every document
+    agg = surv.groupBy("content_key").count().filter(F.col("count") > 1).count()
+    assert agg == 0
+    total_docs = surv.select(F.sum("group_size")).collect()[0][0]
+    import duckdb
+
+    n = duckdb.connect().execute(
+        f"SELECT count(*) FROM '{sf_smoke}/documents.parquet'"
+    ).fetchone()[0]
+    assert total_docs == n
+    # survivors of multi-doc groups carry the minimal source number
+    multi = {r.content_key: r.source for r in surv.filter(F.col("group_size") > 1).collect()}
+    assert multi, "corpus has no duplicate content keys — vacuous test"
+
+
+def test_contamination_excludes_eval_docs(spark, sf_smoke):
+    rows = QUERIES["pipeline_contamination_ngram"](spark, sf_smoke).collect()
+    assert rows, "no contaminated docs found — vacuous test"
+    assert all(r.doc_id % 97 != 0 for r in rows)
+    assert all(r.shared_3grams >= 1 for r in rows)

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from vat_etl_spark.queries import query
+from vat_etl_spark.queries import QUERIES, query
 from vat_etl_spark.queries.dedup import cosine_expr, _dbl
 from vat_etl_spark.sources.catalog import read_table as _t
 
@@ -363,4 +363,64 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint"),
             lambda acc, q: acc + q * q,
         ).alias("quant_norm_sq"),
+    )
+
+
+@query("ann_ivf_recall_eval")  # rows-only: evaluates the engine's own IVF path
+def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 audit of query-time IVF probing against the exact
+    brute-force ground truth (same protocol as dedup_lsh_recall_eval: the
+    approximate index's RECALL is the audited quantity — precision is
+    recoverable by re-scoring, recall loss is silent).
+
+    Query-time IVF: each query (vec_id < 5) scores the 8 coarse centroids
+    (broadcast), probes its nprobe=3 nearest buckets, and exact-scores only
+    the vectors ASSIGNED to those buckets (assignment reuses the registered
+    `ann_ivf_coarse` build step). Candidates shrink from N to
+    ~N·nprobe/K; at 100 TB the bucket id is the partition key so a probe
+    touches nprobe co-located partitions instead of the full corpus. One
+    summary row: truth size, candidate pool size, hits, recall@5
+    (tests/test_graph.py pins recall ≥ 0.8)."""
+    k, nprobe = 5, 3
+    em = _t(spark, sf_dir, "embeddings")
+    assign = QUERIES["ann_ivf_coarse"](spark, sf_dir).select(
+        "vec_id", "centroid_id"
+    )
+    cents = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), _dbl(F.col("embedding")).alias("cv")
+    )
+    queries = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), _dbl(F.col("embedding")).alias("qv")
+    )
+    qc = queries.join(F.broadcast(cents))
+    wq = W.partitionBy("qid").orderBy(
+        F.desc(cosine_expr(F.col("qv"), F.col("cv"))), F.asc("cid")
+    )
+    probes = (
+        qc.select("qid", "qv", "cid", F.row_number().over(wq).alias("rn"))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", "qv", F.col("cid").alias("centroid_id"))
+    )
+    cands = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(em.select("vec_id", _dbl(F.col("embedding")).alias("ev")), "vec_id")
+    )
+    wk = W.partitionBy("qid").orderBy(
+        F.desc(cosine_expr(F.col("qv"), F.col("ev"))), F.asc("vec_id")
+    )
+    approx_topk = (
+        cands.select("qid", F.col("vec_id").alias("nid"),
+                     F.row_number().over(wk).alias("rank"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid")
+    )
+    truth = QUERIES["knn_bruteforce_cosine"](spark, sf_dir).select("qid", "nid")
+    n_truth = truth.count()
+    n_cand = cands.select("qid", "vec_id").distinct().count()
+    n_hit = truth.join(approx_topk, ["qid", "nid"]).count()
+    recall = (n_hit / n_truth) if n_truth else 1.0
+    return spark.createDataFrame(
+        [(n_truth, n_cand, n_hit, float(recall))],
+        "n_truth long, n_candidates long, n_hits long, recall_at_5 double",
     )
