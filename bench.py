@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     # shard assignment, end-to-end — guards the north-star tier, not just
     # the relational surface.
     "pipeline_training_set",
+    # explode + broadcast-join + agg over the text corpus — the heaviest
+    # shape in the decontamination/dedup family.
+    "pipeline_contamination_ngram",
 ]
 
 

