@@ -599,15 +599,25 @@ def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair emission). Blocking keys must be validated against the DATA:
     soundex of customer names here degenerates to ONE code (synthetic
     names differ only in digits, which soundex drops — 785 K pairs in a
-    single block), so the key is soundex of the part name's head word,
-    which is real vocabulary. Scale shape identical to the fuzzy join:
-    block key is map-side, the self-join shuffles once on the code, and
-    quadratic work is confined inside blocks."""
+    single block), and soundex of the head word ALONE has only 8 values in
+    the part vocabulary, so blocks grow linearly with SF and in-block
+    pairs quadratically (measured 49 s at sf0.1). The key is therefore the
+    soundex of the first TWO words — an edit-distance-≤3 pair of 5-word
+    names can't rewrite a leading word beyond sound-alike drift, which
+    soundex absorbs. Pair cost is further bounded by a length prefilter
+    (|len_a − len_b| ≤ 3 is necessary for edit distance ≤ 3) and Spark 4's
+    banded ``levenshtein(l, r, threshold)`` which early-exits past the
+    bound instead of filling the full DP matrix. Scale shape identical to
+    the fuzzy join: block key is map-side, the self-join shuffles once on
+    the code, quadratic work is confined inside blocks."""
     c = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    words = F.split(F.col("p_name"), " ")
     keyed = c.select(
         F.col("p_partkey").alias("key"),
         F.col("p_name").alias("name"),
-        F.soundex(F.split(F.col("p_name"), " ")[0]).alias("code"),
+        F.concat_ws(
+            "-", F.soundex(words[0]), F.soundex(words[1])
+        ).alias("code"),
     )
     a = keyed.select(
         F.col("key").alias("key_a"), F.col("name").alias("name_a"), "code"
@@ -618,9 +628,17 @@ def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("code").alias("code_b"),
     )
     return (
-        a.join(b, (F.col("code") == F.col("code_b")) & (F.col("key_a") < F.col("key_b")))
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b"))
-        .where(F.col("edit_dist") <= 3)
+        a.join(
+            b,
+            (F.col("code") == F.col("code_b"))
+            & (F.col("key_a") < F.col("key_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 3
+            ),
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 3))
+        # thresholded levenshtein returns -1 when the bound is exceeded
+        .where(F.col("edit_dist").between(0, 3))
         .select("code", "key_a", "name_a", "key_b", "name_b", "edit_dist")
     )
 

@@ -463,12 +463,22 @@ def agg_mode_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for distinct
     counts (fixed-size sketch, mergeable, no expand); exact twin is
-    agg_count_distinct."""
+    agg_count_distinct.
+
+    The sketch and the exact count are SEPARATE aggregations joined on the
+    3-row group key: mixing a distinct aggregate with approx_count_distinct
+    in one agg makes Spark expand to per-(group, value) partial rows, each
+    carrying a 16 KB rsd=0.01 HLL buffer through the shuffle — measured
+    6.5 s vs 1.4 s split at sf0.1 (the whole point of the sketch is NOT to
+    materialize per-value state)."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders"),
-        F.countDistinct("l_orderkey").alias("exact_orders"),
+    approx = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders")
     )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders")
+    )
+    return approx.join(exact, "l_returnflag")
 
 
 # --- subqueries (EXISTS / scalar / HAVING) ------------------------------------
