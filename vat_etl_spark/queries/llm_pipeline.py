@@ -479,3 +479,93 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(keep.cast("long")).alias("docs_final"),
         F.sum(F.when(keep, F.col("n_tokens")).otherwise(0)).alias("tokens_final"),
     )
+
+
+# --- deterministic stratified train/val/test split ----------------------------
+
+_SPLIT_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens,
+         (doc_id * 2654435761) % 100 AS bucket
+  FROM documents
+),
+tagged AS (
+  SELECT *, CASE WHEN bucket < 90 THEN 'train'
+                 WHEN bucket < 95 THEN 'val'
+                 ELSE 'test' END AS split
+  FROM keyed
+)
+SELECT lang, split, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+FROM tagged GROUP BY lang, split
+"""
+
+
+@query("pipeline_train_val_split", oracle=_SPLIT_SQL)
+def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/5/5 train/val/test assignment: the split is a pure
+    function of doc_id (multiplicative-hash per-cent bucket), so it is
+    stable across runs, engines, partitionings, and re-ingests — the
+    property a training pipeline needs so eval rows can NEVER drift into
+    train between builds. No rand(), no sampleBy. Map-side tag + one tiny
+    report aggregate; at 100 TB the tag fuses into the scan and writers
+    partitionBy(split)."""
+    d = _t(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id", "lang",
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+        ((F.col("doc_id") * 2654435761) % 100).alias("bucket"),
+    ).withColumn(
+        "split",
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test"),
+    )
+    return tagged.groupBy("lang", "split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+# --- deterministic fixed-size per-group sample --------------------------------
+
+_RESERVOIR_SQL = """
+WITH hashed AS (
+  SELECT doc_id, lang, source,
+         (doc_id * 2654435761) % 2147483647 AS h
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+  FROM hashed
+)
+SELECT lang, doc_id, source, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 20
+"""
+
+
+@query("sample_fixed_per_group", oracle=_RESERVOIR_SQL)
+def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size per-group sample (k=20 docs per language) — the
+    distributed, deterministic equivalent of per-group reservoir sampling:
+    rank by a multiplicative hash of the key and keep the k smallest.
+    Hash order is uniform-ish but REPRODUCIBLE (same sample every run /
+    engine / partition count, unlike rand()-based reservoirs), which is
+    what eval-set carving and debugging demand. One window shuffle on the
+    group key; at scale a partial per-partition top-k (groupBy +
+    min_by(k) / TakeOrderedAndProject per group) bounds shuffle input to
+    k rows per (partition, group)."""
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", "lang", "source",
+        ((F.col("doc_id") * 2654435761) % 2147483647).alias("h"),
+    )
+    w = W.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id", "source", F.col("rk").cast("long").alias("rk"))
+    )
