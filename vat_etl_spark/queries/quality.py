@@ -393,3 +393,43 @@ def dq_freshness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(gmax - last_us) div 60000000").alias("staleness_min"),
         F.when(stale > 3_600_000_000, "stale").otherwise("fresh").alias("status"),
     )
+
+
+_OBSERVE_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_priorities,
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_prices,
+       max(o_totalprice) AS max_price
+FROM orders
+"""
+
+
+@query("dq_observe_metrics", oracle=_OBSERVE_SQL)
+def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via ``df.observe()``: data-quality counters
+    (row count, null priorities, non-positive prices, max price)
+    ride along on a pass the pipeline was ALREADY making — zero extra
+    scans, metrics surface through the observation channel after any
+    action. This is how a 100 TB nightly job self-reports health without a
+    second read: attach observe() to the write, alert from the metrics
+    map (observed metrics must be non-DISTINCT aggregates — a documented
+    CollectMetrics restriction). Here the observed pass is a noop-sink write of the orders scan;
+    the returned 1-row DataFrame is the metrics record (oracle recomputes
+    the same aggregates relationally)."""
+    from pyspark.sql import Observation
+
+    o = _t(spark, sf_dir, "orders")
+    obs = Observation("dq")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_orderpriority").isNull().cast("long")).alias("null_priorities"),
+        F.sum((F.col("o_totalprice") <= 0).cast("long")).alias("nonpositive_prices"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+    observed.write.format("noop").mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["null_priorities"], m["nonpositive_prices"], m["max_price"])],
+        "n_rows long, null_priorities long, nonpositive_prices long, max_price double",
+    )

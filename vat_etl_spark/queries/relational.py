@@ -2117,3 +2117,26 @@ def agg_skew_kurtosis_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
         (m4 / (m2 * m2) - 3).alias("excess_kurtosis"),
     )
+
+
+_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+"""
+
+
+@query("sql_lateral_topn_per_nation", oracle=_LATERAL_SQL)
+def sql_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY + LIMIT through
+    the SQL front-end — the SQL spelling of top-N-per-group. Catalyst
+    decorrelates it into the same window/rank plan the DataFrame API
+    produces (one shuffle on the correlation key), so LATERAL costs
+    nothing extra at scale; the oracle runs the identical statement, which
+    also proves dialect parity for lateral joins."""
+    from vat_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
