@@ -90,3 +90,32 @@ def test_contamination_excludes_eval_docs(spark, sf_smoke):
     assert rows, "no contaminated docs found — vacuous test"
     assert all(r.doc_id % 97 != 0 for r in rows)
     assert all(r.shared_3grams >= 1 for r in rows)
+
+
+def test_build_corpus_end_to_end(spark, sf_smoke, tmp_path):
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.llm_pipeline import build_corpus
+
+    out = str(tmp_path / "corpus")
+    stats = build_corpus(spark, sf_smoke, out, n_shards=4)
+    shards = spark.read.parquet(f"{out}/shards")
+    # funnel: written == quality-passing survivors
+    q = QUERIES["pipeline_quality_gopher"](spark, sf_smoke).filter("passes")
+    s = QUERIES["pipeline_cross_source_dedup"](spark, sf_smoke)
+    expected = q.select("doc_id").join(s.select("doc_id"), "doc_id").count()
+    assert stats["docs_written"] == expected > 0
+    # layout: split/shard are partition columns, values from the contract
+    assert set(r.split for r in shards.select("split").distinct().collect()) <= {
+        "train", "val", "test"
+    }
+    assert shards.filter(F.col("shard") >= 4).count() == 0
+    # split assignment is the registered deterministic function of doc_id
+    bad = shards.withColumn("b", (F.col("doc_id") * 2654435761) % 100).filter(
+        ((F.col("b") < 90) & (F.col("split") != "train"))
+        | ((F.col("b") >= 90) & (F.col("b") < 95) & (F.col("split") != "val"))
+        | ((F.col("b") >= 95) & (F.col("split") != "test"))
+    )
+    assert bad.count() == 0
+    card = spark.read.parquet(f"{out}/dataset_card")
+    assert card.count() == 5  # one row per language

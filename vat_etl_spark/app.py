@@ -8,6 +8,7 @@ libraries (or Excel-sized data) don't.
     python -m vat_etl_spark summary --input txns.csv --out-sqlite vat.db
     python -m vat_etl_spark summary --input workbook.xlsx --out-xlsx out.xlsx
     python -m vat_etl_spark query q1_pricing_summary --sf-dir /root/testdata/sf0.01
+    python -m vat_etl_spark corpus --out /tmp/corpus --shards 8
     python -m vat_etl_spark list
 """
 
@@ -106,6 +107,19 @@ def run_query(args: argparse.Namespace, spark: SparkSession | None = None) -> Da
     return df
 
 
+def run_corpus(args, spark: SparkSession | None = None):
+    from vat_etl_spark.queries.llm_pipeline import build_corpus
+    from vat_etl_spark.session import get_spark
+
+    spark = spark or get_spark("vat-etl-corpus")
+    stats = build_corpus(spark, args.sf_dir, args.out, n_shards=args.shards)
+    print(
+        f"wrote {stats['docs_written']} docs across {stats['shards']} "
+        f"(split, shard) partitions ({stats['splits']} splits) to {args.out}"
+    )
+    return stats
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vat_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -128,6 +142,16 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--rows", type=int, default=20)
     q.add_argument("--explain", action="store_true")
     q.set_defaults(fn=run_query)
+
+    c = sub.add_parser(
+        "corpus",
+        help="composed training-data build: quality gate -> dedup -> "
+        "split/shard parquet + dataset card",
+    )
+    c.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    c.add_argument("--out", required=True, help="output directory")
+    c.add_argument("--shards", type=int, default=8)
+    c.set_defaults(fn=run_corpus)
 
     l = sub.add_parser("list", help="list registered queries")
     l.set_defaults(fn=None)

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from vat_etl_spark.queries import query
+from vat_etl_spark.queries import QUERIES, query
 from vat_etl_spark.queries.text import STOPWORDS, tokens_expr
 from vat_etl_spark.sources.catalog import read_table as _t
 
@@ -569,3 +569,53 @@ def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("lang", "doc_id", "source", F.col("rk").cast("long").alias("rk"))
     )
+
+
+def build_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_shards: int = 8,
+) -> dict[str, int]:
+    """The composed corpus build as ONE write job (the `corpus` CLI
+    subcommand): Gopher quality gate → cross-source dedup survivor →
+    deterministic train/val/test tag → shard assignment, written
+    ``partitionBy(split, shard)`` so training readers get one directory
+    per (split, shard) and eval splits can never mix into train files.
+    Returns the funnel counts (also persisted alongside the shards as the
+    dataset card). Single content-key window + one write; everything else
+    is map-side — the same plan at 100 TB with the md5 fingerprint as the
+    content key."""
+    quality = QUERIES["pipeline_quality_gopher"](spark, sf_dir).select(
+        "doc_id", "passes"
+    )
+    survivors = QUERIES["pipeline_cross_source_dedup"](spark, sf_dir).select(
+        "doc_id"
+    )
+    d = _t(spark, sf_dir, "documents")
+    kept = (
+        d.join(quality.filter(F.col("passes")).select("doc_id"), "doc_id")
+        .join(survivors, "doc_id")
+        .withColumn("bucket", (F.col("doc_id") * 2654435761) % 100)
+        .withColumn(
+            "split",
+            F.when(F.col("bucket") < 90, "train")
+            .when(F.col("bucket") < 95, "val")
+            .otherwise("test"),
+        )
+        .withColumn(
+            "shard", ((F.col("doc_id") * 2654435761) % n_shards).cast("long")
+        )
+        .drop("bucket")
+    )
+    kept.write.mode("overwrite").partitionBy("split", "shard").parquet(
+        f"{out_dir}/shards"
+    )
+    card = QUERIES["pipeline_dataset_card"](spark, sf_dir)
+    card.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/dataset_card")
+    written = spark.read.parquet(f"{out_dir}/shards")
+    return {
+        "docs_written": written.count(),
+        "splits": written.select("split").distinct().count(),
+        "shards": written.select("split", "shard").distinct().count(),
+    }
