@@ -119,3 +119,18 @@ def test_build_corpus_end_to_end(spark, sf_smoke, tmp_path):
     assert bad.count() == 0
     card = spark.read.parquet(f"{out}/dataset_card")
     assert card.count() == 5  # one row per language
+
+
+def test_nosplit_packing_never_splits_docs(spark, sf_smoke):
+    from vat_etl_spark.queries.llm_pipeline import _PACK_BUDGET
+
+    rows = QUERIES["pipeline_seq_packing_nosplit"](spark, sf_smoke).collect()
+    by_key: dict[tuple, list] = {}
+    for r in rows:
+        by_key.setdefault((r.lang, r.seq_id), []).append(r)
+    for (lang, seq), docs in by_key.items():
+        total = sum(r.n_tokens for r in docs)
+        # a sequence only exceeds the budget if a single doc does
+        assert total <= _PACK_BUDGET or len(docs) == 1, (lang, seq, total)
+        for r in docs:
+            assert r.seq_offset + r.n_tokens <= max(_PACK_BUDGET, r.n_tokens)

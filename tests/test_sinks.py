@@ -140,6 +140,26 @@ def test_compact_parquet_dir_merges_small_files(spark, sf_smoke, tmp_path):
     assert spark.read.parquet(out).count() == li.count()
 
 
+def test_compact_parquet_dir_rejects_nested_dirs(spark, sf_smoke, tmp_path):
+    """Hive-partitioned AND plain nested directories are both rejected: the
+    rglob size estimate would count files the non-recursive read skips."""
+    import pytest
+
+    from vat_etl_spark.sources.sinks import compact_parquet_dir
+
+    region = read_table(spark, sf_smoke, "region")
+    hive = str(tmp_path / "hive")
+    region.write.partitionBy("r_regionkey").parquet(hive)
+    with pytest.raises(ValueError, match="hive-partitioned"):
+        compact_parquet_dir(spark, hive, str(tmp_path / "out1"))
+
+    nested = str(tmp_path / "nested")
+    region.write.parquet(nested)
+    region.write.parquet(f"{nested}/sub")  # plain subdir, no '=' in name
+    with pytest.raises(ValueError, match="flat parquet"):
+        compact_parquet_dir(spark, nested, str(tmp_path / "out2"))
+
+
 def test_file_provenance_metadata_column(spark, sf_smoke, tmp_path):
     """Hidden ``_metadata`` column: per-row file provenance (path, size,
     row index) read straight from the scan — the lineage primitive for

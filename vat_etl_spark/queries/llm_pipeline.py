@@ -619,3 +619,73 @@ def build_corpus(
         "splits": written.select("split").distinct().count(),
         "shards": written.select("split", "shard").distinct().count(),
     }
+
+
+# --- no-split greedy packing (capacity-reset recurrence) ----------------------
+
+_NOSPLIT_SQL = f"""
+WITH RECURSIVE d AS (
+  SELECT lang, doc_id, {_NTOK_SQL} AS n_tokens,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+),
+s AS (
+  SELECT lang, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+         CAST(n_tokens AS BIGINT) AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN s.fill + d.n_tokens > {_PACK_BUDGET} THEN s.seq_id + 1
+              ELSE s.seq_id END,
+         CASE WHEN s.fill + d.n_tokens > {_PACK_BUDGET} THEN CAST(0 AS BIGINT)
+              ELSE s.fill END,
+         CASE WHEN s.fill + d.n_tokens > {_PACK_BUDGET} THEN CAST(d.n_tokens AS BIGINT)
+              ELSE s.fill + d.n_tokens END
+  FROM s JOIN d ON d.lang = s.lang AND d.rn = s.rn + 1
+)
+SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, seq_id, seq_offset
+FROM s
+"""
+
+
+@query("pipeline_seq_packing_nosplit", oracle=_NOSPLIT_SQL)
+def pipeline_seq_packing_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy NO-SPLIT sequence packing: docs are placed whole; when the
+    next doc would overflow the {budget}-token sequence, a new sequence
+    starts (contrast pipeline_seq_packing, which lets a doc straddle the
+    cut). The seq boundary is a capacity-RESET recurrence — each row's
+    state depends on a conditional reset of the running fill, which no
+    fixed-frame window can express — so this is the documented escape
+    hatch: Arrow-batched ``applyInPandas`` per lang partition, O(n) per
+    group, integer-only state (bit-stable across engines; the oracle
+    replays the recurrence as a DuckDB recursive CTE). At 100 TB: group by
+    (lang, shard) exactly like pipeline_seq_packing — the recurrence only
+    needs intra-shard order, so shards pack independently and in
+    parallel."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang", "doc_id", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        seq = fill = 0
+        seq_ids, offsets = [], []
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > _PACK_BUDGET:
+                seq += 1
+                fill = 0
+            seq_ids.append(seq)
+            offsets.append(fill)
+            fill += n
+        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+        pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
+        return pdf
+
+    return sized.groupBy("lang").applyInPandas(
+        pack, "lang string, doc_id bigint, n_tokens bigint, seq_id bigint, seq_offset bigint"
+    ).select("lang", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "seq_id", "seq_offset")
