@@ -119,3 +119,29 @@ def test_resize_payload_shrinks_and_refreshes_meta(spark, sf_smoke):
     for r in small.collect():
         assert r.meta.n_bytes == math.ceil(orig[r.doc_id] / 4)
         assert len(r.payload) == r.meta.n_bytes
+
+
+def test_audio_frame_energy_matches_struct_reference(mm):
+    """PCM framing parity: frame geometry, energy, and peak must equal a
+    pure-Python struct.unpack reference on the same payload bytes."""
+    import struct
+
+    from vat_etl_spark.operators.multimodal import audio_frame_energy
+
+    got = {}
+    for r in audio_frame_energy(mm, frame_samples=64).collect():
+        got.setdefault(r.doc_id, {})[r.frame_idx] = (r.n_samples, r.energy, r.peak_abs)
+    payloads = {r.doc_id: bytes(r.payload) for r in mm.select("doc_id", "payload").collect()}
+    assert set(got) == set(payloads)
+    for doc_id, b in list(payloads.items())[:10]:
+        usable = len(b) // 2 * 2
+        samples = struct.unpack(f"<{usable // 2}h", b[:usable])
+        expected = {}
+        for idx in range(0, max(len(samples), 1), 64):
+            fr = samples[idx : idx + 64]
+            expected[idx // 64] = (
+                len(fr),
+                sum(s * s for s in fr),
+                max((abs(s) for s in fr), default=0),
+            )
+        assert got[doc_id] == expected, doc_id

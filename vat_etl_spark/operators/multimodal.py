@@ -277,3 +277,56 @@ def resize_payload(mm: DataFrame, factor: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "payload", "uri", "meta"])
 
     return mm.mapInPandas(batches, schema=out_schema)
+
+
+AUDIO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("energy", T.LongType()),
+        T.StructField("peak_abs", T.LongType()),
+    ]
+)
+
+
+def audio_frame_energy(mm: DataFrame, frame_samples: int = 256) -> DataFrame:
+    """Audio framing over the multimodal convention: interpret the binary
+    payload as s16le PCM, cut into ``frame_samples``-sample frames, and
+    emit per-frame integer energy (sum of squared samples) and peak
+    amplitude — the framing+feature step a speech pipeline runs before an
+    acoustic model (real decode of containerized audio would go through a
+    codec here; the PCM interpretation keeps the Spark-side plumbing —
+    schema, Arrow batching, frame geometry, integer determinism — real and
+    testable without audio libs).
+
+    Arrow-batched ``mapInPandas`` with numpy vectorized framing; output is
+    integer-only so results are bit-stable across engines, partitionings,
+    and BLAS builds. Map-only at any scale — one input row expands to
+    ⌈n_samples/frame⌉ output rows, no shuffle."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                usable = len(b) // 2 * 2
+                samples = np.frombuffer(b[:usable], dtype="<i2").astype(np.int64)
+                for idx in range(0, max(len(samples), 1), frame_samples):
+                    frame = samples[idx : idx + frame_samples]
+                    out.append(
+                        (
+                            doc_id,
+                            idx // frame_samples,
+                            len(frame),
+                            int((frame * frame).sum()) if len(frame) else 0,
+                            int(np.abs(frame).max()) if len(frame) else 0,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "frame_idx", "n_samples", "energy", "peak_abs"],
+            )
+
+    return mm.mapInPandas(batches, schema=AUDIO_FRAMES_SCHEMA)

@@ -138,3 +138,16 @@ def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("payload_bytes").alias("min_item"),
         F.max("payload_bytes").alias("max_item"),
     )
+
+
+@query("multimodal_audio_frames")  # rows-only: PCM framing is a mapInPandas op
+def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style framing of binary payloads (s16le PCM interpretation):
+    per-frame integer energy + peak — see
+    operators/multimodal.py:audio_frame_energy. Integer-only output,
+    map-only plan; pytest pins exact parity with a pure-Python struct
+    reference (tests/test_multimodal.py)."""
+    from vat_etl_spark.operators.multimodal import audio_frame_energy
+
+    docs = _t(spark, sf_dir, "documents")
+    return audio_frame_energy(attach_payload(docs))
