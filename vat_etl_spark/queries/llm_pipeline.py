@@ -689,3 +689,53 @@ def pipeline_seq_packing_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sized.groupBy("lang").applyInPandas(
         pack, "lang string, doc_id bigint, n_tokens bigint, seq_id bigint, seq_offset bigint"
     ).select("lang", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "seq_id", "seq_offset")
+
+
+# --- incremental dedup (delta batch vs existing corpus index) -----------------
+
+_INCR_DEDUP_SQL = r"""
+WITH keyed AS (
+  SELECT doc_id, lang, source,
+         array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 2), ' ') AS content_key,
+         (doc_id % 10 >= 8) AS is_new
+  FROM documents
+),
+existing AS (SELECT DISTINCT content_key FROM keyed WHERE NOT is_new),
+batch AS (
+  SELECT *, row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+  FROM keyed WHERE is_new
+)
+SELECT b.doc_id, b.lang, b.source, b.content_key
+FROM batch b LEFT JOIN existing e USING (content_key)
+WHERE e.content_key IS NULL AND b.rn = 1
+"""
+
+
+@query("pipeline_incremental_dedup", oracle=_INCR_DEDUP_SQL)
+def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup — the production delta pattern: a new
+    ingest batch (stand-in: ``doc_id % 10 >= 8``) is admitted only where
+    its content key is (a) absent from the existing corpus index
+    (LEFT ANTI join against the distinct-key index — never the full
+    corpus) and (b) the first occurrence within the batch itself (rank-1
+    window on the batch only). The existing corpus is touched ONLY as its
+    key index: at 100 TB that index is a compact bucketed table of
+    16-byte fingerprints, the anti-join co-locates on the bucket key, and
+    the window runs over the (small) delta — nothing ever re-reads or
+    re-shuffles the historical documents."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "lang", "source",
+        F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 2)).alias("content_key"),
+        (F.col("doc_id") % 10 >= 8).alias("is_new"),
+    )
+    existing = keyed.filter(~F.col("is_new")).select("content_key").distinct()
+    batch = keyed.filter(F.col("is_new"))
+    w = W.partitionBy("content_key").orderBy("doc_id")
+    first_in_batch = (
+        batch.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    return (
+        first_in_batch.join(existing, "content_key", "left_anti")
+        .select("doc_id", "lang", "source", "content_key")
+    )

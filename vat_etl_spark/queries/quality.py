@@ -9,7 +9,7 @@ fail/quarantine/continue from counts, never by eyeballing a UI.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from vat_etl_spark.queries import query
@@ -432,4 +432,60 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(m["n_rows"], m["null_priorities"], m["nonpositive_prices"], m["max_price"])],
         "n_rows long, null_priorities long, nonpositive_prices long, max_price double",
+    )
+
+
+_SKEW_SQL = """
+WITH per_key AS (
+  SELECT o_custkey AS key, count(*) AS c FROM orders GROUP BY o_custkey
+),
+stats AS (
+  SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows,
+         max(c) AS max_c,
+         CAST(sum(c) AS BIGINT) // count(*) AS mean_c
+  FROM per_key
+),
+top AS (
+  SELECT key, c, row_number() OVER (ORDER BY c DESC, key) AS rk FROM per_key
+)
+SELECT t.rk AS rank, t.key AS hot_key, t.c AS key_rows,
+       s.n_keys, s.n_rows, s.max_c, s.mean_c,
+       CAST(t.c AS BIGINT) * 100 // s.mean_c AS pct_of_mean_x100
+FROM top t CROSS JOIN stats s
+WHERE t.rk <= 5
+"""
+
+
+@query("dq_key_skew_profile", oracle=_SKEW_SQL)
+def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew pre-flight: before shuffling a fact table on a key,
+    profile the key's frequency distribution — top-5 hottest keys with
+    their row counts, and each as an integer percentage of the mean key
+    frequency. A max/mean ratio in the hundreds says the plain shuffle
+    join will straggle on one partition and the plan needs salting or AQE
+    skew-split (which this engine enables — see join_skew_salted and the
+    AQE session config). One aggregate + a top-5; integer-only ratios so
+    the report is engine-exact. At 100 TB this runs on a sample or on the
+    partial-agg output — either way it is one cheap pass that prevents an
+    hours-long straggler."""
+    o = _t(spark, sf_dir, "orders")
+    per_key = o.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("c")
+    )
+    stats = per_key.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_c"),
+        F.expr("sum(c) div count(*)").alias("mean_c"),
+    )
+    w = W.orderBy(F.desc("c"), F.asc("key"))
+    top = per_key.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= 5
+    )
+    return top.crossJoin(F.broadcast(stats)).select(
+        "rank",
+        F.col("key").alias("hot_key"),
+        F.col("c").alias("key_rows"),
+        "n_keys", "n_rows", "max_c", "mean_c",
+        F.expr("c * 100 div mean_c").alias("pct_of_mean_x100"),
     )
