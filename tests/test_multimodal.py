@@ -145,3 +145,32 @@ def test_audio_frame_energy_matches_struct_reference(mm):
                 max((abs(s) for s in fr), default=0),
             )
         assert got[doc_id] == expected, doc_id
+
+
+def test_keyframe_select_matches_python_reference(mm):
+    from vat_etl_spark.operators.multimodal import keyframe_select
+
+    got = {}
+    for r in keyframe_select(mm, frame_bytes=32, threshold=500).collect():
+        got.setdefault(r.doc_id, {})[r.frame_idx] = (r.delta, r.is_keyframe)
+    payloads = {r.doc_id: bytes(r.payload) for r in mm.select("doc_id", "payload").collect()}
+    assert set(got) == set(payloads)
+    for doc_id, b in list(payloads.items())[:10]:
+        n_frames = max(-(-len(b) // 32), 1)
+        frames = [b[i * 32 : (i + 1) * 32] for i in range(n_frames)]
+        expected = {}
+        prev = None
+        for i, fr in enumerate(frames):
+            if prev is None:
+                expected[i] = (0, True)
+            else:
+                width = max(len(fr), len(prev))
+                a = fr.ljust(width, b"\x00"); p = prev.ljust(width, b"\x00")
+                d = sum(abs(x - y) for x, y in zip(a, p))
+                expected[i] = (d, d > 500)
+            prev = fr
+        assert got[doc_id] == expected, doc_id
+    # the heuristic must actually select a nontrivial subset
+    keys = sum(1 for d in got.values() for (_, k) in d.values() if k)
+    total = sum(len(d) for d in got.values())
+    assert 0 < keys < total

@@ -330,3 +330,56 @@ def audio_frame_energy(mm: DataFrame, frame_samples: int = 256) -> DataFrame:
             )
 
     return mm.mapInPandas(batches, schema=AUDIO_FRAMES_SCHEMA)
+
+
+KEYFRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("delta", T.LongType()),
+        T.StructField("is_keyframe", T.BooleanType()),
+    ]
+)
+
+
+def keyframe_select(
+    mm: DataFrame, frame_bytes: int = 64, threshold: int = 2000
+) -> DataFrame:
+    """Video-style keyframe selection over the multimodal convention:
+    payloads are cut into fixed ``frame_bytes`` frames and a frame is a
+    keyframe when its byte-level delta from the previous frame (sum of
+    absolute byte differences, zero-padded to equal length) exceeds
+    ``threshold`` — the scene-cut heuristic a sampling pipeline runs
+    before an expensive vision model (real decode would compare pixel
+    planes; byte deltas keep the plumbing — framing geometry, sequential
+    delta recurrence, Arrow batching — real without codecs). Frame 0 is
+    always a keyframe. Integer-only and map-only at any scale."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                prev = None
+                n_frames = max(-(-len(b) // frame_bytes), 1)
+                for i in range(n_frames):
+                    fr = np.frombuffer(
+                        b[i * frame_bytes : (i + 1) * frame_bytes], dtype=np.uint8
+                    ).astype(np.int64)
+                    if prev is None:
+                        delta = 0
+                        key = True
+                    else:
+                        width = max(len(fr), len(prev))
+                        a = np.zeros(width, dtype=np.int64); a[: len(fr)] = fr
+                        p = np.zeros(width, dtype=np.int64); p[: len(prev)] = prev
+                        delta = int(np.abs(a - p).sum())
+                        key = delta > threshold
+                    out.append((doc_id, i, delta, key))
+                    prev = fr
+            yield pd.DataFrame(
+                out, columns=["doc_id", "frame_idx", "delta", "is_keyframe"]
+            )
+
+    return mm.mapInPandas(batches, schema=KEYFRAMES_SCHEMA)

@@ -151,3 +151,14 @@ def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return audio_frame_energy(attach_payload(docs))
+
+
+@query("multimodal_keyframes")  # rows-only: sequential frame-delta recurrence
+def multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style keyframe selection (byte-delta scene-cut heuristic) —
+    see operators/multimodal.py:keyframe_select. Integer-only map-only
+    plan; pytest pins exact parity with a pure-Python reference."""
+    from vat_etl_spark.operators.multimodal import keyframe_select
+
+    docs = _t(spark, sf_dir, "documents")
+    return keyframe_select(attach_payload(docs))
