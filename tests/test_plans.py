@@ -314,9 +314,16 @@ def test_no_trivially_true_join_predicates(spark, sf_smoke, capfd):
     offenders: list[str] = []
     for name, fn in QUERIES.items():
         df = fn(spark, sf_smoke)
-        analyzed = df._jdf.queryExecution().analyzed().toString()
+        qe = df._jdf.queryExecution()
+        analyzed = qe.analyzed().toString()
         if self_eq.search(analyzed):
             offenders.append(f"{name}: self-equal predicate in analyzed plan")
+        # same pass, second guard: an ACCIDENTAL cartesian product (a join
+        # whose condition vanished) plans as CartesianProduct — every
+        # intentional crossJoin in the repo is against a broadcast 1-row
+        # aggregate and never planned this way (baseline: zero hits)
+        if "CartesianProduct" in qe.executedPlan().toString():
+            offenders.append(f"{name}: CartesianProduct in physical plan")
     sys.stderr.flush()
     err = capfd.readouterr().err
     if "trivially true equals predicate" in err:
