@@ -42,3 +42,27 @@ def test_pagerank_mass_and_structure(spark, sf_smoke):
     # suppliers are far fewer and aggregate trade flows from many customers,
     # so the max-rank node should be a supplier
     assert max(ranks, key=ranks.get)[0] == "supplier"
+
+
+def test_embed_normalize_arrow_matches_numpy(spark, sf_smoke):
+    """mapInArrow path parity: norms and normalized components must equal a
+    driver-side numpy reference on the same vectors."""
+    import numpy as np
+
+    from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.sources.catalog import read_table
+
+    got = {r.vec_id: (r.l2_norm, r.first_component_normed)
+           for r in QUERIES["embed_normalize_arrow"](spark, sf_smoke).collect()}
+    src = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+           for r in read_table(spark, sf_smoke, "embeddings").collect()}
+    assert set(got) == set(src)
+    # reference uses the 2D-axis norm code path (sqrt(sum(x*x))) — numpy's
+    # 1D norm goes through BLAS nrm2 and rounds differently in the last ulp
+    ids = sorted(src)
+    mat = np.stack([src[i] for i in ids])
+    norms = np.linalg.norm(mat, axis=1)
+    for i, vid in enumerate(ids):
+        n = float(norms[i])
+        assert got[vid][0] == n
+        assert got[vid][1] == float(mat[i, 0] / (n if n else 1.0))

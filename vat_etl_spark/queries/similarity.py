@@ -424,3 +424,36 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_truth, n_cand, n_hit, float(recall))],
         "n_truth long, n_candidates long, n_hits long, recall_at_5 double",
     )
+
+
+@query("embed_normalize_arrow")  # rows-only: float accumulation is engine-specific
+def embed_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2-normalization of the embedding column via ``mapInArrow`` — the
+    lowest-overhead Python escape hatch (raw pyarrow RecordBatches, no
+    pandas conversion on either side; cf. mapInPandas in
+    knn_vectorized_numpy). Zero-copy into numpy, one vectorized
+    batch-level normalize, zero-copy out. Map-only at any scale. Output
+    carries the norm and a normalized-first-component so the row content
+    is small; parity with a pure-numpy reference is pinned in
+    tests/test_graph.py (float path ⇒ rows-only for the oracle gate)."""
+    import numpy as np
+    import pyarrow as pa
+
+    em = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def norm_batches(it):
+        for batch in it:
+            vec_ids = batch.column("vec_id")
+            embs = batch.column("embedding")
+            arr = np.array(embs.to_pylist(), dtype=np.float64)
+            norms = np.linalg.norm(arr, axis=1)
+            safe = np.where(norms == 0.0, 1.0, norms)
+            first = arr[:, 0] / safe
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(norms), pa.array(first)],
+                names=["vec_id", "l2_norm", "first_component_normed"],
+            )
+
+    return em.mapInArrow(
+        norm_batches, "vec_id long, l2_norm double, first_component_normed double"
+    )
