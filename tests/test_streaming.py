@@ -437,3 +437,23 @@ def test_stateful_operator_runs_on_rocksdb_state_store(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_quality_gate_equals_batch(spark, sf_smoke, tmp_path):
+    """The Gopher quality gate is a stateless map-only builder, so it must
+    produce identical rows on a document STREAM as on the batch table —
+    the continuous-ingest corpus filtering path."""
+    from vat_etl_spark.queries.llm_pipeline import quality_flags
+    from vat_etl_spark.sources.catalog import read_table
+    from vat_etl_spark.streaming.events import run_available_now
+
+    docs = read_table(spark, sf_smoke, "documents")
+    src = str(tmp_path / "docs_src")
+    docs.coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    got = run_available_now(quality_flags(stream), "quality_stream", "append")
+    batch = quality_flags(spark.read.parquet(src))
+    keys = ["doc_id", "n_words", "mean_word_len", "stopword_frac", "passes"]
+    a = sorted(tuple(r[k] for k in keys) for r in got.collect())
+    b = sorted(tuple(r[k] for k in keys) for r in batch.collect())
+    assert a == b and len(a) > 0

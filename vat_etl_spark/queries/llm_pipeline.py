@@ -131,22 +131,19 @@ FROM feat
 """
 
 
-@query("pipeline_quality_gopher", oracle=_GOPHER_SQL)
-def pipeline_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style (Rae et al. 2021 §A1.1) rule-based quality gate: word
-    count bounds, mean word length bounds, stopword-fraction floor, plus
-    the conjunction. Map-only — zero shuffles at any scale; every feature
-    is a native expression (no tokenizer UDF). Fractions are int/int double
-    divisions, bit-identical across engines. Thresholds chosen to split
-    this corpus (tokens 10-99, mean word len 3.7-5.3, stop frac 0-0.22)."""
-    d = _t(spark, sf_dir, "documents")
+def quality_flags(documents: DataFrame) -> DataFrame:
+    """The Gopher rule gate as a shared batch/stream builder: stateless
+    map-only expressions, so the SAME function applies to a static
+    DataFrame or a ``readStream`` of arriving documents (continuous-ingest
+    quality filtering — stream==batch equivalence pinned in
+    tests/test_streaming.py)."""
     toks = tokens_expr(F.col("text"))
     n_words = F.size(toks)
     mean_wl = F.length(F.regexp_replace(F.col("text"), r"\s+", "")) / n_words
     stop_frac = (
         F.size(F.filter(toks, lambda x: x.isin(STOPWORDS))) / n_words
     )
-    base = d.select(
+    base = documents.select(
         "doc_id",
         n_words.alias("n_words"),
         mean_wl.alias("mean_word_len"),
@@ -162,6 +159,19 @@ def pipeline_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
         st_ok.alias("stopword_ok"),
         (wc_ok & wl_ok & st_ok).alias("passes"),
     )
+
+
+@query("pipeline_quality_gopher", oracle=_GOPHER_SQL)
+def pipeline_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style (Rae et al. 2021 §A1.1) rule-based quality gate: word
+    count bounds, mean word length bounds, stopword-fraction floor, plus
+    the conjunction. Map-only — zero shuffles at any scale; every feature
+    is a native expression (no tokenizer UDF). Fractions are int/int double
+    divisions, bit-identical across engines. Thresholds chosen to split
+    this corpus (tokens 10-99, mean word len 3.7-5.3, stop frac 0-0.22).
+    Built by :func:`quality_flags`, which applies unchanged to a document
+    stream."""
+    return quality_flags(_t(spark, sf_dir, "documents"))
 
 
 # --- intra-document repetition (duplicate n-gram fraction) --------------------
