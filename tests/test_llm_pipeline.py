@@ -134,3 +134,27 @@ def test_nosplit_packing_never_splits_docs(spark, sf_smoke):
         assert total <= _PACK_BUDGET or len(docs) == 1, (lang, seq, total)
         for r in docs:
             assert r.seq_offset + r.n_tokens <= max(_PACK_BUDGET, r.n_tokens)
+
+
+def test_quality_flags_survives_malformed_docs(spark):
+    """A real corpus contains empty / whitespace-only / single-token /
+    pathological docs — the gate must score them without throwing (ANSI
+    mode included: no division by a zero token count may surface)."""
+    from vat_etl_spark.queries.llm_pipeline import quality_flags
+
+    cases = [
+        (1, ""),
+        (2, "   "),
+        (3, "x"),
+        (4, "the " * 500),
+        (5, "\t\n y \n\t"),
+        (6, "a" * 10000),
+    ]
+    df = spark.createDataFrame(cases, "doc_id long, text string")
+    rows = {r.doc_id: r for r in quality_flags(df).collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}
+    for r in rows.values():
+        assert r.n_words >= 1  # split of empty text yields ['']
+        assert r.passes in (True, False)
+    assert rows[4].stopword_frac == 1.0 and not rows[4].passes
+    assert rows[6].n_words == 1 and not rows[6].passes
