@@ -457,3 +457,47 @@ def test_streaming_quality_gate_equals_batch(spark, sf_smoke, tmp_path):
     a = sorted(tuple(r[k] for k in keys) for r in got.collect())
     b = sorted(tuple(r[k] for k in keys) for r in batch.collect())
     assert a == b and len(a) > 0
+
+
+def test_streaming_corpus_ingest_dedups_across_microbatches(spark, sf_smoke, tmp_path):
+    """foreachBatch corpus ingest: quality gate + incremental dedup with a
+    persistent key index. Two micro-batches with overlapping content keys —
+    a key admitted in batch 1 must block batch 2's duplicate, and the final
+    corpus must equal the one-shot admit over the full data."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.llm_pipeline import quality_flags
+    from vat_etl_spark.streaming.corpus import corpus_ingest_stream, _content_key
+    from vat_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_smoke, "documents")
+    src = str(tmp_path / "src")
+    # two files -> two micro-batches (maxFilesPerTrigger=1)
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "corpus")
+    q = corpus_ingest_stream(spark, src, out)
+    q.awaitTermination()
+
+    admitted = spark.read.parquet(f"{out}/docs")
+    # one admitted doc per content key, each quality-passing
+    assert admitted.groupBy("content_key").count().filter("count > 1").count() == 0
+    passing = quality_flags(docs).filter("passes").select("doc_id")
+    assert admitted.join(passing, "doc_id").count() == admitted.count()
+    # equivalent one-shot admit: min doc_id per key among quality-passers,
+    # except keys whose batch-1 winner beats a smaller batch-2 doc_id --
+    # incremental ingest admits FIRST-ARRIVED, so compare against arrival
+    # order: batch 1 keys keep their min-even doc, fresh batch 2 keys min-odd
+    keyed = (
+        docs.join(passing, "doc_id")
+        .withColumn("content_key", _content_key())
+        .withColumn("arrival", (F.col("doc_id") % 2).cast("int"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("content_key").orderBy("arrival", "doc_id")
+    expected = keyed.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+    got_ids = {r.doc_id for r in admitted.collect()}
+    want_ids = {r.doc_id for r in expected.collect()}
+    assert got_ids == want_ids and len(got_ids) > 0
