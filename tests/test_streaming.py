@@ -501,3 +501,12 @@ def test_streaming_corpus_ingest_dedups_across_microbatches(spark, sf_smoke, tmp
     got_ids = {r.doc_id for r in admitted.collect()}
     want_ids = {r.doc_id for r in expected.collect()}
     assert got_ids == want_ids and len(got_ids) > 0
+
+    # replay idempotence: re-running an epoch's admit (foreachBatch is
+    # at-least-once) must overwrite its own partition, not double-admit
+    from vat_etl_spark.streaming.corpus import admit_batch
+
+    batch2 = docs.filter(F.col("doc_id") % 2 == 1)
+    admit_batch(batch2, out, epoch_id=1)
+    replayed = spark.read.parquet(f"{out}/docs")
+    assert {r.doc_id for r in replayed.collect()} == want_ids

@@ -8,10 +8,12 @@ quality gate (queries/llm_pipeline.py:quality_flags), dedup them against
 the accumulated key index (left-anti join — historical documents are
 touched ONLY as their compact key index, same delta discipline as
 ``pipeline_incremental_dedup``) and within the batch itself (rank-1 per
-key), then atomically append the admitted docs to the corpus and their
-keys to the index. The engine's checkpoint makes the whole thing
-exactly-once per micro-batch: on restart a replayed batch re-runs the same
-deterministic admit logic.
+key), then write the admitted docs and their keys under per-epoch directories.
+``foreachBatch`` is at-least-once — a failed-then-replayed epoch would
+double-APPEND — so each epoch OVERWRITES its own ``epoch=N`` partition
+directory: replaying epoch N reproduces the same deterministic admit and
+clobbers its own previous partial output, which upgrades the pipeline to
+effectively exactly-once (the standard idempotent-foreachBatch recipe).
 
 At 100 TB the index is a bucketed table on the 16-byte fingerprint and the
 anti-join co-locates on the bucket key; here the content key is the 2-token
@@ -33,10 +35,11 @@ def _content_key():
     return F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 2))
 
 
-def admit_batch(batch: DataFrame, out_dir: str) -> None:
+def admit_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
     """Deterministic per-micro-batch admit step (also directly unit-testable
     without a stream): quality gate → anti-join vs persisted index →
-    in-batch rank-1 per key → append corpus + index."""
+    in-batch rank-1 per key → idempotent per-epoch write (overwrite of
+    this epoch's own partition, so a replay cannot double-admit)."""
     spark = batch.sparkSession
     keyed = (
         batch.withColumn("content_key", _content_key())
@@ -47,7 +50,14 @@ def admit_batch(batch: DataFrame, out_dir: str) -> None:
     )
     idx_path = f"{out_dir}/key_index"
     if pathlib.Path(idx_path).exists():
-        existing = spark.read.parquet(idx_path).select("content_key").distinct()
+        # exclude THIS epoch's own prior (partial/replayed) index rows from
+        # the dedup reference or a replay would block itself
+        existing = (
+            spark.read.option("basePath", idx_path).parquet(idx_path)
+            .filter(F.col("epoch") != epoch_id)
+            .select("content_key")
+            .distinct()
+        )
         fresh = keyed.join(existing, "content_key", "left_anti")
     else:
         fresh = keyed
@@ -57,11 +67,13 @@ def admit_batch(batch: DataFrame, out_dir: str) -> None:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
-    # persist via a stable snapshot: both writes below re-execute `admitted`,
-    # and the second must not observe the index rows the first just added
+    # stable snapshot: both writes below re-execute `admitted`, and the
+    # second must not observe rows the first just wrote
     admitted = admitted.localCheckpoint(eager=True)
-    admitted.write.mode("append").parquet(f"{out_dir}/docs")
-    admitted.select("content_key").write.mode("append").parquet(idx_path)
+    admitted.write.mode("overwrite").parquet(f"{out_dir}/docs/epoch={epoch_id}")
+    admitted.select("content_key").write.mode("overwrite").parquet(
+        f"{idx_path}/epoch={epoch_id}"
+    )
 
 
 def corpus_ingest_stream(
@@ -78,7 +90,7 @@ def corpus_ingest_stream(
     )
     return (
         stream.writeStream.foreachBatch(
-            lambda df, epoch_id: admit_batch(df, out_dir)
+            lambda df, epoch_id: admit_batch(df, out_dir, epoch_id)
         )
         .option("checkpointLocation", f"{out_dir}/_checkpoint")
         .trigger(availableNow=True)
