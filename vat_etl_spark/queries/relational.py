@@ -2140,3 +2140,38 @@ def sql_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_LATERAL_SQL)
+
+
+_BITMAP_DISTINCT_SQL = """
+SELECT o_orderstatus, CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct_cust
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@query("agg_bitmap_exact_distinct", oracle=_BITMAP_DISTINCT_SQL)
+def agg_bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via bitmap aggregation (Spark 3.5 bitmap
+    functions): integer keys map to (bucket, bit-position), each
+    (group, bucket) partial aggregate ORs fixed-size 4 KB bitmaps —
+    mergeable partials like a sketch, but the count is exact, so the
+    oracle is plain count(DISTINCT). The scale story vs countDistinct:
+    no expand, no per-value rows through the shuffle — shuffle volume is
+    |groups| × |touched buckets| × 4 KB regardless of row count, and the
+    same bitmaps can be PERSISTED per partition/day and re-ORed for any
+    rollup without rescanning (the exact-count analogue of the HLL
+    mergeable-sketch pattern in agg_hll_mergeable)."""
+    o = _t(spark, sf_dir, "orders")
+    per_bucket = (
+        o.groupBy(
+            "o_orderstatus",
+            F.expr("bitmap_bucket_number(o_custkey)").alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_count(bitmap_construct_agg(bitmap_bit_position(o_custkey)))"
+            ).alias("cnt")
+        )
+    )
+    return per_bucket.groupBy("o_orderstatus").agg(
+        F.sum("cnt").alias("n_distinct_cust")
+    )
