@@ -1139,3 +1139,46 @@ def pipeline_scd2_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out(closed).unionByName(out(current_unaffected)).unionByName(
         out(recomputed)
     )
+
+
+_SESSION_PATHS_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+prefix AS (
+  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+  FROM ranked WHERE rn <= 3 GROUP BY user_id
+)
+SELECT path, count(*) AS n_users FROM prefix GROUP BY path
+"""
+
+
+@query("events_session_paths", oracle=_SESSION_PATHS_SQL)
+def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry-path analysis: each user's FIRST THREE event types in
+    chronological order folded to a '>'-joined path, then the frequency of
+    each distinct entry path — the "how do journeys start" question. The
+    sequence builds from sort_array over collected (ts, event_id, type)
+    structs sliced to 3 — deterministic total order, no window pass, and
+    the per-user state is bounded by the prefix length, which is exactly
+    how path analysis stays tractable at 100 TB (unbounded whole-journey
+    paths explode combinatorially; prefixes don't). One user-keyed
+    aggregate + one tiny path aggregate."""
+    e = _t(spark, sf_dir, "events")
+    prefix = e.groupBy("user_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s["event_type"],
+                ),
+                1, 3,
+            ),
+        ).alias("path")
+    )
+    return prefix.groupBy("path").agg(F.count("*").alias("n_users"))

@@ -770,3 +770,44 @@ def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("decile", "through_doc_id")
         .agg(F.count("w").alias("vocab_size"))
     )
+
+
+_ZIPF_SQL = r"""
+WITH freq AS (
+  SELECT word, count(*) AS freq FROM (
+    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+    FROM documents
+  ) GROUP BY word
+)
+SELECT CAST(row_number() OVER (ORDER BY freq DESC, word) AS BIGINT) AS rank,
+       word, freq,
+       CAST(freq * row_number() OVER (ORDER BY freq DESC, word) AS BIGINT)
+         AS rank_freq_product
+FROM freq
+ORDER BY rank LIMIT 30
+"""
+
+
+@query("text_zipf_rank_freq", oracle=_ZIPF_SQL)
+def text_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency diagnostics: top-30 words with rank, frequency,
+    and the rank×frequency product (constant under ideal Zipf — the quick
+    visual check that a corpus' token distribution is natural rather than
+    boilerplate-dominated; complements text_vocab_growth's Heaps curve).
+    One token aggregate + a 30-row top-k; integer-only."""
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(tokens_expr(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = W.orderBy(F.desc("freq"), F.asc("word"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 30)
+        .select(
+            "rank", "word", "freq",
+            (F.col("freq") * F.col("rank")).cast("long").alias("rank_freq_product"),
+        )
+        .orderBy("rank")
+    )
