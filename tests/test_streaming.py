@@ -510,3 +510,36 @@ def test_streaming_corpus_ingest_dedups_across_microbatches(spark, sf_smoke, tmp
     admit_batch(batch2, out, epoch_id=1)
     replayed = spark.read.parquet(f"{out}/docs")
     assert {r.doc_id for r in replayed.collect()} == want_ids
+
+
+def test_corpus_key_index_compaction_preserves_dedup(spark, sf_smoke, tmp_path):
+    """compact_key_index folds epoch partitions into one; subsequent admits
+    must still be blocked by every previously admitted key."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.sources.catalog import read_table
+    from vat_etl_spark.streaming.corpus import (
+        admit_batch,
+        compact_key_index,
+        corpus_ingest_stream,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents")
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    out = str(tmp_path / "corpus")
+    corpus_ingest_stream(spark, src, out).awaitTermination()
+
+    before = {r.content_key for r in spark.read.parquet(f"{out}/key_index").collect()}
+    n = compact_key_index(spark, out)
+    idx_dirs = [p.name for p in pathlib.Path(f"{out}/key_index").iterdir() if p.is_dir()]
+    assert idx_dirs == ["epoch=-1"]
+    after = {r.content_key for r in spark.read.parquet(f"{out}/key_index").collect()}
+    assert after == before and n == len(before)
+
+    # re-admitting the same documents as a new epoch admits NOTHING
+    admit_batch(docs, out, epoch_id=99)
+    replay = spark.read.parquet(f"{out}/docs").filter(F.col("epoch") == 99)
+    assert replay.count() == 0

@@ -96,3 +96,27 @@ def corpus_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def compact_key_index(spark: SparkSession, out_dir: str) -> int:
+    """Index maintenance: fold all accumulated ``epoch=N`` partitions of the
+    key index into a single consolidated ``epoch=-1`` partition (distinct
+    keys, coalesced files) and remove the per-epoch directories. Run this
+    periodically — each micro-batch reads the whole index, so thousands of
+    tiny epoch files would otherwise turn every admit into a small-files
+    scan (the same pathology compact_parquet_dir exists for). epoch=-1 can
+    never collide with a replayed real epoch id, so the replay-excludes-
+    own-epoch rule in admit_batch is unaffected. Returns the distinct key
+    count."""
+    import shutil
+
+    idx_path = f"{out_dir}/key_index"
+    keys = spark.read.parquet(idx_path).select("content_key").distinct()
+    staging = f"{out_dir}/key_index_compacting"
+    keys.coalesce(1).write.mode("overwrite").parquet(staging)
+    n = spark.read.parquet(staging).count()
+    for p in pathlib.Path(idx_path).iterdir():
+        if p.is_dir() and p.name.startswith("epoch="):
+            shutil.rmtree(p)
+    pathlib.Path(staging).rename(f"{idx_path}/epoch=-1")
+    return n
