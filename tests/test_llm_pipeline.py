@@ -158,3 +158,56 @@ def test_quality_flags_survives_malformed_docs(spark):
         assert r.passes in (True, False)
     assert rows[4].stopword_frac == 1.0 and not rows[4].passes
     assert rows[6].n_words == 1 and not rows[6].passes
+
+
+def test_pack_group_properties_hypothesis():
+    """Property-test the packing recurrence directly (no Spark): for any
+    token-count sequence and budget, offsets are prefix sums within a
+    sequence, sequences never exceed budget unless a single doc does, and
+    sequence ids are contiguous from 0."""
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vat_etl_spark.queries.llm_pipeline import pack_group
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        tokens=st.lists(st.integers(min_value=1, max_value=3000), min_size=1, max_size=60),
+        budget=st.integers(min_value=1, max_value=2048),
+    )
+    def check(tokens, budget):
+        pdf = pd.DataFrame({"doc_id": range(len(tokens)), "n_tokens": tokens})
+        out = pack_group(pdf, budget=budget)
+        fills: dict = {}
+        last_seq = 0
+        for r in out.itertuples():
+            assert r.seq_id >= last_seq  # nondecreasing
+            assert r.seq_id - last_seq <= 1  # contiguous ids
+            last_seq = r.seq_id
+            assert r.seq_offset == fills.get(r.seq_id, 0)
+            fills[r.seq_id] = fills.get(r.seq_id, 0) + r.n_tokens
+        for seq, total in fills.items():
+            n_docs = (out["seq_id"] == seq).sum()
+            assert total <= budget or n_docs == 1, (seq, total, n_docs)
+
+    check()
+
+
+def test_probe_image_dims_never_throws_hypothesis():
+    """Fuzz the image-header probe: arbitrary byte payloads (including ones
+    starting with real magic numbers) must never raise."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vat_etl_spark.operators.multimodal import _probe_image_dims
+
+    magics = [b"", b"\x89PNG\r\n\x1a\n", b"GIF89a", b"GIF87a", b"BM", b"P6", b"P3"]
+
+    @settings(max_examples=300, deadline=None)
+    @given(prefix=st.sampled_from(magics), body=st.binary(max_size=64))
+    def check(prefix, body):
+        w, h = _probe_image_dims(prefix + body)
+        assert (w is None) == (h is None) or (w is not None and h is not None)
+
+    check()

@@ -659,6 +659,28 @@ FROM s
 """
 
 
+def pack_group(pdf, budget: int = _PACK_BUDGET):
+    """The no-split packing recurrence over one group (module-level so it is
+    directly property-testable without Spark; used via applyInPandas by
+    pipeline_seq_packing_nosplit). Pure integer state."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    seq = fill = 0
+    seq_ids, offsets = [], []
+    for n in pdf["n_tokens"]:
+        n = int(n)
+        if fill > 0 and fill + n > budget:
+            seq += 1
+            fill = 0
+        seq_ids.append(seq)
+        offsets.append(fill)
+        fill += n
+    pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
+    pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
+    return pdf
+
+
 @query("pipeline_seq_packing_nosplit", oracle=_NOSPLIT_SQL)
 def pipeline_seq_packing_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy NO-SPLIT sequence packing: docs are placed whole; when the
@@ -673,31 +695,15 @@ def pipeline_seq_packing_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, shard) exactly like pipeline_seq_packing — the recurrence only
     needs intra-shard order, so shards pack independently and in
     parallel."""
-    import pandas as pd
-
     d = _t(spark, sf_dir, "documents")
     sized = d.select(
         "lang", "doc_id", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
     )
-
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
-        seq = fill = 0
-        seq_ids, offsets = [], []
-        for n in pdf["n_tokens"]:
-            n = int(n)
-            if fill > 0 and fill + n > _PACK_BUDGET:
-                seq += 1
-                fill = 0
-            seq_ids.append(seq)
-            offsets.append(fill)
-            fill += n
-        pdf["seq_id"] = pd.Series(seq_ids, dtype="int64")
-        pdf["seq_offset"] = pd.Series(offsets, dtype="int64")
-        return pdf
-
+    # single-arg wrapper: applyInPandas inspects the signature and would
+    # treat pack_group's (pdf, budget=...) as the (key, pdf) form
     return sized.groupBy("lang").applyInPandas(
-        pack, "lang string, doc_id bigint, n_tokens bigint, seq_id bigint, seq_offset bigint"
+        lambda pdf: pack_group(pdf),
+        "lang string, doc_id bigint, n_tokens bigint, seq_id bigint, seq_offset bigint",
     ).select("lang", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "seq_id", "seq_offset")
 
 
