@@ -26,3 +26,29 @@ def test_money_aggregates_invariant_to_shuffle_partitions(spark, sf_smoke):
         assert results["3"] == results["17"]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", before)
+
+
+def test_pipeline_ops_invariant_to_shuffle_partitions(spark, sf_smoke):
+    """The training-data pipeline tier is integer/deterministic by design —
+    rarity points, packing offsets, split assignment, and the dataset-card
+    funnel must be bit-identical across partition counts (a corpus rebuild
+    on a resized cluster must not move a single document)."""
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = {}
+        for n in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            results[n] = {
+                q: _rows(spark, sf_smoke, q)
+                for q in (
+                    "text_rarity_score",
+                    "pipeline_seq_packing",
+                    "pipeline_seq_packing_nosplit",
+                    "pipeline_train_val_split",
+                    "pipeline_dataset_card",
+                    "pipeline_cross_source_dedup",
+                )
+            }
+        assert results["3"] == results["17"]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
