@@ -53,6 +53,18 @@ def test_query_runner_and_list(spark, sf_smoke, capsys):
     assert "vat_summary  [oracle]" in out
 
 
+def test_corpus_cli_subcommand(spark, sf_smoke, tmp_path, capsys):
+    out_dir = str(tmp_path / "corpus_cli")
+    stats = main(
+        ["corpus", "--sf-dir", sf_smoke, "--out", out_dir, "--shards", "4"],
+        spark=spark,
+    )
+    assert stats["docs_written"] > 0 and stats["splits"] >= 2
+    printed = capsys.readouterr().out
+    assert "wrote" in printed and out_dir in printed
+    assert spark.read.parquet(f"{out_dir}/shards").count() == stats["docs_written"]
+
+
 def test_every_registered_query_documented_in_parity():
     """PARITY.md is the judge-facing operator inventory — a registered
     query that never lands there is invisible coverage. Exact backticked
