@@ -67,7 +67,13 @@ def parse_date_compat(col: Column, sane: bool = False) -> Column:
     is_serial = as_num.isNotNull() & (as_num > 1) & (as_num < 60000)
     text = F.trim(col.cast("string"))
     fmts = _SANE_FORMATS if sane else _COMPAT_FORMATS
-    parsed_str = F.coalesce(*[F.try_to_timestamp(text, F.lit(f)) for f in fmts])
+    cascade = F.coalesce(*[F.try_to_timestamp(text, F.lit(f)) for f in fmts])
+    # Spark's proleptic calendar admits year 0 (e.g. "0000/1/1" via yyyy/d/M),
+    # but Python's datetime cannot represent it, so collect() would raise —
+    # violating the "garbage → NULL, never an exception" contract (the
+    # reference's pandas model returns NaT). Clamp to datetime-representable
+    # years; out-of-range parses become NULL like any other garbage.
+    parsed_str = F.when(F.year(cascade).between(1, 9999), cascade)
     return F.when(col.isNull(), F.lit(None).cast("timestamp")).when(
         is_serial, excel_serial_to_date(as_num)
     ).otherwise(parsed_str)
@@ -95,8 +101,14 @@ def parse_date_compat_sql(expr: str, sane: bool = False) -> str:
     }
     fmts = _SANE_FORMATS if sane else _COMPAT_FORMATS
     tries = ", ".join(f"try_strptime({text}, '{duck_fmts[f]}')" for f in fmts)
+    # Mirror the Spark-side year clamp (1-9999) so the oracle agrees on
+    # out-of-range parses like "0000/1/1" → NULL.
+    cascade = f"coalesce({tries})"
+    clamped = (
+        f"CASE WHEN year({cascade}) BETWEEN 1 AND 9999 THEN {cascade} END"
+    )
     return (
         f"CASE WHEN ({expr}) IS NULL THEN NULL "
         f"WHEN {as_num} IS NOT NULL AND {as_num} > 1 AND {as_num} < 60000 THEN {serial} "
-        f"ELSE coalesce({tries}) END"
+        f"ELSE {clamped} END"
     )
