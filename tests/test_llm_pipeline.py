@@ -38,21 +38,24 @@ def test_ngrams_expr_matches_python_reference(spark):
 
 def test_seq_packing_invariants(spark, sf_smoke):
     rows = QUERIES["pipeline_seq_packing"](spark, sf_smoke).collect()
-    by_lang: dict[str, list] = {}
+    by_group: dict[tuple, list] = {}
     for r in rows:
-        by_lang.setdefault(r.lang, []).append(r)
-    assert len(by_lang) == 5
-    for lang, docs in by_lang.items():
+        by_group.setdefault((r.lang, r.shard), []).append(r)
+    assert len({lang for lang, _ in by_group}) == 5
+    # the shard key actually fans groups out (the scale-safety property)
+    assert len(by_group) > 5
+    for (lang, shard), docs in by_group.items():
         docs.sort(key=lambda r: r.doc_id)
         cum = 0
         for r in docs:
-            assert r.seq_id == cum // _PACK_BUDGET, (lang, r)
-            assert r.seq_offset == cum % _PACK_BUDGET, (lang, r)
+            assert r.shard == (r.doc_id * 2654435761) % 4, r
+            assert r.seq_id == cum // _PACK_BUDGET, (lang, shard, r)
+            assert r.seq_offset == cum % _PACK_BUDGET, (lang, shard, r)
             cum += r.n_tokens
         # packing is tight: every sequence except the last one was entered
         assert docs[0].seq_id == 0 and docs[0].seq_offset == 0
         seq_ids = {r.seq_id for r in docs}
-        assert seq_ids == set(range(max(seq_ids) + 1)), lang
+        assert seq_ids == set(range(max(seq_ids) + 1)), (lang, shard)
 
 
 def test_domain_mix_deterministic_and_bounded(spark, sf_smoke):
@@ -127,11 +130,11 @@ def test_nosplit_packing_never_splits_docs(spark, sf_smoke):
     rows = QUERIES["pipeline_seq_packing_nosplit"](spark, sf_smoke).collect()
     by_key: dict[tuple, list] = {}
     for r in rows:
-        by_key.setdefault((r.lang, r.seq_id), []).append(r)
-    for (lang, seq), docs in by_key.items():
+        by_key.setdefault((r.lang, r.shard, r.seq_id), []).append(r)
+    for (lang, shard, seq), docs in by_key.items():
         total = sum(r.n_tokens for r in docs)
         # a sequence only exceeds the budget if a single doc does
-        assert total <= _PACK_BUDGET or len(docs) == 1, (lang, seq, total)
+        assert total <= _PACK_BUDGET or len(docs) == 1, (lang, shard, seq, total)
         for r in docs:
             assert r.seq_offset + r.n_tokens <= max(_PACK_BUDGET, r.n_tokens)
 

@@ -343,3 +343,43 @@ def test_contamination_broadcasts_eval_side(spark, sf_smoke):
     # count aggregate shuffles
     df = QUERIES["pipeline_contamination_ngram"](spark, sf_smoke)
     assert has_broadcast_join(df)
+
+
+def test_packing_partitions_on_composite_lang_shard_key(spark, sf_smoke):
+    """The packers and the per-group sampler must never key a shuffle on
+    bare lang (a ~5-value partition key receives an entire language's
+    stream at scale): every exchange/window over lang must carry the
+    shard column too, and the final sampler window's input is the
+    shard-bounded survivor set, not the full table."""
+    packing = QUERIES["pipeline_seq_packing"](spark, sf_smoke)
+    plan = packing._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(lang" in plan and ", shard" in plan.split(
+        "hashpartitioning(lang", 1
+    )[1].split(")")[0]
+
+    nosplit = QUERIES["pipeline_seq_packing_nosplit"](spark, sf_smoke)
+    nplan = nosplit._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas [lang" in nplan and "shard" in nplan.split(
+        "FlatMapGroupsInPandas [lang", 1
+    )[1].split("]")[0]
+
+    sample = QUERIES["sample_fixed_per_group"](spark, sf_smoke)
+    splan = sample._jdf.queryExecution().executedPlan().toString()
+    # two windows: the (lang, shard) partial top-k feeding the lang final
+    assert splan.count("Window [row_number()") == 2
+    # the deepest (first-executed) exchange carries the composite key
+    exchange_keys = [
+        seg.split(")")[0]
+        for seg in splan.split("Exchange hashpartitioning(")[1:]
+    ]
+    assert any("shard" in k for k in exchange_keys), exchange_keys
+
+
+def test_rarity_score_has_no_forced_vocab_broadcast(spark, sf_smoke):
+    """text_rarity_score joins tokens against the corpus-derived vocab —
+    an unbounded relation at web scale. The plan must not FORCE a
+    broadcast of it (AQE may still choose one when the measured size is
+    small; the logical plan carrying no hint is the contract)."""
+    df = QUERIES["text_rarity_score"](spark, sf_smoke)
+    logical = df._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical

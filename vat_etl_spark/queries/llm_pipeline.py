@@ -221,18 +221,29 @@ def text_repetition_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PACK_BUDGET = 1024
 
+# Packing shard count: the window/group key is (lang, shard), never bare
+# lang — a handful of languages is a degenerate partition key at scale
+# (one task would receive an entire language's token stream). The shard is
+# the same engine-portable multiplicative hash used by the split/mix
+# operators, so the DuckDB oracle replays the identical assignment. At
+# 100 TB this is a config (shards sized so a shard's token stream fits an
+# executor); 4 keeps testdata groups non-trivial.
+_N_PACK_SHARDS = 4
+
 _PACKING_SQL = f"""
 WITH sized AS (
-  SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens FROM documents
+  SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens,
+         (doc_id * 2654435761) % {_N_PACK_SHARDS} AS shard
+  FROM documents
 ),
 runs AS (
-  SELECT doc_id, lang, n_tokens,
+  SELECT doc_id, lang, shard, n_tokens,
          COALESCE(SUM(n_tokens) OVER (
-           PARTITION BY lang ORDER BY doc_id
+           PARTITION BY lang, shard ORDER BY doc_id
            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
   FROM sized
 )
-SELECT doc_id, lang, n_tokens,
+SELECT doc_id, lang, CAST(shard AS BIGINT) AS shard, n_tokens,
        CAST(FLOOR(cum_before / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
        CAST(cum_before % {_PACK_BUDGET} AS BIGINT) AS seq_offset
 FROM runs
@@ -242,21 +253,25 @@ FROM runs
 @query("pipeline_seq_packing", oracle=_PACKING_SQL)
 def pipeline_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-budget sequence packing: docs are concatenated
-    in doc_id order within each lang partition and cut into {budget}-token
-    training sequences (seq_id) with the doc's start offset in its
-    sequence. One window shuffle keyed on lang. At 100 TB a 5-language
-    partition key is far too coarse — pack per (lang, shard) where shard
-    is a hash bucket, which keeps sequences deterministic within shards
-    and bounds window-partition size; same plan, finer key. Greedy
-    running-sum packing (vs bin-packing) is the standard streaming-
-    friendly choice — each doc's placement depends only on the prefix
-    sum."""
+    in doc_id order within each (lang, shard) partition and cut into
+    {budget}-token training sequences (seq_id) with the doc's start offset
+    in its sequence. The window key is (lang, shard) — shard is a
+    deterministic hash bucket of doc_id — so partition size is bounded by
+    the shard count, not by a language's share of the corpus: sequences
+    stay deterministic within shards and shards pack independently and in
+    parallel. One window shuffle on the composite key. Greedy running-sum
+    packing (vs bin-packing) is the standard streaming-friendly choice —
+    each doc's placement depends only on the intra-shard prefix sum."""
     d = _t(spark, sf_dir, "documents")
     sized = d.select(
-        "doc_id", "lang", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+        "doc_id", "lang",
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+        ((F.col("doc_id") * 2654435761) % _N_PACK_SHARDS)
+        .cast("long")
+        .alias("shard"),
     )
     w = (
-        W.partitionBy("lang")
+        W.partitionBy("lang", "shard")
         .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, -1)
     )
@@ -264,7 +279,7 @@ def pipeline_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
     )
     return runs.select(
-        "doc_id", "lang", "n_tokens",
+        "doc_id", "lang", "shard", "n_tokens",
         F.floor(F.col("cum_before") / _PACK_BUDGET).cast("long").alias("seq_id"),
         (F.col("cum_before") % _PACK_BUDGET).cast("long").alias("seq_offset"),
     )
@@ -402,16 +417,20 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the integer-division analogue of inverse unigram probability — CCNet
     filters on LM perplexity; this is the log-free, bit-exact stand-in).
     Deliberately integer-only: log/float scoring would hash-flake across
-    engines and accumulation orders. Two shuffles: the corpus-frequency
-    aggregate and the per-doc sum; the freq table broadcasts (vocab ≪
-    corpus — ~10^7 entries at 100 TB, comfortably under the 64 MB
-    threshold as (word, count) pairs after pruning)."""
+    engines and accumulation orders. Three shuffles: the corpus-frequency
+    aggregate, the token⋈vocab join, and the per-doc sum. The vocab side
+    carries NO broadcast hint on purpose: a web-scale whitespace vocab
+    (typos, URLs, numbers) is unbounded — realistically 10^8+ entries at
+    100 TB — so forcing a broadcast is a driver/executor OOM; AQE picks
+    broadcast when the measured vocab is actually small and falls back to
+    a shuffle join (with skew-join splitting for stopword keys, asserted
+    in tests/test_sources.py) when it is not."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(tokens_expr(F.col("text"))).alias("word")
     )
     freq = toks.groupBy("word").agg(F.count("*").alias("c"))
-    scored = toks.join(F.broadcast(freq), "word").select(
+    scored = toks.join(freq, "word").select(
         "doc_id", F.expr("1000000 div (c + 1)").alias("pts")
     )
     return scored.groupBy("doc_id").agg(
@@ -564,18 +583,31 @@ def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank by a multiplicative hash of the key and keep the k smallest.
     Hash order is uniform-ish but REPRODUCIBLE (same sample every run /
     engine / partition count, unlike rand()-based reservoirs), which is
-    what eval-set carving and debugging demand. One window shuffle on the
-    group key; at scale a partial per-partition top-k (groupBy +
-    min_by(k) / TakeOrderedAndProject per group) bounds shuffle input to
-    k rows per (partition, group)."""
+    what eval-set carving and debugging demand.
+
+    Executed as a TWO-STAGE top-k so the group key is never the bare
+    (low-cardinality) lang: stage 1 takes the k smallest within each
+    (lang, shard) hash bucket — bounding the final window's input to
+    shards × k rows per language — and stage 2 takes the k smallest of
+    those survivors per lang. Because every global top-k row is also in
+    its own shard's top-k, the result is IDENTICAL to the single-window
+    plan (the oracle keeps the global formulation), but no task ever
+    sees more than one shard's slice of a language."""
     d = _t(spark, sf_dir, "documents")
     hashed = d.select(
         "doc_id", "lang", "source",
         ((F.col("doc_id") * 2654435761) % 2147483647).alias("h"),
+        ((F.col("doc_id") * 2654435761) % _N_PACK_SHARDS).alias("shard"),
+    )
+    w_partial = W.partitionBy("lang", "shard").orderBy("h", "doc_id")
+    survivors = (
+        hashed.withColumn("prk", F.row_number().over(w_partial))
+        .filter(F.col("prk") <= 20)
+        .drop("prk", "shard")
     )
     w = W.partitionBy("lang").orderBy("h", "doc_id")
     return (
-        hashed.withColumn("rk", F.row_number().over(w))
+        survivors.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 20)
         .select("lang", "doc_id", "source", F.col("rk").cast("long").alias("rk"))
     )
@@ -636,25 +668,29 @@ def build_corpus(
 _NOSPLIT_SQL = f"""
 WITH RECURSIVE d AS (
   SELECT lang, doc_id, {_NTOK_SQL} AS n_tokens,
-         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+         (doc_id * 2654435761) % {_N_PACK_SHARDS} AS shard,
+         row_number() OVER (
+           PARTITION BY lang, (doc_id * 2654435761) % {_N_PACK_SHARDS}
+           ORDER BY doc_id) AS rn
   FROM documents
 ),
 s AS (
-  SELECT lang, rn, doc_id, n_tokens,
+  SELECT lang, shard, rn, doc_id, n_tokens,
          CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
          CAST(n_tokens AS BIGINT) AS fill
   FROM d WHERE rn = 1
   UNION ALL
-  SELECT d.lang, d.rn, d.doc_id, d.n_tokens,
+  SELECT d.lang, d.shard, d.rn, d.doc_id, d.n_tokens,
          CASE WHEN s.fill + d.n_tokens > {_PACK_BUDGET} THEN s.seq_id + 1
               ELSE s.seq_id END,
          CASE WHEN s.fill + d.n_tokens > {_PACK_BUDGET} THEN CAST(0 AS BIGINT)
               ELSE s.fill END,
          CASE WHEN s.fill + d.n_tokens > {_PACK_BUDGET} THEN CAST(d.n_tokens AS BIGINT)
               ELSE s.fill + d.n_tokens END
-  FROM s JOIN d ON d.lang = s.lang AND d.rn = s.rn + 1
+  FROM s JOIN d ON d.lang = s.lang AND d.shard = s.shard AND d.rn = s.rn + 1
 )
-SELECT lang, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, seq_id, seq_offset
+SELECT lang, CAST(shard AS BIGINT) AS shard, doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens, seq_id, seq_offset
 FROM s
 """
 
@@ -689,22 +725,32 @@ def pipeline_seq_packing_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut). The seq boundary is a capacity-RESET recurrence — each row's
     state depends on a conditional reset of the running fill, which no
     fixed-frame window can express — so this is the documented escape
-    hatch: Arrow-batched ``applyInPandas`` per lang partition, O(n) per
-    group, integer-only state (bit-stable across engines; the oracle
-    replays the recurrence as a DuckDB recursive CTE). At 100 TB: group by
-    (lang, shard) exactly like pipeline_seq_packing — the recurrence only
-    needs intra-shard order, so shards pack independently and in
-    parallel."""
+    hatch: Arrow-batched ``applyInPandas`` per (lang, shard) group, O(n)
+    per group, integer-only state (bit-stable across engines; the oracle
+    replays the recurrence as a DuckDB recursive CTE over the same key).
+    The composite key matters at scale: the recurrence only needs
+    intra-shard order, so each pandas group is one hash shard of one
+    language — bounded memory — and shards pack independently and in
+    parallel, instead of an entire language materializing in one
+    executor."""
     d = _t(spark, sf_dir, "documents")
     sized = d.select(
-        "lang", "doc_id", F.size(tokens_expr(F.col("text"))).alias("n_tokens")
+        "lang", "doc_id",
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+        ((F.col("doc_id") * 2654435761) % _N_PACK_SHARDS)
+        .cast("long")
+        .alias("shard"),
     )
     # single-arg wrapper: applyInPandas inspects the signature and would
     # treat pack_group's (pdf, budget=...) as the (key, pdf) form
-    return sized.groupBy("lang").applyInPandas(
+    return sized.groupBy("lang", "shard").applyInPandas(
         lambda pdf: pack_group(pdf),
-        "lang string, doc_id bigint, n_tokens bigint, seq_id bigint, seq_offset bigint",
-    ).select("lang", "doc_id", F.col("n_tokens").cast("long").alias("n_tokens"), "seq_id", "seq_offset")
+        "lang string, shard bigint, doc_id bigint, n_tokens bigint, seq_id bigint, seq_offset bigint",
+    ).select(
+        "lang", "shard", "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "seq_id", "seq_offset",
+    )
 
 
 # --- incremental dedup (delta batch vs existing corpus index) -----------------
