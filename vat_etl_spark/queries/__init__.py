@@ -47,79 +47,101 @@ from vat_etl_spark.queries import llm_pipeline  # noqa: E402,F401
 # registration order. Rotation policy (least-recently-verified first, NOT
 # curated-green first): each round the window leads with queries that have
 # never had a driver row, so every registration eventually gets the strong
-# rows+schema+hash check — rounds 2+3 covered 88 distinct names
-# (artifacts/CORRECTNESS_r0{2,3}.json), this round covers 49 of the 100
-# never-checked, next round rotates in the remaining 51. The flagship
-# `vat_summary` stays first because it is `entry()`. Membership is
-# unchanged — this is a reordering of the same registrations, and the
-# in-repo oracle gate (tests/test_oracle_parity.py) still checks ALL of
-# them every pytest run regardless of order.
+# rows+schema+hash check — rounds 2-4 covered 137 distinct names
+# (artifacts/CORRECTNESS_r0{2,3,4}.json), this round leads with 49 of the
+# 73 never-checked (bench headliner pipeline_contamination_ngram first,
+# then the r4 LLM-pipeline batch, then the dq/events/text tail); the
+# remaining 24 follow immediately so a wider window catches them, and
+# round 6 finishes the sweep. The flagship `vat_summary` stays first
+# because it is `entry()`. Membership is unchanged — this is a reordering
+# of the same registrations, and the in-repo oracle gate
+# (tests/test_oracle_parity.py) still checks ALL of them every pytest run
+# regardless of order.
 _FIRST = [
     # vat flagship (= entry())
     "vat_summary",
-    # tpch: the 9 shapes without a driver row yet
-    "q7_volume_shipping",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q12_priority_by_delay",
-    "q15_top_supplier",
-    "q16_supplier_part_counts",
-    "q19_disjunctive_revenue",
-    "q20_heavy_shippers",
-    "q22_dormant_customers",
-    # relational aggregates
-    "agg_correlation_exact",
-    "agg_countmin_heavy_hitters",
-    "agg_percent_of_parent",
-    "agg_log2_histogram",
-    "agg_skew_kurtosis_exact",
-    "agg_percentiles",
-    # window functions
-    "window_lag_value_delta",
-    "window_dense_rank_ntile",
-    "window_range_frame",
-    "window_abc_classification",
-    # scalar-function surface
-    "string_functions",
-    "math_functions",
-    "datetime_functions",
-    "json_functions",
-    "array_functions",
-    "null_semantics_join",
-    "arrow_python_udf_slug",
-    # events / streaming twins
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_dedup_earliest",
-    "events_rfm_segmentation",
-    "pipeline_scd2_incremental",
-    "join_point_in_time",
-    # timeseries
-    "ts_rollup_cascade",
-    "ts_time_weighted_avg",
-    "ts_cusum_drift",
-    # text / LLM pipeline
-    "text_top_words",
-    "text_chunking",
-    "udtf_segment_split",
-    "text_langid_confusion",
-    # dedup
-    "dedup_by_key",
-    "dedup_embedding_cosine",
-    "dedup_simhash",
-    "dedup_lsh_recall_eval",
-    # graph
-    "graph_pagerank",
-    "graph_bfs_reachability",
-    # similarity / embeddings
-    "ann_lsh_bucketed",
-    "kmeans_lloyd",
-    # multimodal
-    "multimodal_features",
-    "multimodal_frame_sample",
-    # data quality + finance
+    # bench headliner + the two bumped from r4's window
+    "pipeline_contamination_ngram",
     "dq_outlier_fences",
     "fin_receivables_aging",
+    # the r4/r5 LLM-pipeline batch
+    "pipeline_seq_packing",
+    "pipeline_seq_packing_nosplit",
+    "pipeline_domain_mix",
+    "pipeline_train_val_split",
+    "pipeline_dataset_card",
+    "pipeline_incremental_dedup",
+    "pipeline_quality_gopher",
+    "text_rarity_score",
+    "sample_fixed_per_group",
+    "pipeline_cross_source_dedup",
+    "text_repetition_ngram",
+    "pipeline_incremental_agg",
+    # data-quality family
+    "dq_observe_metrics",
+    "dq_error_rate_wilson_ci",
+    "dq_benford_digits",
+    "dq_duplicate_payments",
+    "dq_freshness_by_source",
+    "dq_key_skew_profile",
+    "profile_orders_columns",
+    # events long tail
+    "events_user_stats_pandas",
+    "events_decayed_score",
+    "events_bounce_rate",
+    "events_seasonal_anomaly",
+    "events_attribution_position",
+    "events_longest_streak",
+    "events_new_vs_returning",
+    "events_funnel_time_to_convert",
+    "events_cohort_ltv",
+    "events_session_paths",
+    "events_pattern_match",
+    "events_transition_matrix",
+    # timeseries
+    "ts_rolling_distinct_users",
+    "ts_interarrival_p95",
+    "ts_rolling_distinct_hll",
+    # text analysis
+    "text_token_counts",
+    "text_word_positions",
+    "text_doc_frequency",
+    "text_rolling_fingerprint",
+    "text_chisq_contingency",
+    "text_keywords_rational_idf",
+    "text_vocab_growth",
+    "text_zipf_rank_freq",
+    # fuzzy dedup
+    "fuzzy_match_names",
+    "dedup_shingle_containment",
+    "dedup_phonetic_blocking",
+    # similarity
+    "ann_ivf_recall_eval",
+    # --- the 24 remaining never-checked, next in line for round 6 ---
+    "embed_normalize_arrow",
+    "multimodal_audio_frames",
+    "multimodal_keyframes",
+    "fin_allocate_proration",
+    "basket_association_rules",
+    "agg_weighted_median",
+    "feature_zscore_normalize",
+    "agg_gini_concentration",
+    "agg_simpson_diversity",
+    "agg_lorenz_deciles",
+    "agg_winsorized_mean",
+    "sql_lateral_topn_per_nation",
+    "agg_bitmap_exact_distinct",
+    "window_moving_avg",
+    "agg_median_abs_deviation",
+    "pandas_udf_currency",
+    "map_struct_functions",
+    "udaf_geomean",
+    "variant_functions",
+    "null_scalar_functions",
+    "agg_histogram_buckets",
+    "agg_equidepth_histogram",
+    "agg_argmax_bitwise",
+    "agg_hll_intersection",
 ]
 
 
