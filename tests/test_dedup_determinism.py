@@ -99,8 +99,20 @@ def test_phonetic_blocking_deterministic_and_blocked(spark, sf_smoke):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, df.collect()))
     assert a == b
+    seen_pairs = set()
     for r in a:
-        assert r[1] < r[3]  # each pair emitted once (key_a < key_b)
+        assert r[1] < r[3]  # canonical order (key_a < key_b)
+        assert (r[1], r[3]) not in seen_pairs  # each pair emitted once
+        seen_pairs.add((r[1], r[3]))
+
+
+def test_phonetic_blocking_recall_against_exact_ground_truth(spark, sf_smoke):
+    """Pin the positioned-word blocking key's recall so a future key
+    change cannot silently lose true pairs (the first-two-words key
+    scored 0.22 here before this audit existed)."""
+    row = QUERIES["dedup_phonetic_recall_eval"](spark, sf_smoke).collect()[0]
+    assert row.n_truth_pairs > 0  # a vacuous audit verifies nothing
+    assert row.recall >= 0.95, (row.n_hits, row.n_truth_pairs)
 
 
 def test_df_cap_candidate_index_is_lossless(spark, sf_smoke):

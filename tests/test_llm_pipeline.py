@@ -83,9 +83,31 @@ def test_cross_source_dedup_prefers_trusted_source(spark, sf_smoke):
         f"SELECT count(*) FROM '{sf_smoke}/documents.parquet'"
     ).fetchone()[0]
     assert total_docs == n
-    # survivors of multi-doc groups carry the minimal source number
-    multi = {r.content_key: r.source for r in surv.filter(F.col("group_size") > 1).collect()}
+    # survivors of multi-doc groups actually carry the group's minimal
+    # (src_prio, doc_id): rebuild the keyed set and compare per group
+    from vat_etl_spark.queries.text import tokens_expr
+    from vat_etl_spark.sources.catalog import read_table
+
+    keyed = read_table(spark, sf_smoke, "documents").select(
+        "doc_id",
+        F.substring("source", 4, 10).cast("int").alias("src_prio"),
+        F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 2)).alias(
+            "content_key"
+        ),
+    )
+    best = {
+        r.content_key: (r.src_prio, r.doc_id)
+        for r in keyed.groupBy("content_key")
+        .agg(F.min(F.struct("src_prio", "doc_id")).alias("m"))
+        .select("content_key", F.col("m.src_prio").alias("src_prio"), F.col("m.doc_id").alias("doc_id"))
+        .collect()
+    }
+    multi = surv.filter(F.col("group_size") > 1).withColumn(
+        "src_prio", F.substring("source", 4, 10).cast("int")
+    ).collect()
     assert multi, "corpus has no duplicate content keys — vacuous test"
+    for r in multi:
+        assert (r.src_prio, r.doc_id) == best[r.content_key], r
 
 
 def test_contamination_excludes_eval_docs(spark, sf_smoke):

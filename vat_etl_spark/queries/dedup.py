@@ -601,45 +601,177 @@ def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     names differ only in digits, which soundex drops — 785 K pairs in a
     single block), and soundex of the head word ALONE has only 8 values in
     the part vocabulary, so blocks grow linearly with SF and in-block
-    pairs quadratically (measured 49 s at sf0.1). The key is therefore the
-    soundex of the first TWO words — an edit-distance-≤3 pair of 5-word
-    names can't rewrite a leading word beyond sound-alike drift, which
-    soundex absorbs. Pair cost is further bounded by a length prefilter
-    (|len_a − len_b| ≤ 3 is necessary for edit distance ≤ 3) and Spark 4's
-    banded ``levenshtein(l, r, threshold)`` which early-exits past the
-    bound instead of filling the full DP matrix. Scale shape identical to
-    the fuzzy join: block key is map-side, the self-join shuffles once on
-    the code, quadratic work is confined inside blocks."""
-    c = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    words = F.split(F.col("p_name"), " ")
-    keyed = c.select(
-        F.col("p_partkey").alias("key"),
-        F.col("p_name").alias("name"),
-        F.concat_ws(
-            "-", F.soundex(words[0]), F.soundex(words[1])
-        ).alias("code"),
+    pairs quadratically (measured 49 s at sf0.1).
+
+    The key scheme is MULTI-PASS blocking — each name is indexed once per
+    word under a POSITIONED soundex key (position, soundex(word)). The
+    guarantee: an edit-distance-≤3 pair of multi-word names cannot delete
+    a whole word (that costs ≥4 edits with the space), so word positions
+    are stable, and any pair with at least one UNTOUCHED word shares that
+    word's block. A single fixed-position key measurably does not have
+    this property: the recall audit (dedup_phonetic_recall_eval) scored
+    the first-two-words pair key at 0.26 on sf0.01, because these names
+    routinely substitute one whole short word ("hot gear" → "red gear")
+    and the combined code changes with it — the positioned key on the
+    surviving word is what catches those. (The r4 two-word-key "49 s →
+    11 s speedup" was therefore partly bought with silent recall loss;
+    the honest cost of the recovered pairs is measured in SCALE.md.)
+    Pairs with EVERY word edited can still evade — the audited residual.
+
+    Execution is CLASS-BASED: all fuzzy work happens between DISTINCT
+    name values (blocked self-join + banded levenshtein over the name
+    vocabulary), and verified name pairs are only then expanded to key
+    pairs by joining the key table back on. Names repeat — here
+    pathologically (64 distinct names over 20 K parts at sf0.1), at
+    100 TB merely heavily — and verifying per KEY pair re-runs the same
+    levenshtein for every cross product of a name pair's occurrences:
+    measured 268 s / 25 M levenshtein calls at sf0.1 vs vocabulary² =
+    4 096 calls for the identical 12.6 M-row output. The expansion is
+    output-bound, which no plan can beat. Within the class join, the
+    length prefilter (|len_a − len_b| ≤ 3 is necessary for edit distance
+    ≤ 3) runs inside the join and Spark 4's banded
+    ``levenshtein(l, r, threshold)`` early-exits past the bound. Scale
+    shape: one dedup shuffle to the vocabulary, a vocabulary-sized
+    blocked join, two broadcast-able expansion joins."""
+    c = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("key"), F.col("p_name").alias("name")
     )
-    a = keyed.select(
-        F.col("key").alias("key_a"), F.col("name").alias("name_a"), "code"
+    classes = c.select("name").distinct()
+    words = F.split(F.col("name"), " ")
+    codes = F.transform(
+        words,
+        lambda w, i: F.concat_ws("-", i.cast("string"), F.soundex(w)),
     )
+    keyed = classes.select("name", F.explode(codes).alias("code"))
+    a = keyed.select(F.col("name").alias("name_a"), "code")
     b = keyed.select(
-        F.col("key").alias("key_b"),
-        F.col("name").alias("name_b"),
-        F.col("code").alias("code_b"),
+        F.col("name").alias("name_b"), F.col("code").alias("code_b")
     )
-    return (
+    cand = (
         a.join(
             b,
             (F.col("code") == F.col("code_b"))
-            & (F.col("key_a") < F.col("key_b"))
+            & (F.col("name_a") < F.col("name_b"))
             & (
                 F.abs(F.length("name_a") - F.length("name_b")) <= 3
             ),
         )
-        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 3))
+        # a true pair can collide in one block per word — verify it ONCE,
+        # under its deterministic minimal code
+        .groupBy("name_a", "name_b")
+        .agg(F.min("code").alias("code"))
+    )
+    cross_names = (
+        cand.withColumn("edit_dist", F.levenshtein("name_a", "name_b", 3))
         # thresholded levenshtein returns -1 when the bound is exceeded
         .where(F.col("edit_dist").between(0, 3))
-        .select("code", "key_a", "name_a", "key_b", "name_b", "edit_dist")
+    )
+    # identical names are distance-0 pairs; their block code is the head
+    # word's positioned key
+    same_names = classes.select(
+        F.col("name").alias("name_a"),
+        F.col("name").alias("name_b"),
+        F.concat_ws(
+            "-", F.lit("0"), F.soundex(F.get(F.split(F.col("name"), " "), 0))
+        ).alias("code"),
+        F.lit(0).cast("int").alias("edit_dist"),
+    )
+    ka = c.select(F.col("name").alias("name_a"), F.col("key").alias("k1"))
+    kb = c.select(F.col("name").alias("name_b"), F.col("key").alias("k2"))
+    # cross-class: each unordered key pair appears exactly once (name_a <
+    # name_b), so only canonicalize the key order; same-class: the a×b
+    # self-product is filtered to k1 < k2
+    cross = (
+        cross_names.join(ka, "name_a")
+        .join(kb, "name_b")
+        .select(
+            "code",
+            F.least("k1", "k2").alias("key_a"),
+            F.when(F.col("k1") < F.col("k2"), F.col("name_a"))
+            .otherwise(F.col("name_b"))
+            .alias("name_a_out"),
+            F.greatest("k1", "k2").alias("key_b"),
+            F.when(F.col("k1") < F.col("k2"), F.col("name_b"))
+            .otherwise(F.col("name_a"))
+            .alias("name_b_out"),
+            "edit_dist",
+        )
+        .withColumnsRenamed({"name_a_out": "name_a", "name_b_out": "name_b"})
+    )
+    same = (
+        same_names.join(ka, "name_a")
+        .join(kb, "name_b")
+        .where(F.col("k1") < F.col("k2"))
+        .select(
+            "code",
+            F.col("k1").alias("key_a"),
+            "name_a",
+            F.col("k2").alias("key_b"),
+            "name_b",
+            "edit_dist",
+        )
+    )
+    return cross.unionByName(same)
+
+
+@query("dedup_phonetic_recall_eval")  # rows-only: audits the soundex-specific path
+def dedup_phonetic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall audit of the phonetic blocking key against exact ground
+    truth — the mirror of dedup_lsh_recall_eval for the soundex path.
+    Blocking keys trade recall for pair count, and the trade moves when
+    the key changes (the two-word soundex key drops a true pair whenever
+    an edit rewrites the FIRST LETTER of a kept word — soundex preserves
+    the leading letter verbatim), so the loss must be a measured number,
+    not an assumption. Ground truth is every levenshtein-≤3 pair computed
+    WITHOUT the phonetic block; to keep the truth join off the all-pairs
+    cliff it is banded on name length (|len_a − len_b| ≤ 3 ⇒ the pair
+    shares one width-4 length band after each left row is emitted into
+    its 3 adjacent bands — same banding discipline as the LSH audit, and
+    at 100 TB this audit runs over a fixed-size sample, not the corpus).
+    One row out: truth size, candidate size, hits, recall;
+    tests/test_dedup_determinism.py pins the floor so a future key change
+    cannot silently lose true pairs."""
+    c = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    a = c.select(
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+        F.length("p_name").alias("len_a"),
+    ).withColumn(
+        "band",
+        F.explode(
+            F.array(
+                F.floor(F.col("len_a") / 4) - 1,
+                F.floor(F.col("len_a") / 4),
+                F.floor(F.col("len_a") / 4) + 1,
+            )
+        ),
+    )
+    b = c.select(
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+        F.length("p_name").alias("len_b"),
+    ).withColumn("band_b", F.floor(F.col("len_b") / 4))
+    truth = (
+        a.join(
+            b,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("key_a") < F.col("key_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= 3),
+        )
+        .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 3))
+        .where(F.col("edit_dist").between(0, 3))
+        .select("key_a", "key_b")
+    )
+    cand = QUERIES["dedup_phonetic_blocking"](spark, sf_dir).select(
+        "key_a", "key_b"
+    )
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_hit = truth.join(cand, ["key_a", "key_b"]).count()
+    recall = (n_hit / n_truth) if n_truth else 1.0
+    return spark.createDataFrame(
+        [(n_truth, n_cand, n_hit, float(recall))],
+        "n_truth_pairs long, n_candidates long, n_hits long, recall double",
     )
 
 

@@ -1160,24 +1160,28 @@ def events_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entry-path analysis: each user's FIRST THREE event types in
     chronological order folded to a '>'-joined path, then the frequency of
     each distinct entry path — the "how do journeys start" question. The
-    sequence builds from sort_array over collected (ts, event_id, type)
-    structs sliced to 3 — deterministic total order, no window pass, and
-    the per-user state is bounded by the prefix length, which is exactly
-    how path analysis stays tractable at 100 TB (unbounded whole-journey
-    paths explode combinatorially; prefixes don't). One user-keyed
-    aggregate + one tiny path aggregate."""
+    prefix is isolated BEFORE any collect: a user-keyed row_number window
+    (Spark's sort-based WindowExec — spillable disk sort, no per-user
+    array) keeps rank ≤ 3, so the collect_list that builds the path
+    aggregates at most 3 structs per user. That bounded-state shape is
+    exactly how path analysis stays tractable at 100 TB — collecting a
+    user's ENTIRE history into one array before slicing would put an
+    unbounded journey in a single aggregation buffer (and whole-journey
+    paths explode combinatorially anyway; prefixes don't). One window
+    shuffle + one tiny path aggregate."""
     e = _t(spark, sf_dir, "events")
-    prefix = e.groupBy("user_id").agg(
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+    )
+    prefix = first3.groupBy("user_id").agg(
         F.concat_ws(
             ">",
-            F.slice(
-                F.transform(
-                    F.sort_array(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
-                    ),
-                    lambda s: s["event_type"],
-                ),
-                1, 3,
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
             ),
         ).alias("path")
     )

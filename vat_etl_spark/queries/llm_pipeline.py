@@ -297,13 +297,13 @@ _DOMAIN_MIX_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens,
          (doc_id * 2654435761) % 1000 AS bucket,
-         {_MIX_CASE_SQL} AS weight
+         CAST(round(({_MIX_CASE_SQL}) * 1000) AS BIGINT) AS keep_per_mille
   FROM documents
 )
-SELECT lang, CAST(round(weight * 1000) AS BIGINT) AS keep_per_mille,
+SELECT lang, keep_per_mille,
        count(*) AS n_total,
-       CAST(SUM(CASE WHEN bucket < weight * 1000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-       CAST(SUM(CASE WHEN bucket < weight * 1000 THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+       CAST(SUM(CASE WHEN bucket < keep_per_mille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN bucket < keep_per_mille THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
 FROM keyed GROUP BY lang, keep_per_mille
 """
 
@@ -313,10 +313,15 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted domain mixing: each language gets a target sampling weight
     and documents are kept by a DETERMINISTIC per-doc coin — Knuth
     multiplicative hash of doc_id into a per-mille bucket — so the sample
-    is reproducible run-to-run and engine-to-engine (no rand()). Output is
-    the per-domain mix report (kept counts + token budget). Map-side
-    Bernoulli selection + one tiny aggregate; at 100 TB the selection
-    fuses into the scan and the report aggregate shuffles 5 rows."""
+    is reproducible run-to-run and engine-to-engine (no rand()). The keep
+    threshold is computed ONCE as an integer per-mille (round(w*1000))
+    and that same integer drives both the kept predicate and the report
+    column — comparing the bucket against the raw double (0.8*1000 =
+    800.0000000000001) would keep one extra per-mille while reporting
+    800. Output is the per-domain mix report (kept counts + token
+    budget). Map-side Bernoulli selection + one tiny aggregate; at 100 TB
+    the selection fuses into the scan and the report aggregate shuffles 5
+    rows."""
     d = _t(spark, sf_dir, "documents")
     weight = F.element_at(
         F.create_map(*[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv]),
@@ -326,13 +331,13 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang",
         F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
         ((F.col("doc_id") * 2654435761) % 1000).alias("bucket"),
-        F.coalesce(weight, F.lit(0.0)).alias("weight"),
+        F.round(F.coalesce(weight, F.lit(0.0)) * 1000)
+        .cast("long")
+        .alias("keep_per_mille"),
     )
-    kept = F.col("bucket") < F.col("weight") * 1000
+    kept = F.col("bucket") < F.col("keep_per_mille")
     return (
-        keyed.groupBy(
-            "lang", F.round(F.col("weight") * 1000).cast("long").alias("keep_per_mille")
-        )
+        keyed.groupBy("lang", "keep_per_mille")
         .agg(
             F.count("*").alias("n_total"),
             F.sum(kept.cast("long")).alias("n_kept"),

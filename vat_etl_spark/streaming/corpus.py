@@ -104,10 +104,19 @@ def compact_key_index(spark: SparkSession, out_dir: str) -> int:
     keys, coalesced files) and remove the per-epoch directories. Run this
     periodically — each micro-batch reads the whole index, so thousands of
     tiny epoch files would otherwise turn every admit into a small-files
-    scan (the same pathology compact_parquet_dir exists for). epoch=-1 can
-    never collide with a replayed real epoch id, so the replay-excludes-
-    own-epoch rule in admit_batch is unaffected. Returns the distinct key
-    count."""
+    scan (the same pathology compact_parquet_dir exists for). Negative
+    epoch ids can never collide with a replayed real epoch id, so the
+    replay-excludes-own-epoch rule in admit_batch is unaffected.
+
+    Crash-safety ordering: the consolidated partition is renamed INTO the
+    index first, and only then are the superseded epoch directories
+    removed — a crash at any point leaves every key readable (at worst
+    duplicated across partitions, which is harmless because every reader
+    applies ``distinct``). Each compaction picks the next unused negative
+    epoch id, so a prior consolidated partition is simply one more input
+    until it is cleaned up. The ingest stream must be STOPPED while this
+    runs: deleting epoch directories under a concurrently listing reader
+    can fail that reader's scan. Returns the distinct key count."""
     import shutil
 
     idx_path = f"{out_dir}/key_index"
@@ -115,8 +124,16 @@ def compact_key_index(spark: SparkSession, out_dir: str) -> int:
     staging = f"{out_dir}/key_index_compacting"
     keys.coalesce(1).write.mode("overwrite").parquet(staging)
     n = spark.read.parquet(staging).count()
-    for p in pathlib.Path(idx_path).iterdir():
-        if p.is_dir() and p.name.startswith("epoch="):
-            shutil.rmtree(p)
-    pathlib.Path(staging).rename(f"{idx_path}/epoch=-1")
+    old = [
+        p
+        for p in pathlib.Path(idx_path).iterdir()
+        if p.is_dir() and p.name.startswith("epoch=")
+    ]
+    taken = {int(p.name.split("=", 1)[1]) for p in old}
+    slot = -1
+    while slot in taken:
+        slot -= 1
+    pathlib.Path(staging).rename(f"{idx_path}/epoch={slot}")
+    for p in old:
+        shutil.rmtree(p)
     return n
