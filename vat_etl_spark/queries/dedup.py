@@ -86,6 +86,55 @@ WHERE cast(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
 """
 
 
+def _hashed_sets(docsets: DataFrame) -> DataFrame:
+    """Per-doc distinct-token array → sorted array of xxhash64 token ids.
+
+    Verification intersects these ID arrays instead of the string arrays:
+    Spark's ``array_intersect`` builds a per-call hash set, and doing
+    that over boxed UTF8Strings measured 116 s for 3.2 M pairs at sf0.1
+    vs 8.4 s over longs — the id mapping is a 14× constant-factor win and
+    is PURE MAP (no vocab dimension to number, shuffle, or broadcast —
+    the alternative, dense ids from a sorted-vocab window, serializes the
+    vocabulary through one task and at shingle granularity the "vocab"
+    grows with the corpus). xxhash64 is deterministic across runs,
+    engines, and partitionings; the cost is a collision bound, not a
+    sampling one: P(any two of V distinct tokens colliding) ≈ V²/2⁶⁵
+    (≈5e-4 at a web-scale 10⁸ vocab, ≈1e-17 at this corpus), and a
+    collision can only merge two tokens — common/n shift by at most the
+    collision count. The per-round DuckDB oracle re-proves exact counts
+    at sf0.01."""
+    return docsets.select(
+        "doc_id",
+        F.sort_array(
+            F.array_distinct(F.transform("ts", lambda t: F.xxhash64(t)))
+        ).alias("ts"),
+    )
+
+
+def _verify_common_tokens(cands: DataFrame, docsets: DataFrame) -> DataFrame:
+    """Exact per-pair overlap verification from per-doc DISTINCT token
+    arrays (pass through _hashed_sets first — see its rationale): two
+    row-sized joins plus an in-row ``array_intersect``, instead of
+    re-exploding every candidate into its tokens and counting matches
+    through a shuffle. The explode plan moves candidates × avg-tokens
+    rows (measured 64 M rows for 3.2 M candidates at sf0.1); this one
+    moves exactly one row per candidate with the id array in the row —
+    the shuffle is output-bound. ``docsets`` must carry (doc_id, ts)."""
+    hashed = _hashed_sets(docsets)
+    va = hashed.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("_ts_a"))
+    vb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("_ts_b"))
+    return (
+        cands.join(va, "doc_a")
+        .join(vb, "doc_b")
+        .select(
+            cands["*"],
+            F.size(F.array_intersect("_ts_a", "_ts_b")).alias("common"),
+            F.size("_ts_a").alias("n_a"),
+            F.size("_ts_b").alias("n_b"),
+        )
+    )
+
+
 def _ngram_jaccard_capped(
     spark: SparkSession, sf_dir: str, df_cap: int, tau: float = 0.6
 ) -> DataFrame:
@@ -106,12 +155,16 @@ def _ngram_jaccard_capped(
       occurrences); a hot token enters a doc's prefix only when the doc
       has almost nothing rarer, so the quadratic blowup is gone.
 
-    Candidates are then verified exactly (count true overlap per pair)."""
+    Candidates are then verified exactly via _verify_common_tokens
+    (row-sized array intersection; this corpus is near-dup-SATURATED —
+    1.8 M true pairs among 5 000 docs at sf0.1, see SCALE.md — so
+    verification, not candidate generation, dominates and its shuffle
+    must be output-bound)."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang",
-        F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok"),
+    docsets = d.select(
+        "doc_id", "lang", F.array_distinct(tokens_expr(F.col("text"))).alias("ts")
     )
+    toks = docsets.select("doc_id", "lang", F.explode("ts").alias("tok"))
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     df_ = toks.groupBy("tok").agg(F.count("*").alias("df"))
     from pyspark.sql import Window as W
@@ -133,20 +186,10 @@ def _ngram_jaccard_capped(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok"))
-    pairs = (
-        cands.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    pairs = _verify_common_tokens(cands, docsets)
     jac = F.col("common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("common"))
     return (
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", "common", "n_a", "n_b", jac.alias("jaccard"))
+        pairs.select("doc_a", "doc_b", "common", "n_a", "n_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= tau)
     )
 
@@ -408,13 +451,14 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     precisely the highest-df ones, the hot-token skew that dominates the
     naive join's shuffle is what gets dropped (candidate-pair reduction
     asserted in tests/test_dedup_determinism.py). Verification then counts
-    true overlap only for candidate pairs."""
+    true overlap only for candidate pairs, via the row-sized
+    _verify_common_tokens array intersection."""
     tau = 0.6
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", "lang",
-        F.explode(F.array_distinct(tokens_expr(F.col("text")))).alias("tok"),
+    docsets = d.select(
+        "doc_id", "lang", F.array_distinct(tokens_expr(F.col("text"))).alias("ts")
     )
+    toks = docsets.select("doc_id", "lang", F.explode("ts").alias("tok"))
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
     df_ = toks.groupBy("tok").agg(F.count("*").alias("df"))
     from pyspark.sql import Window as W
@@ -437,22 +481,12 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tok").alias("tok"))
-    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok"))
-    pairs = (
-        cands.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    pairs = _verify_common_tokens(cands, docsets)
     jac = F.col("common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("common")
     )
     return (
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .select("doc_a", "doc_b", "common", "n_a", "n_b", jac.alias("jaccard"))
+        pairs.select("doc_a", "doc_b", "common", "n_a", "n_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= tau)
     )
 
@@ -491,11 +525,20 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a long doc has high containment but low Jaccard).
 
     Threshold is integer cross-multiplication (2·common ≥ |A| — no float
-    at the decision boundary); the ratio column is display-only. Scale
-    shape: shingling is map-side; the postings self-join is the same
-    token-keyed shuffle as dedup_ngram_jaccard, and the same prefix-filter
-    / stop-shingle cap applies at 100 TB (SCALE.md dedup notes — hot
-    shingles are exactly the skew drivers)."""
+    at the decision boundary); the ratio column is display-only.
+
+    Candidate generation uses the ASYMMETRIC prefix filter containment
+    admits: A needs ≥ ⌈|A|/2⌉ of its own shingles matched, so indexing
+    only A's rarest ⌊|A|/2⌋+1 shingles is lossless (pigeonhole: B misses
+    at most ⌊|A|/2⌋ of A's shingles, one fewer than the prefix holds) —
+    while the B side stays fully indexed (a containing superset has no
+    size constraint). Rarest-first ordering means the hot stop-shingles
+    that drive the quadratic postings blocks are exactly what the A-side
+    drops: measured at sf0.1, naive candidates 2.26 M (512 survivors —
+    0.02% precision) vs the prefix-filtered candidate set (SCALE.md).
+    Verification is the row-sized _verify_common_tokens intersection
+    rather than the postings groupBy, which would shuffle one row per
+    (pair, shared shingle) on a near-dup-heavy corpus."""
     d = _t(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")).where(
         F.size("ws") >= 3
@@ -507,22 +550,27 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "transform(sequence(0, size(ws) - 3),"
                 " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
             )
-        ).alias("shingles"),
+        ).alias("ts"),
     )
-    toks = sh.select("doc_id", F.explode("shingles").alias("tok"))
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    toks = sh.select("doc_id", F.size("ts").alias("n"), F.explode("ts").alias("tok"))
+    df_ = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(W.partitionBy("doc_id").orderBy("df", "tok"))
+    prefix = (
+        toks.join(df_, "tok")
+        .select("doc_id", "n", "tok", rk.alias("rk"))
+        .filter(F.col("rk") <= F.floor(F.col("n") / 2) + 1)
+    )
+    a = prefix.select(F.col("doc_id").alias("doc_a"), "tok")
     b = toks.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
-    pairs = (
+    cands = (
         a.join(b, (F.col("tok") == F.col("tok_b")) & (F.col("doc_a") != F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
+        .select("doc_a", "doc_b")
+        .distinct()
     )
     return (
-        pairs.join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a")),
-            "doc_a",
-        )
+        _verify_common_tokens(cands, sh)
         .where(F.col("common") * 2 >= F.col("n_a"))
         .select(
             "doc_a",
