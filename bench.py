@@ -112,9 +112,48 @@ def main() -> None:
                 "spread": spread,
                 "passes": n_passes,
                 "sf": sf,
+                "regressions": find_regressions(timings, samples),
             }
         )
     )
+
+
+def find_regressions(
+    timings: dict[str, float], samples: dict[str, list[float]]
+) -> dict[str, dict[str, float]]:
+    """Regression gate over the per-round bench history: flag a query when
+    its median exceeds 1.2× the best prior-round median BEYOND the run's
+    own spread (even this run's fastest pass is over the bar — a shift,
+    not noise; the median-vs-min distinction is exactly what the r3/r4
+    noise adjudication established). Empty dict = clean run. Priors come
+    from artifacts/BENCH_r*.json; a missing artifacts dir (fresh clone)
+    degrades to no gate rather than an error."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best_prior: dict[str, float] = {}
+    for path in sorted(glob.glob(os.path.join(here, "artifacts", "BENCH_r*.json"))):
+        try:
+            with open(path) as f:
+                prior = json.load(f).get("parsed") or {}
+        except (OSError, json.JSONDecodeError):
+            continue
+        for name, sec in (prior.get("queries") or {}).items():
+            if isinstance(sec, (int, float)) and sec > 0:
+                best_prior[name] = min(best_prior.get(name, sec), sec)
+    out: dict[str, dict[str, float]] = {}
+    for name, med in timings.items():
+        prior = best_prior.get(name)
+        if prior is None:
+            continue
+        bar = 1.2 * prior
+        if med > bar and min(samples[name]) > bar:
+            out[name] = {
+                "median": med,
+                "best_prior_median": prior,
+                "ratio": round(med / prior, 2),
+            }
+    return out
 
 
 if __name__ == "__main__":
