@@ -467,8 +467,12 @@ def test_streaming_corpus_ingest_dedups_across_microbatches(spark, sf_smoke, tmp
     from pyspark.sql import functions as F
 
     from vat_etl_spark.queries.llm_pipeline import quality_flags
-    from vat_etl_spark.streaming.corpus import corpus_ingest_stream, _content_key
+    from vat_etl_spark.queries.text import tokens_expr
+    from vat_etl_spark.streaming.corpus import corpus_ingest_stream
     from vat_etl_spark.sources.catalog import read_table
+
+    def _content_key():
+        return F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 2))
 
     docs = read_table(spark, sf_smoke, "documents")
     src = str(tmp_path / "src")

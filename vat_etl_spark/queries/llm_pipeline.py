@@ -758,6 +758,70 @@ def pipeline_seq_packing_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- streaming corpus ingest: the admit step as a pure plan -------------------
+
+_CORPUS_ADMIT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, text,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+),
+feat AS (
+  SELECT doc_id, lang, source,
+         array_to_string(list_slice(t, 1, 2), ' ') AS content_key,
+         ((len(t) BETWEEN 25 AND 80)
+          AND (len(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(t) BETWEEN 4.0 AND 5.0)
+          AND (len(list_filter(t, x -> x IN {_STOP_IN_SQL})) * 1.0 / len(t)) >= 0.02) AS passes
+  FROM toks
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY content_key ORDER BY doc_id) AS rn
+  FROM feat WHERE passes
+)
+SELECT doc_id, lang, source, content_key FROM ranked WHERE rn = 1
+"""
+
+
+def corpus_admit_plan(
+    batch: DataFrame, existing_keys: DataFrame | None = None
+) -> DataFrame:
+    """The streaming corpus ingest's deterministic admit step as a pure
+    lazy plan — quality gate → (optional) left-anti join against the
+    persisted content-key index → rank-1 per content key within the
+    batch. streaming/corpus.py's ``admit_batch`` executes exactly this
+    function per micro-batch, so the registered batch twin's driver row
+    is direct evidence for the streaming path's admit semantics (the
+    stream adds only the index read and the idempotent per-epoch write
+    around it)."""
+    keyed = batch.withColumn(
+        "content_key",
+        F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 2)),
+    ).join(
+        quality_flags(batch).filter(F.col("passes")).select("doc_id"),
+        "doc_id",
+    )
+    if existing_keys is not None:
+        keyed = keyed.join(existing_keys, "content_key", "left_anti")
+    w = W.partitionBy("content_key").orderBy("doc_id")
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query("corpus_ingest_admit_twin", oracle=_CORPUS_ADMIT_SQL)
+def corpus_ingest_admit_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming corpus ingest's admit step: the whole
+    documents table arriving as ONE micro-batch against an empty key
+    index. Same function the stream runs (corpus_admit_plan), so the
+    DuckDB hash match here certifies the stream's per-batch semantics;
+    replay idempotence and multi-batch index behavior are pinned in
+    tests/test_streaming.py."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus_admit_plan(d).select("doc_id", "lang", "source", "content_key")
+
+
 # --- incremental dedup (delta batch vs existing corpus index) -----------------
 
 _INCR_DEDUP_SQL = r"""

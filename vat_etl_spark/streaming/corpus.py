@@ -24,31 +24,22 @@ from __future__ import annotations
 
 import pathlib
 
-from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from vat_etl_spark.queries.llm_pipeline import quality_flags
-from vat_etl_spark.queries.text import tokens_expr
-
-
-def _content_key():
-    return F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 2))
+from vat_etl_spark.queries.llm_pipeline import corpus_admit_plan
 
 
 def admit_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
     """Deterministic per-micro-batch admit step (also directly unit-testable
     without a stream): quality gate → anti-join vs persisted index →
     in-batch rank-1 per key → idempotent per-epoch write (overwrite of
-    this epoch's own partition, so a replay cannot double-admit)."""
+    this epoch's own partition, so a replay cannot double-admit). The
+    selection itself is `corpus_admit_plan` — the same function the
+    driver-verified `corpus_ingest_admit_twin` oracle query runs."""
     spark = batch.sparkSession
-    keyed = (
-        batch.withColumn("content_key", _content_key())
-        .join(
-            quality_flags(batch).filter(F.col("passes")).select("doc_id"),
-            "doc_id",
-        )
-    )
     idx_path = f"{out_dir}/key_index"
+    existing = None
     if pathlib.Path(idx_path).exists():
         # exclude THIS epoch's own prior (partial/replayed) index rows from
         # the dedup reference or a replay would block itself
@@ -58,15 +49,7 @@ def admit_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
             .select("content_key")
             .distinct()
         )
-        fresh = keyed.join(existing, "content_key", "left_anti")
-    else:
-        fresh = keyed
-    w = W.partitionBy("content_key").orderBy("doc_id")
-    admitted = (
-        fresh.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
-    )
+    admitted = corpus_admit_plan(batch, existing)
     # stable snapshot: both writes below re-execute `admitted`, and the
     # second must not observe rows the first just wrote
     admitted = admitted.localCheckpoint(eager=True)
