@@ -144,6 +144,16 @@ def test_build_corpus_end_to_end(spark, sf_smoke, tmp_path):
     assert bad.count() == 0
     card = spark.read.parquet(f"{out}/dataset_card")
     assert card.count() == 5  # one row per language
+    # observed metrics (collected on the write pass) must agree with the
+    # written data and be persisted for the release record
+    metrics = spark.read.parquet(f"{out}/build_metrics").collect()[0]
+    assert metrics.docs_written == stats["docs_written"]
+    split_counts = {
+        r.split: r["count"] for r in shards.groupBy("split").count().collect()
+    }
+    assert metrics.train_docs == split_counts.get("train", 0)
+    assert metrics.val_docs == split_counts.get("val", 0)
+    assert metrics.test_docs == split_counts.get("test", 0)
 
 
 def test_nosplit_packing_never_splits_docs(spark, sf_smoke):

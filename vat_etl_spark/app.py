@@ -117,6 +117,11 @@ def run_corpus(args, spark: SparkSession | None = None):
         f"wrote {stats['docs_written']} docs across {stats['shards']} "
         f"(split, shard) partitions ({stats['splits']} splits) to {args.out}"
     )
+    print(
+        f"observed (from the write pass itself): train={stats['train_docs']} "
+        f"val={stats['val_docs']} test={stats['test_docs']} "
+        f"chars={stats['chars_written']}; persisted to {args.out}/build_metrics"
+    )
     return stats
 
 

@@ -655,16 +655,40 @@ def build_corpus(
         )
         .drop("bucket")
     )
-    kept.write.mode("overwrite").partitionBy("split", "shard").parquet(
+    # observability rides the write itself (dq_observe_metrics pattern):
+    # the funnel's health counters come from the pass that writes the
+    # shards — zero extra scans — and are persisted next to the card so a
+    # nightly 100 TB build self-reports without a verification re-read
+    from pyspark.sql import Observation
+
+    obs = Observation("corpus_build")
+    observed = kept.observe(
+        obs,
+        F.count(F.lit(1)).alias("docs_written"),
+        F.sum((F.col("split") == "train").cast("long")).alias("train_docs"),
+        F.sum((F.col("split") == "val").cast("long")).alias("val_docs"),
+        F.sum((F.col("split") == "test").cast("long")).alias("test_docs"),
+        F.sum(F.length("text").cast("long")).alias("chars_written"),
+    )
+    observed.write.mode("overwrite").partitionBy("split", "shard").parquet(
         f"{out_dir}/shards"
     )
+    m = obs.get
     card = QUERIES["pipeline_dataset_card"](spark, sf_dir)
     card.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/dataset_card")
+    spark.createDataFrame(
+        [tuple(m[k] for k in ("docs_written", "train_docs", "val_docs", "test_docs", "chars_written"))],
+        "docs_written long, train_docs long, val_docs long, test_docs long, chars_written long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/build_metrics")
     written = spark.read.parquet(f"{out_dir}/shards")
     return {
-        "docs_written": written.count(),
+        "docs_written": int(m["docs_written"]),
         "splits": written.select("split").distinct().count(),
         "shards": written.select("split", "shard").distinct().count(),
+        "train_docs": int(m["train_docs"]),
+        "val_docs": int(m["val_docs"]),
+        "test_docs": int(m["test_docs"]),
+        "chars_written": int(m["chars_written"]),
     }
 
 
