@@ -771,19 +771,33 @@ def dedup_phonetic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     an edit rewrites the FIRST LETTER of a kept word — soundex preserves
     the leading letter verbatim), so the loss must be a measured number,
     not an assumption. Ground truth is every levenshtein-≤3 pair computed
-    WITHOUT the phonetic block; to keep the truth join off the all-pairs
-    cliff it is banded on name length (|len_a − len_b| ≤ 3 ⇒ the pair
-    shares one width-4 length band after each left row is emitted into
-    its 3 adjacent bands — same banding discipline as the LSH audit, and
-    at 100 TB this audit runs over a fixed-size sample, not the corpus).
-    One row out: truth size, candidate size, hits, recall;
-    tests/test_dedup_determinism.py pins the floor so a future key change
-    cannot silently lose true pairs."""
+    WITHOUT the phonetic block.
+
+    Both truth and hits are computed at the NAME-CLASS level and expanded
+    to key-pair COUNTS by multiplicity arithmetic (cross pair → cnt_a ×
+    cnt_b, same-name class → C(cnt, 2)) — never materialized: the first
+    cut of this audit banded the truth join per KEY and at sf0.1 that is
+    a ~400 M-row banded-levenshtein grind (names repeat pathologically —
+    same lesson as the blocking query's own class rewrite). Classes make
+    it vocab²-sized, the blocking side contributes one pass over its
+    output, and the numbers are identical because the blocking expands
+    whole classes (hits are all-or-nothing per class pair). The class
+    truth join is still length-banded (|len_a − len_b| ≤ 3 ⇒ a shared
+    width-4 band after 3-band emission) so a large real vocabulary stays
+    off the all-pairs cliff; at 100 TB the audit runs over a fixed-size
+    sample regardless. One row out: truth size, candidate size, hits,
+    recall; tests/test_dedup_determinism.py pins the floor so a future
+    key change cannot silently lose true pairs."""
     c = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
-    a = c.select(
-        F.col("p_partkey").alias("key_a"),
-        F.col("p_name").alias("name_a"),
-        F.length("p_name").alias("len_a"),
+    classes = (
+        c.groupBy(F.col("p_name").alias("name"))
+        .agg(F.count("*").alias("cnt"))
+        .withColumn("len", F.length("name"))
+    )
+    a = classes.select(
+        F.col("name").alias("name_a"),
+        F.col("cnt").alias("cnt_a"),
+        F.col("len").alias("len_a"),
     ).withColumn(
         "band",
         F.explode(
@@ -794,31 +808,52 @@ def dedup_phonetic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    b = c.select(
-        F.col("p_partkey").alias("key_b"),
-        F.col("p_name").alias("name_b"),
-        F.length("p_name").alias("len_b"),
+    b = classes.select(
+        F.col("name").alias("name_b"),
+        F.col("cnt").alias("cnt_b"),
+        F.col("len").alias("len_b"),
     ).withColumn("band_b", F.floor(F.col("len_b") / 4))
-    truth = (
+    truth_cross = (
         a.join(
             b,
             (F.col("band") == F.col("band_b"))
-            & (F.col("key_a") < F.col("key_b"))
+            & (F.col("name_a") < F.col("name_b"))
             & (F.abs(F.col("len_a") - F.col("len_b")) <= 3),
         )
         .withColumn("edit_dist", F.levenshtein("name_a", "name_b", 3))
         .where(F.col("edit_dist").between(0, 3))
-        .select("key_a", "key_b")
+        .select(
+            "name_a", "name_b", (F.col("cnt_a") * F.col("cnt_b")).alias("w")
+        )
     )
-    cand = QUERIES["dedup_phonetic_blocking"](spark, sf_dir).select(
-        "key_a", "key_b"
+    same_w = F.expr("sum(cnt * (cnt - 1) div 2)")
+    n_truth_same = classes.agg(same_w).first()[0] or 0
+    n_truth_cross = truth_cross.agg(F.sum("w")).first()[0] or 0
+    out = QUERIES["dedup_phonetic_blocking"](spark, sf_dir)
+    n_cand = out.count()
+    cand_cross = (
+        out.where(F.col("name_a") != F.col("name_b"))
+        .select(
+            F.least("name_a", "name_b").alias("name_a"),
+            F.greatest("name_a", "name_b").alias("name_b"),
+        )
+        .distinct()
     )
-    n_truth = truth.count()
-    n_cand = cand.count()
-    n_hit = truth.join(cand, ["key_a", "key_b"]).count()
+    hits_cross = (
+        truth_cross.join(cand_cross, ["name_a", "name_b"]).agg(F.sum("w")).first()[0]
+        or 0
+    )
+    cand_same = (
+        out.where(F.col("name_a") == F.col("name_b"))
+        .select(F.col("name_a").alias("name"))
+        .distinct()
+    )
+    hits_same = classes.join(cand_same, "name").agg(same_w).first()[0] or 0
+    n_truth = int(n_truth_cross + n_truth_same)
+    n_hit = int(hits_cross + hits_same)
     recall = (n_hit / n_truth) if n_truth else 1.0
     return spark.createDataFrame(
-        [(n_truth, n_cand, n_hit, float(recall))],
+        [(n_truth, int(n_cand), n_hit, float(recall))],
         "n_truth_pairs long, n_candidates long, n_hits long, recall double",
     )
 
