@@ -353,12 +353,30 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     shallow; capped at 50). This is the keep-one step that turns pairwise
     near-dup evidence into a dedup decision, and the engine's pattern for
     iterative graph algorithms generally (oracle twin: DuckDB recursive
-    CTE over the same edges)."""
+    CTE over the same edges).
+
+    Only edge ENDPOINTS iterate: a document with no near-dup edge keeps
+    its own label forever, so isolated docs are excluded up front and
+    union back in afterward. On a real corpus (duplicate clusters ≪
+    corpus) that shrinks the per-round state from |corpus| to
+    |docs-with-dups|; the synthetic corpus is near-dup-saturated, so the
+    local win is modest — the point is the 100 TB shape."""
     pairs = QUERIES["dedup_ngram_jaccard"](spark, sf_dir).select("doc_a", "doc_b")
     edges = pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a"))).toDF("src", "dst")
-    docs = _t(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.withColumn("label", F.col("doc_id")).localCheckpoint(eager=True)
     edges = edges.localCheckpoint(eager=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    endpoints = edges.select(F.col("src").alias("doc_id")).distinct()
+    isolated = docs.join(endpoints, "doc_id", "left_anti").withColumn(
+        "label", F.col("doc_id")
+    )
+    labels = endpoints.withColumn("label", F.col("doc_id")).localCheckpoint(
+        eager=True
+    )
+    # labels are min-aggregated each round, so per-node labels only ever
+    # DECREASE: the global label sum is a monotone convergence witness,
+    # and comparing it round-over-round (one tiny agg on the snapshot)
+    # replaces the old changed-rows join against the previous state
+    prev_sum = None
     for _ in range(50):
         neigh = (
             labels.join(edges, labels["doc_id"] == edges["src"])
@@ -370,18 +388,14 @@ def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        label_sum = new_labels.agg(F.sum("label")).first()[0]
         labels = new_labels
-        if changed == 0:
+        if label_sum == prev_sum:
             break
+        prev_sum = label_sum
     else:
         raise RuntimeError("connected components did not converge in 50 rounds")
-    return labels.select(
+    return labels.unionByName(isolated).select(
         "doc_id",
         F.col("label").alias("component"),
         (F.col("label") == F.col("doc_id")).alias("is_survivor"),
@@ -609,21 +623,31 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingles"),
     )
     t = sh.select("doc_id", F.explode("shingles").alias("tok"))
-    sizes = t.groupBy("doc_id").agg(F.count("*").alias("n"))
     a = t.select(F.col("doc_id").alias("doc_a"), "tok")
     b = t.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
-    common = (
+    # truth candidates = EVERY co-occurring pair (no prefix filter — the
+    # ground truth must not share machinery with the index under audit);
+    # verification is the row-sized hashed-array intersection rather than
+    # counting matches through the postings groupBy
+    cands = (
         a.join(b, (F.col("tok") == F.col("tok_b")) & (F.col("doc_a") < F.col("doc_b")))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("common"))
-    )
-    truth = (
-        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
-        .where(5 * F.col("common") >= 3 * (F.col("na") + F.col("nb") - F.col("common")))
         .select("doc_a", "doc_b")
+        .distinct()
     )
-    cand = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    # three counts consume truth and cand below — snapshot both once, or
+    # the hit join re-executes the full truth verification AND the whole
+    # MinHash pipeline a second time (measured ~2× the audit's wall time)
+    truth = (
+        _verify_common_tokens(cands, sh.withColumnRenamed("shingles", "ts"))
+        .where(5 * F.col("common") >= 3 * (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
+    cand = (
+        QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=True)
+    )
     n_truth = truth.count()
     n_cand = cand.count()
     n_hit = truth.join(cand, ["doc_a", "doc_b"]).count()
