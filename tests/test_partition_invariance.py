@@ -47,6 +47,8 @@ def test_pipeline_ops_invariant_to_shuffle_partitions(spark, sf_smoke):
                     "pipeline_train_val_split",
                     "pipeline_dataset_card",
                     "pipeline_cross_source_dedup",
+                    "sample_fixed_per_group",
+                    "corpus_ingest_admit_twin",
                 )
             }
         assert results["3"] == results["17"]
