@@ -120,13 +120,18 @@ def main() -> None:
 
 def find_regressions(
     timings: dict[str, float], samples: dict[str, list[float]]
-) -> dict[str, dict[str, float]]:
-    """Regression gate over the per-round bench history: flag a query when
-    its median exceeds 1.2× the best prior-round median BEYOND the run's
-    own spread (even this run's fastest pass is over the bar — a shift,
-    not noise; the median-vs-min distinction is exactly what the r3/r4
-    noise adjudication established). Empty dict = clean run. Priors come
-    from artifacts/BENCH_r*.json; a missing artifacts dir (fresh clone)
+) -> dict[str, object]:
+    """Regression gate over the per-round bench history, robust to
+    machine drift: the box's speed shifts round-to-round (measured a
+    uniform 1.4-1.7× slowdown across UNCHANGED queries within one day),
+    so raw prior-ratio thresholds cry wolf. Normalize instead: a query
+    is flagged only when its median-vs-best-prior ratio exceeds 1.2× the
+    MEDIAN ratio across all queries (it shifted against the pack, not
+    with it) AND even this run's fastest pass is over that bar (a shift,
+    not spread — the median-vs-min distinction the r3/r4 noise
+    adjudication established). The median ratio itself is reported as
+    machine_drift so a reader can see the box's state. Priors come from
+    artifacts/BENCH_r*.json; a missing artifacts dir (fresh clone)
     degrades to no gate rather than an error."""
     import glob
 
@@ -141,19 +146,25 @@ def find_regressions(
         for name, sec in (prior.get("queries") or {}).items():
             if isinstance(sec, (int, float)) and sec > 0:
                 best_prior[name] = min(best_prior.get(name, sec), sec)
-    out: dict[str, dict[str, float]] = {}
-    for name, med in timings.items():
-        prior = best_prior.get(name)
-        if prior is None:
-            continue
-        bar = 1.2 * prior
-        if med > bar and min(samples[name]) > bar:
-            out[name] = {
-                "median": med,
-                "best_prior_median": prior,
-                "ratio": round(med / prior, 2),
+    ratios = {
+        name: timings[name] / best_prior[name]
+        for name in timings
+        if name in best_prior
+    }
+    if not ratios:
+        return {"machine_drift": None, "flagged": {}}
+    drift = statistics.median(ratios.values())
+    flagged: dict[str, dict[str, float]] = {}
+    for name, ratio in ratios.items():
+        bar = 1.2 * max(1.0, drift) * best_prior[name]
+        if timings[name] > bar and min(samples[name]) > bar:
+            flagged[name] = {
+                "median": timings[name],
+                "best_prior_median": best_prior[name],
+                "ratio": round(ratio, 2),
+                "ratio_vs_drift": round(ratio / max(1.0, drift), 2),
             }
-    return out
+    return {"machine_drift": round(drift, 2), "flagged": flagged}
 
 
 if __name__ == "__main__":
