@@ -246,3 +246,30 @@ def test_probe_image_dims_never_throws_hypothesis():
         assert (w is None) == (h is None) or (w is not None and h is not None)
 
     check()
+
+
+def test_pii_scrub_redacts_everything(spark, sf_smoke):
+    """Every planted PII instance is counted, and re-scanning the scrubbed
+    text finds zero residual matches — the self-audit column must be 0 on
+    every row, and docs that got PII planted must report it."""
+    rows = QUERIES["pipeline_pii_scrub"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r.n_residual == 0, r
+        if r.doc_id % 3 == 0:
+            assert r.n_emails >= 1, r
+        if r.doc_id % 5 == 0:
+            assert r.n_phones >= 1, r
+        if r.doc_id % 7 == 0:
+            assert r.n_ips >= 1, r
+
+
+def test_duplicate_spans_bounds_and_saturation(spark, sf_smoke):
+    rows = QUERIES["pipeline_duplicate_spans"](spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.dup_spans <= r.n_spans
+        assert abs(r.dup_frac - r.dup_spans / r.n_spans) < 1e-12
+    # the 31-word synthetic vocabulary makes cross-doc span duplication
+    # pervasive — if nothing is duplicated the operator is vacuous
+    assert any(r.dup_spans > 0 for r in rows)

@@ -782,6 +782,152 @@ def pipeline_seq_packing_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- substring-level duplicate spans (Lee et al. 2021 precursor) --------------
+
+_SPAN_W = 5
+
+_DUP_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, unnest({{grams}}) AS g FROM toks
+),
+df AS (SELECT g, count(DISTINCT doc_id) AS nd FROM g GROUP BY g),
+per AS (
+  SELECT g.doc_id, count(*) AS n_spans,
+         CAST(sum(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_spans
+  FROM g JOIN df USING (g) GROUP BY g.doc_id
+)
+SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans, dup_spans,
+       dup_spans * 1.0 / n_spans AS dup_frac
+FROM per
+""".replace("{grams}", _ngrams_sql(_SPAN_W))
+
+
+@query("pipeline_duplicate_spans", oracle=_DUP_SPANS_SQL)
+def pipeline_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication signal — the precursor to
+    substring-granular dedup (Lee et al. 2021, arXiv:2107.06499: removing
+    repeated spans, not just repeated documents, measurably improves LMs).
+    Every {W}-token span position is checked against the corpus-wide span
+    index; the output is each document's span count, how many of its span
+    positions also occur in ANOTHER document, and the duplicated
+    fraction — the per-doc number a span-removal pass keys on.
+
+    Plan: map-side n-gram explode → one distinct-doc count per span →
+    join back → per-doc aggregate. At 100 TB the span index is the big
+    relation: group on a 16-byte span hash instead of the string (exact
+    modulo the documented collision bound — here the string keys keep
+    the DuckDB oracle bit-exact), cap hot spans' postings with the same
+    df-cap discipline as dedup_ngram_jaccard (a boilerplate span shared
+    by millions of docs is precisely the skew driver), and the join is
+    co-partitioned on the span key."""
+    d = _t(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(_ngrams(tokens_expr(F.col("text")), _SPAN_W)).alias("g"),
+    )
+    nd = g.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        g.join(nd, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("nd") >= 2).cast("long")).alias("dup_spans"),
+        )
+        .select(
+            "doc_id", "n_spans", "dup_spans",
+            (F.col("dup_spans") * 1.0 / F.col("n_spans")).alias("dup_frac"),
+        )
+    )
+
+
+# --- PII scrubbing -------------------------------------------------------------
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\d{3}-\d{3}-\d{4}"
+_PII_IP = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+
+# The synthetic corpus contains no PII, so the query plants deterministic
+# PII derived from doc_id (both engines build the identical string) — the
+# scrub then has real work and the oracle match is non-vacuous.
+_PII_RAW_SQL = (
+    "text"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' reach user' || CAST(doc_id AS STRING)"
+    " || '@example.com' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call 555-123-'"
+    " || lpad(CAST(doc_id % 10000 AS STRING), 4, '0') ELSE '' END"
+    " || CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.'"
+    " || CAST(doc_id % 256 AS STRING) || '.'"
+    " || CAST((doc_id * 7) % 256 AS STRING) ELSE '' END"
+)
+
+_PII_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, {_PII_RAW_SQL} AS raw FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, raw,
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(raw, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+        '{_PII_PHONE}', '[PHONE]', 'g'),
+      '{_PII_IP}', '[IP]', 'g') AS clean
+  FROM raw
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(raw, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(raw, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(raw, '{_PII_IP}')) AS BIGINT) AS n_ips,
+  CAST(len(regexp_extract_all(clean, '{_PII_EMAIL}'))
+     + len(regexp_extract_all(clean, '{_PII_PHONE}'))
+     + len(regexp_extract_all(clean, '{_PII_IP}')) AS BIGINT) AS n_residual,
+  md5(clean) AS clean_md5
+FROM scrubbed
+"""
+
+
+@query("pipeline_pii_scrub", oracle=_PII_SQL)
+def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass every released corpus runs:
+    emails, phone numbers, and IPv4 addresses are counted and replaced
+    with typed placeholders; ``n_residual`` re-scans the SCRUBBED text
+    with the same detectors (must be 0 — the self-audit that catches a
+    replacement order or pattern bug), and ``clean_md5`` lets the oracle
+    assert the redacted text byte-for-byte. Detection and redaction are
+    pure regexp column expressions — map-only, fuses into the scan, no
+    shuffle at any scale. Patterns avoid lookaround so Java (Spark) and
+    RE2 (DuckDB) agree; the synthetic PII is planted deterministically
+    from doc_id because the testdata contains none (docstring constant
+    _PII_RAW_SQL; both engines build identical strings)."""
+    d = _t(spark, sf_dir, "documents")
+    raw = d.select("doc_id", F.expr(_PII_RAW_SQL).alias("raw"))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+    scrubbed = raw.select("doc_id", "raw", clean.alias("clean"))
+    residual = (
+        F.regexp_count(F.col("clean"), F.lit(_PII_EMAIL))
+        + F.regexp_count(F.col("clean"), F.lit(_PII_PHONE))
+        + F.regexp_count(F.col("clean"), F.lit(_PII_IP))
+    )
+    return scrubbed.select(
+        "doc_id",
+        F.regexp_count(F.col("raw"), F.lit(_PII_EMAIL)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_PHONE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("raw"), F.lit(_PII_IP)).cast("long").alias("n_ips"),
+        residual.cast("long").alias("n_residual"),
+        F.md5(F.col("clean")).alias("clean_md5"),
+    )
+
+
 # --- streaming corpus ingest: the admit step as a pure plan -------------------
 
 _CORPUS_ADMIT_SQL = f"""
