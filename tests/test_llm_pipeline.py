@@ -273,3 +273,44 @@ def test_duplicate_spans_bounds_and_saturation(spark, sf_smoke):
     # the 31-word synthetic vocabulary makes cross-doc span duplication
     # pervasive — if nothing is duplicated the operator is vacuous
     assert any(r.dup_spans > 0 for r in rows)
+
+
+def test_pii_scrub_zero_residual_hypothesis(spark):
+    """Property: on ARBITRARY text, scrubbing then re-scanning with the
+    same detectors finds nothing — replacement can never manufacture or
+    leave a detectable match (e.g. via placeholder/leftover splicing
+    like '[EMAIL]@host.com'). Alphabet is adversarial: @, dots, dashes,
+    digits, brackets, and letters."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from vat_etl_spark.queries.llm_pipeline import (
+        _PII_EMAIL,
+        _PII_IP,
+        _PII_PHONE,
+        scrub_pii,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="abcEMAIL@.-0123456789[] +%_", max_size=40),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def check(texts):
+        df = spark.createDataFrame([(t,) for t in texts], "raw string")
+        residual = (
+            F.regexp_count(F.col("clean"), F.lit(_PII_EMAIL))
+            + F.regexp_count(F.col("clean"), F.lit(_PII_PHONE))
+            + F.regexp_count(F.col("clean"), F.lit(_PII_IP))
+        )
+        rows = (
+            df.select(scrub_pii(F.col("raw")).alias("clean"))
+            .select(residual.alias("r"))
+            .collect()
+        )
+        assert all(r.r == 0 for r in rows), texts
+
+    check()

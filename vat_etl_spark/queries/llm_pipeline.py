@@ -888,6 +888,22 @@ FROM scrubbed
 """
 
 
+def scrub_pii(col):
+    """Redact emails → phones → IPv4s (that order — see the query
+    docstring) as a pure column expression; shared by the registered
+    query and the hypothesis fuzz test that pins the zero-residual
+    property on arbitrary text."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _PII_EMAIL, "[EMAIL]"),
+            _PII_PHONE,
+            "[PHONE]",
+        ),
+        _PII_IP,
+        "[IP]",
+    )
+
+
 @query("pipeline_pii_scrub", oracle=_PII_SQL)
 def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing — the redaction pass every released corpus runs:
@@ -903,16 +919,7 @@ def pipeline_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     _PII_RAW_SQL; both engines build identical strings)."""
     d = _t(spark, sf_dir, "documents")
     raw = d.select("doc_id", F.expr(_PII_RAW_SQL).alias("raw"))
-    clean = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("raw"), _PII_EMAIL, "[EMAIL]"),
-            _PII_PHONE,
-            "[PHONE]",
-        ),
-        _PII_IP,
-        "[IP]",
-    )
-    scrubbed = raw.select("doc_id", "raw", clean.alias("clean"))
+    scrubbed = raw.select("doc_id", "raw", scrub_pii(F.col("raw")).alias("clean"))
     residual = (
         F.regexp_count(F.col("clean"), F.lit(_PII_EMAIL))
         + F.regexp_count(F.col("clean"), F.lit(_PII_PHONE))
