@@ -135,6 +135,9 @@ def find_regressions(
     degrades to no gate rather than an error."""
     import glob
 
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    cur_sf = float(m.group(1)) if m else -1.0
     here = os.path.dirname(os.path.abspath(__file__))
     best_prior: dict[str, float] = {}
     for path in sorted(glob.glob(os.path.join(here, "artifacts", "BENCH_r*.json"))):
@@ -142,6 +145,11 @@ def find_regressions(
             with open(path) as f:
                 prior = json.load(f).get("parsed") or {}
         except (OSError, json.JSONDecodeError):
+            continue
+        # priors from a different scale factor are not comparable: queries
+        # scale non-uniformly with data volume, so the median-drift
+        # normalization cannot absorb an sf mismatch
+        if prior.get("sf") != cur_sf:
             continue
         for name, sec in (prior.get("queries") or {}).items():
             if isinstance(sec, (int, float)) and sec > 0:

@@ -174,3 +174,30 @@ def test_ivf_recall_against_exact_ground_truth(spark, sf_smoke):
     # probing must actually shrink the pool vs scoring everything
     # (5 queries x 500 vectors = 2500 exhaustive; nprobe=3/8 ≈ 37%)
     assert row.n_candidates < 0.6 * 5 * 500
+
+
+def test_phonetic_blocking_catches_shifted_word_pairs(spark):
+    """A deleted 1-letter word shifts every surviving word's position:
+    'a red gear' vs 'red gear' is edit distance 2 but shares NO
+    same-position soundex block — the ±1 fan must catch it (and plain
+    drift + identical names still work)."""
+    from vat_etl_spark.queries.dedup import phonetic_block_pairs
+
+    c = spark.createDataFrame(
+        [
+            (1, "a red gear"),
+            (2, "red gear"),      # 1-word deletion, dist 2 — shifted
+            (3, "red gearz"),     # in-place drift, dist 1
+            (4, "red gear"),      # exact duplicate of 2
+            (5, "blue widget"),   # unrelated
+        ],
+        "key long, name string",
+    )
+    pairs = {
+        (r.key_a, r.key_b): r.edit_dist
+        for r in phonetic_block_pairs(c).collect()
+    }
+    assert pairs.get((1, 2)) == 2, pairs   # the shifted-position case
+    assert pairs.get((2, 3)) == 1, pairs
+    assert pairs.get((2, 4)) == 0, pairs
+    assert not any(5 in k for k in pairs), pairs

@@ -26,7 +26,13 @@ from vat_etl_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_path = sys.argv[1] if len(sys.argv) > 1 else "artifacts/SWEEP.json"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(repo, "artifacts", "SWEEP.json")
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     spark = get_spark("sweep")
     # one untimed smoke-scale pass of the first query so session-level
     # one-time costs (codegen pipeline, broadcast machinery, noop sink)

@@ -658,6 +658,14 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def phonetic_block_pairs(c: DataFrame) -> DataFrame:
+    """The phonetic pair finder over any (key, name) relation — the body
+    of dedup_phonetic_blocking, factored so tests can feed constructed
+    vocabularies (e.g. the shifted-word case 'a red gear' vs 'red gear')
+    that the fixed testdata never exercises."""
+    return _phonetic_block_pairs_impl(c)
+
+
 @query("dedup_phonetic_blocking")  # rows-only: soundex has no DuckDB twin
 def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Phonetic entity resolution: part names blocked by the SOUNDEX code
@@ -676,19 +684,24 @@ def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs quadratically (measured 49 s at sf0.1).
 
     The key scheme is MULTI-PASS blocking — each name is indexed once per
-    word under a POSITIONED soundex key (position, soundex(word)). The
-    guarantee: an edit-distance-≤3 pair of multi-word names cannot delete
-    a whole word (that costs ≥4 edits with the space), so word positions
-    are stable, and any pair with at least one UNTOUCHED word shares that
-    word's block. A single fixed-position key measurably does not have
-    this property: the recall audit (dedup_phonetic_recall_eval) scored
-    the first-two-words pair key at 0.26 on sf0.01, because these names
-    routinely substitute one whole short word ("hot gear" → "red gear")
-    and the combined code changes with it — the positioned key on the
-    surviving word is what catches those. (The r4 two-word-key "49 s →
-    11 s speedup" was therefore partly bought with silent recall loss;
-    the honest cost of the recovered pairs is measured in SCALE.md.)
-    Pairs with EVERY word edited can still evade — the audited residual.
+    word under a POSITIONED soundex key (position, soundex(word)), and
+    ONE side of the self-join additionally fans each word out to the ±1
+    neighbor positions. The guarantee: within a ≤3-edit budget at most
+    one whole word can be deleted or inserted (a 1-2 letter word plus
+    its space costs 2-3 edits; two such indels exceed the budget), so
+    surviving words shift position by at most 1 — the fanned side's
+    neighbor keys cover the shift, and any pair with at least one
+    surviving word shares a block. A single fixed-position key measurably
+    does not have this property: the recall audit
+    (dedup_phonetic_recall_eval) scored the first-two-words pair key at
+    0.26 on sf0.01, because these names routinely substitute one whole
+    short word ("hot gear" → "red gear") and the combined code changes
+    with it — the positioned key on the surviving word is what catches
+    those. (The r4 two-word-key "49 s → 11 s speedup" was therefore
+    partly bought with silent recall loss; the honest cost of the
+    recovered pairs is measured in SCALE.md.) Pairs where every
+    surviving word's soundex also drifted can still evade — the audited
+    residual, pinned ≥ 0.95 in tests.
 
     Execution is CLASS-BASED: all fuzzy work happens between DISTINCT
     name values (blocked self-join + banded levenshtein over the name
@@ -708,16 +721,36 @@ def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _t(spark, sf_dir, "part").select(
         F.col("p_partkey").alias("key"), F.col("p_name").alias("name")
     )
+    return _phonetic_block_pairs_impl(c)
+
+
+def _phonetic_block_pairs_impl(c: DataFrame) -> DataFrame:
     classes = c.select("name").distinct()
     words = F.split(F.col("name"), " ")
     codes = F.transform(
         words,
         lambda w, i: F.concat_ws("-", i.cast("string"), F.soundex(w)),
     )
-    keyed = classes.select("name", F.explode(codes).alias("code"))
-    a = keyed.select(F.col("name").alias("name_a"), "code")
-    b = keyed.select(
-        F.col("name").alias("name_b"), F.col("code").alias("code_b")
+    # a-side fans each word to positions i-1, i, i+1 (covers the ≤1
+    # position shift a single short-word indel causes); b-side stays
+    # single-keyed so the fan-out multiplies candidates by ~3, not ~9 —
+    # the pair (x, y) collides whenever positions align within 1,
+    # regardless of which name sorts first
+    fanned = F.flatten(
+        F.transform(
+            words,
+            lambda w, i: F.array(
+                F.concat_ws("-", (i - 1).cast("string"), F.soundex(w)),
+                F.concat_ws("-", i.cast("string"), F.soundex(w)),
+                F.concat_ws("-", (i + 1).cast("string"), F.soundex(w)),
+            ),
+        )
+    )
+    a = classes.select(
+        F.col("name").alias("name_a"), F.explode(fanned).alias("code")
+    )
+    b = classes.select(
+        F.col("name").alias("name_b"), F.explode(codes).alias("code_b")
     )
     cand = (
         a.join(
@@ -728,7 +761,7 @@ def dedup_phonetic_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.length("name_a") - F.length("name_b")) <= 3
             ),
         )
-        # a true pair can collide in one block per word — verify it ONCE,
+        # a true pair can collide in several blocks — verify it ONCE,
         # under its deterministic minimal code
         .groupBy("name_a", "name_b")
         .agg(F.min("code").alias("code"))
@@ -849,28 +882,35 @@ def dedup_phonetic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "name_a", "name_b", (F.col("cnt_a") * F.col("cnt_b")).alias("w")
         )
+        # consumed by two actions (truth sum + hit join) — snapshot once,
+        # same discipline as dedup_lsh_recall_eval's audit inputs
+        .localCheckpoint(eager=True)
     )
     same_w = F.expr("sum(cnt * (cnt - 1) div 2)")
     n_truth_same = classes.agg(same_w).first()[0] or 0
     n_truth_cross = truth_cross.agg(F.sum("w")).first()[0] or 0
+    # the blocking output is consumed by multiple actions; snapshotting it
+    # whole would materialize the (output-bound, multi-million-row)
+    # expansion, which costs more than its cheap class-level plan — so
+    # collapse it to the vocab²-sized class-pair table in ONE pass and
+    # snapshot THAT (n_cand is the only other execution)
     out = QUERIES["dedup_phonetic_blocking"](spark, sf_dir)
     n_cand = out.count()
-    cand_cross = (
-        out.where(F.col("name_a") != F.col("name_b"))
-        .select(
+    pairs_cls = (
+        out.select(
             F.least("name_a", "name_b").alias("name_a"),
             F.greatest("name_a", "name_b").alias("name_b"),
         )
         .distinct()
+        .localCheckpoint(eager=True)
     )
+    cand_cross = pairs_cls.where(F.col("name_a") != F.col("name_b"))
     hits_cross = (
         truth_cross.join(cand_cross, ["name_a", "name_b"]).agg(F.sum("w")).first()[0]
         or 0
     )
-    cand_same = (
-        out.where(F.col("name_a") == F.col("name_b"))
-        .select(F.col("name_a").alias("name"))
-        .distinct()
+    cand_same = pairs_cls.where(F.col("name_a") == F.col("name_b")).select(
+        F.col("name_a").alias("name")
     )
     hits_same = classes.join(cand_same, "name").agg(same_w).first()[0] or 0
     n_truth = int(n_truth_cross + n_truth_same)

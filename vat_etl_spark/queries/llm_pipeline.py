@@ -673,22 +673,25 @@ def build_corpus(
     observed.write.mode("overwrite").partitionBy("split", "shard").parquet(
         f"{out_dir}/shards"
     )
-    m = obs.get
+    # observed sums over ZERO rows are null (only count is 0) — a corpus
+    # where nothing passes the gate must report zeros, not crash
+    m = {k: int(v or 0) for k, v in obs.get.items()}
     card = QUERIES["pipeline_dataset_card"](spark, sf_dir)
     card.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/dataset_card")
+    keys = ("docs_written", "train_docs", "val_docs", "test_docs", "chars_written")
     spark.createDataFrame(
-        [tuple(m[k] for k in ("docs_written", "train_docs", "val_docs", "test_docs", "chars_written"))],
+        [tuple(m[k] for k in keys)],
         "docs_written long, train_docs long, val_docs long, test_docs long, chars_written long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/build_metrics")
     written = spark.read.parquet(f"{out_dir}/shards")
     return {
-        "docs_written": int(m["docs_written"]),
+        "docs_written": m["docs_written"],
         "splits": written.select("split").distinct().count(),
         "shards": written.select("split", "shard").distinct().count(),
-        "train_docs": int(m["train_docs"]),
-        "val_docs": int(m["val_docs"]),
-        "test_docs": int(m["test_docs"]),
-        "chars_written": int(m["chars_written"]),
+        "train_docs": m["train_docs"],
+        "val_docs": m["val_docs"],
+        "test_docs": m["test_docs"],
+        "chars_written": m["chars_written"],
     }
 
 
