@@ -314,3 +314,123 @@ def test_pii_scrub_zero_residual_hypothesis(spark):
         assert all(r.r == 0 for r in rows), texts
 
     check()
+
+
+def test_temperature_mix_upsamples_low_resource(spark, sf_smoke):
+    # alpha=0.5 temperature sampling: the head language anchors at exactly
+    # the 500-per-mille base rate, every smaller language is up-sampled
+    # (rate >= head's), and rates never exceed the 1000 cap
+    rows = QUERIES["pipeline_temperature_mix"](spark, sf_smoke).collect()
+    assert len(rows) == 5
+    head = max(rows, key=lambda r: r.n_tokens)
+    assert head.rate_per_mille == 500
+    for r in rows:
+        assert 500 <= r.rate_per_mille <= 1000
+        # monotone: fewer tokens -> rate at least as high
+        for s in rows:
+            if r.n_tokens <= s.n_tokens:
+                assert r.rate_per_mille >= s.rate_per_mille
+        assert r.n_kept <= r.n_docs
+
+
+def test_global_shuffle_positions_contiguous_and_deterministic(spark, sf_smoke):
+    df = QUERIES["pipeline_global_shuffle"](spark, sf_smoke)
+    rows = df.collect()
+    # every doc appears exactly once
+    assert len({r.doc_id for r in rows}) == len(rows)
+    # per-shard positions are 1..n with no gaps
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, ps in by_shard.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+    # a second run is bit-identical (pure function of doc_id)
+    again = {(r.doc_id, r.shard, r.pos) for r in QUERIES["pipeline_global_shuffle"](spark, sf_smoke).collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+
+
+def test_epoch_upsample_copy_counts_exact(spark, sf_smoke):
+    rows = QUERIES["pipeline_epoch_upsample"](spark, sf_smoke).collect()
+    # per-doc: copy_ids are exactly 1..n_copies
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        n = rs[0].n_copies
+        assert sorted(r.copy_id for r in rs) == list(range(1, n + 1)), doc_id
+        # fractional epochs: floor(w) <= n_copies <= ceil(w)
+        epm = rs[0].epochs_per_mille
+        assert epm // 1000 <= n <= epm // 1000 + (1 if epm % 1000 else 0)
+    # expected-rate property per weight class: total copies equals
+    # sum(floor) + #(bucket < frac) -- i.e. the deterministic coin hits
+    # the fractional epoch target exactly, not just in expectation
+    for epm in (2500, 1500, 1000):
+        docs = [rs for rs in by_doc.values() if rs[0].epochs_per_mille == epm]
+        if not docs:
+            continue
+        total = sum(len(rs) for rs in docs)
+        base = (epm // 1000) * len(docs)
+        extra = sum(
+            1 for rs in docs
+            if (rs[0].doc_id * 2654435761) % 1000 < epm % 1000
+        )
+        assert total == base + extra
+
+
+def test_bigram_fluency_matches_bruteforce(spark, tmp_path):
+    import collections
+    texts = {
+        0: "the cat sat on the mat",
+        1: "the cat ran",
+        2: "a dog sat on a log",
+        3: "the the the",
+        4: "single",  # no bigrams -> excluded from output
+    }
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    got = {
+        r.doc_id: (r.n_bigrams, r.fluency_sum, r.fluency_mean)
+        for r in QUERIES["text_bigram_fluency"](spark, str(tmp_path / "docs")).collect()
+    }
+    # brute force
+    bis: dict[int, list[tuple[str, str]]] = {}
+    for i, t in texts.items():
+        w = t.split()
+        bis[i] = [(w[j], w[j + 1]) for j in range(len(w) - 1)]
+    c2 = collections.Counter(b for lst in bis.values() for b in lst)
+    c1 = collections.Counter(b[0] for lst in bis.values() for b in lst)
+    for i, lst in bis.items():
+        if not lst:
+            assert i not in got
+            continue
+        pts = [(1000000 * c2[b]) // c1[b[0]] for b in lst]
+        assert got[i] == (len(lst), sum(pts), sum(pts) // len(lst)), i
+
+
+def test_semantic_dedup_survivors_are_pairwise_distant(spark, sf_smoke):
+    from vat_etl_spark.queries.dedup import _N_SEM_CENTROIDS, _SEM_TAU, cosine_expr
+    from vat_etl_spark.sources.catalog import read_table
+
+    surv = QUERIES["dedup_semantic_clustered"](spark, sf_smoke)
+    rows = surv.collect()
+    assert len({r.vec_id for r in rows}) == len(rows)
+    assert all(0 <= r.cluster_id < _N_SEM_CENTROIDS for r in rows)
+    # no two SURVIVORS in the same cluster may sit within tau: join back to
+    # embeddings and check all intra-cluster survivor pairs
+    e = read_table(spark, sf_smoke, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("emb")
+    )
+    s = surv.join(e, "vec_id")
+    a = s.select(F.col("cluster_id"), F.col("vec_id").alias("va"), F.col("emb").alias("ea"))
+    b = s.select(F.col("cluster_id"), F.col("vec_id").alias("vb"), F.col("emb").alias("eb"))
+    close = (
+        a.join(b, "cluster_id")
+        .filter(F.col("va") < F.col("vb"))
+        .filter(cosine_expr(F.col("ea"), F.col("eb")) >= _SEM_TAU)
+        .count()
+    )
+    assert close == 0

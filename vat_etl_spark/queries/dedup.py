@@ -13,7 +13,7 @@ fits an executor.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from vat_etl_spark.queries import QUERIES, query
@@ -960,4 +960,94 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ],
         "clickers long, purchasers long, union_est long, intersection_est long",
+    )
+
+
+# --- semantic dedup via centroid clustering (SemDeDup) ------------------------
+
+_N_SEM_CENTROIDS = 16
+_SEM_TAU = 0.3
+
+_SEMDEDUP_SQL = f"""
+WITH c AS (
+  SELECT vec_id AS cid, cast(embedding AS DOUBLE[]) AS cemb
+  FROM embeddings WHERE vec_id < {_N_SEM_CENTROIDS}
+),
+assign AS (
+  SELECT e.vec_id, c.cid, cast(e.embedding AS DOUBLE[]) AS emb,
+         list_cosine_similarity(cast(e.embedding AS DOUBLE[]), c.cemb) AS cos
+  FROM embeddings e, c
+),
+best AS (
+  SELECT vec_id, cid, emb,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cid) AS rn
+  FROM assign
+),
+member AS (SELECT vec_id, cid, emb FROM best WHERE rn = 1),
+dropped AS (
+  SELECT DISTINCT b.vec_id
+  FROM member a JOIN member b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.emb, b.emb) >= {_SEM_TAU}
+)
+SELECT m.vec_id, m.cid AS cluster_id
+FROM member m
+WHERE m.vec_id NOT IN (SELECT vec_id FROM dropped)
+"""
+
+
+@query("dedup_semantic_clustered", oracle=_SEMDEDUP_SQL)
+def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication that first ASSIGNS every embedding to its nearest
+    centroid and only then compares pairs WITHIN a cluster — turning the
+    all-pairs O(N²) cosine scan into O(N·K + Σ|cluster|²). Centroids here
+    are the first K=16 vectors (deterministic, so the oracle agrees);
+    production uses k-means centroids (``kmeans_lloyd``) with K scaling
+    ∝ N so the expected cluster size — and per-task pair work — stays
+    CONSTANT as the corpus grows. A member is dropped when any
+    smaller-id member of its cluster sits within cosine ≥ τ (the
+    smallest-id-wins survivor rule every dedup family in this repo
+    uses); survivors are returned with their cluster.
+
+    Plan: the K-row centroid table broadcasts; assignment is a map-side
+    cross join + per-vector top-1 window (key = vec_id, high
+    cardinality); the intra-cluster pair join is keyed on cid — skewed
+    clusters at scale are split by AQE, and K∝N keeps them bounded by
+    design. Cosine is computed by the same fold probed bit-identical to
+    DuckDB's list_cosine_similarity (cosine_expr above)."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("emb")
+    )
+    cents = e.filter(F.col("vec_id") < _N_SEM_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("emb").alias("cemb")
+    )
+    assign = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", "emb", cosine_expr(F.col("emb"), F.col("cemb")).alias("cos")
+    )
+    w = W.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    member = (
+        assign.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "emb")
+    )
+    a = member.select(
+        F.col("cid"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("emb_a"),
+    )
+    b = member.select(
+        F.col("cid"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("emb").alias("emb_b"),
+    )
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine_expr(F.col("emb_a"), F.col("emb_b")) >= _SEM_TAU)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+    )
+    return member.join(dropped, "vec_id", "left_anti").select(
+        "vec_id", F.col("cid").alias("cluster_id")
     )

@@ -1050,3 +1050,275 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         first_in_batch.join(existing, "content_key", "left_anti")
         .select("doc_id", "lang", "source", "content_key")
     )
+
+
+# --- temperature-scaled language sampling -------------------------------------
+
+_TEMP_MIX_SQL = f"""
+WITH feat AS (
+  SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens,
+         (doc_id * 2654435761) % 1000 AS bucket
+  FROM documents
+),
+stats AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+  FROM feat GROUP BY lang
+),
+head AS (SELECT CAST(max(lang_tokens) AS BIGINT) AS head_tokens FROM stats),
+rates AS (
+  SELECT lang, n_docs, lang_tokens,
+         least(1000, CAST(floor(500.0 * sqrt(CAST(head_tokens AS DOUBLE)
+                                             / CAST(lang_tokens AS DOUBLE)))
+                          AS BIGINT)) AS rate_per_mille
+  FROM stats, head
+)
+SELECT f.lang, r.n_docs, r.lang_tokens AS n_tokens, r.rate_per_mille,
+       CAST(sum(CASE WHEN f.bucket < r.rate_per_mille THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN f.bucket < r.rate_per_mille THEN f.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM feat f JOIN rates r USING (lang)
+GROUP BY f.lang, r.n_docs, r.lang_tokens, r.rate_per_mille
+"""
+
+
+@query("pipeline_temperature_mix", oracle=_TEMP_MIX_SQL)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language sampling (the multilingual-corpus
+    balancing rule of Conneau & Lample 2019 / mT5, arXiv:1910.10683 §3.1,
+    at alpha = 0.5): each language's keep-rate is proportional to
+    ``n_l^(alpha-1) = 1 / sqrt(n_l)``, so low-resource languages are
+    up-sampled toward uniform while the head language anchors the scale
+    at a 500 per-mille base rate. Unlike ``pipeline_domain_mix`` (fixed
+    hand-set weights) the rates here are DERIVED FROM THE DATA by a tiny
+    per-language token aggregate.
+
+    Engine-exactness: alpha = 0.5 is deliberate — the rate is
+    ``sqrt(head/n_l)`` over two exact integers, and IEEE-754 division and
+    sqrt are correctly rounded, so Spark and the oracle floor the SAME
+    double (a general ``pow(x, 0.3)`` or a normalizing sum of doubles
+    would be accumulation-order-dependent and hash-flake). Selection is
+    the same deterministic Knuth-hash per-mille coin as the other
+    samplers. Scale: the stats aggregate is |langs| rows, the rate table
+    joins back by broadcast, the keep predicate is map-side — at 100 TB
+    the only corpus-sized shuffle is the final per-language report."""
+    d = _t(spark, sf_dir, "documents")
+    feat = d.select(
+        "doc_id", "lang",
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+        ((F.col("doc_id") * 2654435761) % 1000).alias("bucket"),
+    )
+    stats = feat.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("lang_tokens"),
+    )
+    head = stats.agg(F.max("lang_tokens").alias("head_tokens"))
+    rates = stats.crossJoin(F.broadcast(head)).select(
+        "lang", "n_docs", "lang_tokens",
+        F.least(
+            F.lit(1000),
+            F.floor(
+                500.0
+                * F.sqrt(
+                    F.col("head_tokens").cast("double")
+                    / F.col("lang_tokens").cast("double")
+                )
+            ).cast("long"),
+        ).alias("rate_per_mille"),
+    )
+    kept = F.col("bucket") < F.col("rate_per_mille")
+    return (
+        feat.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", F.col("lang_tokens").alias("n_tokens"), "rate_per_mille")
+        .agg(
+            F.sum(kept.cast("long")).alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0)).alias("tokens_kept"),
+        )
+    )
+
+
+# --- deterministic global shuffle into training shards ------------------------
+
+_N_SHUFFLE_SHARDS = 16
+
+_GLOBAL_SHUFFLE_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens,
+         (doc_id * 2654435761) % 2147483647 AS h
+  FROM documents
+),
+sharded AS (
+  SELECT doc_id, lang, n_tokens, h, h % {_N_SHUFFLE_SHARDS} AS shard
+  FROM hashed
+)
+SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos
+FROM sharded
+"""
+
+
+@query("pipeline_global_shuffle", oracle=_GLOBAL_SHUFFLE_SQL)
+def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle of the corpus into training shards —
+    the write-side layout step that randomizes document order before
+    sequence packing so a trainer streaming shard files sees an unbiased
+    sample (corpora arrive sorted by crawl/source, which skews early
+    training). The 'random' order is a pure function of doc_id (Knuth
+    multiplicative hash), so the shuffle is reproducible run-to-run and
+    engine-to-engine — no rand(), no seed files.
+
+    Scale shape: this is ONE hash-partition exchange (shard = h mod N)
+    followed by a per-shard local sort — never a global single-partition
+    window. Shard count is a free parameter chosen so each shard is one
+    task-sized output file (~256 MB): at 100 TB that is ~400k shards and
+    per-task work stays CONSTANT as the corpus grows; the 16 here is
+    sized to the test corpus. Returned doc-level so the correctness gate
+    hash-pins the complete (shard, pos) assignment."""
+    d = _t(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", "lang",
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+        ((F.col("doc_id") * 2654435761) % 2147483647).alias("h"),
+    ).withColumn("shard", F.col("h") % _N_SHUFFLE_SHARDS)
+    w = W.partitionBy("shard").orderBy("h", "doc_id")
+    return hashed.select(
+        "doc_id", "lang",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("shard").cast("long").alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+# --- epoch-weighted source upsampling -----------------------------------------
+
+_EPOCH_SQL = f"""
+WITH keyed AS (
+  SELECT doc_id, lang, source,
+         CAST(substr(source, 4) AS INTEGER) AS src_num,
+         (doc_id * 2654435761) % 1000 AS bucket,
+         {_NTOK_SQL} AS n_tokens
+  FROM documents
+),
+weighted AS (
+  SELECT *,
+         CASE src_num % 3 WHEN 0 THEN 2500 WHEN 1 THEN 1500 ELSE 1000 END
+           AS epochs_per_mille
+  FROM keyed
+),
+copies AS (
+  SELECT doc_id, lang, source, n_tokens, epochs_per_mille,
+         epochs_per_mille // 1000
+           + CASE WHEN bucket < epochs_per_mille % 1000 THEN 1 ELSE 0 END
+           AS n_copies
+  FROM weighted
+)
+SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(epochs_per_mille AS BIGINT) AS epochs_per_mille,
+       CAST(n_copies AS BIGINT) AS n_copies,
+       CAST(copy_id AS BIGINT) AS copy_id
+FROM copies, UNNEST(generate_series(1, n_copies)) AS s(copy_id)
+"""
+
+
+@query("pipeline_epoch_upsample", oracle=_EPOCH_SQL)
+def pipeline_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted source upsampling with FRACTIONAL epochs — the data
+    recipe pattern of Llama/GPT-3 style mixtures (Touvron et al. 2023,
+    arXiv:2302.13971 Table 1: Wikipedia 2.45 epochs, CommonCrawl 0.64):
+    every document of a source with weight 2.5 appears floor(2.5) = 2
+    times, and a deterministic 500-per-mille hash coin grants the third
+    copy, so the EXPECTED epoch count is exactly the fractional weight
+    while each individual decision is a pure function of doc_id.
+    Source-class weights here cycle {{2.5, 1.5, 1.0}} over the synthetic
+    src0..src19; production weights are a parameter.
+
+    Scale: the copy expansion is a map-side explode of sequence(1, n) —
+    no shuffle, no join; output size is sum of weights × corpus, which is
+    the intended training-set size. Returned doc-level (one row per
+    physical copy) so the gate pins the exact expansion."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id", "lang", "source",
+        F.substring("source", 4, 10).cast("int").alias("src_num"),
+        ((F.col("doc_id") * 2654435761) % 1000).alias("bucket"),
+        F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
+    )
+    weighted = keyed.withColumn(
+        "epochs_per_mille",
+        F.when(F.col("src_num") % 3 == 0, 2500)
+        .when(F.col("src_num") % 3 == 1, 1500)
+        .otherwise(1000),
+    )
+    copies = weighted.withColumn(
+        "n_copies",
+        F.expr("epochs_per_mille div 1000")
+        + F.when(F.col("bucket") < F.col("epochs_per_mille") % 1000, 1).otherwise(0),
+    )
+    return copies.select(
+        "doc_id", "lang", "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("epochs_per_mille").cast("long").alias("epochs_per_mille"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+        F.explode(F.sequence(F.lit(1), F.col("n_copies"))).alias("copy_id"),
+    ).withColumn("copy_id", F.col("copy_id").cast("long"))
+
+
+# --- bigram-LM fluency scoring (log-free, integer-exact) ----------------------
+
+_BIGRAM_FLUENCY_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         array_to_string(list_slice(t, i, i + 1), ' ') AS g,
+         t[i] AS w1
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+),
+c2 AS (SELECT g, count(*) AS cg FROM bi GROUP BY g),
+c1 AS (SELECT w1, count(*) AS cw FROM bi GROUP BY w1),
+scored AS (
+  SELECT b.doc_id, (1000000 * c2.cg) // c1.cw AS pts
+  FROM bi b JOIN c2 USING (g) JOIN c1 USING (w1)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(pts) AS BIGINT) AS fluency_sum,
+       CAST(sum(pts) // count(*) AS BIGINT) AS fluency_mean
+FROM scored GROUP BY doc_id
+"""
+
+
+@query("text_bigram_fluency", oracle=_BIGRAM_FLUENCY_SQL)
+def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring — one modeling step past the unigram
+    rarity proxy (text_rarity_score): each bigram (w1, w2) scores the
+    integer-scaled conditional probability ``1e6 * c(w1,w2) div c(w1,·)``
+    (CCNet, Wenzek et al. 2019 arXiv:1911.00359, filters on 5-gram KenLM
+    perplexity; this is the bit-exact 2-gram stand-in — higher mean =
+    more predictable = more fluent under the corpus LM). Integer-only on
+    purpose: log-prob doubles would hash-flake across engines and
+    accumulation orders.
+
+    Scale: bigram counts and head counts are corpus-derived aggregates
+    joined back WITHOUT broadcast hints (a web-scale bigram table is
+    bigger than the vocab — the text_rarity_score OOM lesson applies
+    doubly); AQE broadcasts when small and skew-splits hot stopword heads
+    otherwise. Four keyed shuffles, all on token keys, none quadratic."""
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+    bi = toked.select(
+        "doc_id",
+        F.explode(_ngrams(F.col("t"), 2)).alias("g"),
+    ).withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
+    c2 = bi.groupBy("g").agg(F.count("*").alias("cg"))
+    c1 = bi.groupBy("w1").agg(F.count("*").alias("cw"))
+    scored = (
+        bi.join(c2, "g")
+        .join(c1, "w1")
+        .select("doc_id", F.expr("(1000000 * cg) div cw").alias("pts"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("pts").alias("fluency_sum"),
+        F.expr("sum(pts) div count(*)").alias("fluency_mean"),
+    )
