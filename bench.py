@@ -47,6 +47,10 @@ BENCH_QUERIES = [
     # explode + broadcast-join + agg over the text corpus — the heaviest
     # shape in the decontamination/dedup family.
     "pipeline_contamination_ngram",
+    # two corpus-derived count tables joined back to the exploded bigram
+    # stream with NO broadcast hints — exercises AQE's join-strategy and
+    # skew decisions, a shape nothing else in the list covers.
+    "text_bigram_fluency",
 ]
 
 

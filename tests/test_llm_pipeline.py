@@ -434,3 +434,73 @@ def test_semantic_dedup_survivors_are_pairwise_distant(spark, sf_smoke):
         .count()
     )
     assert close == 0
+
+
+def test_bpe_merges_match_pure_python(spark, sf_smoke):
+    """The iterative BPE trainer must reproduce a pure-Python BPE with the
+    same conventions (overlapping pair counts weighted by word frequency,
+    ties broken lexicographically, leftmost-first greedy fusion)."""
+    import collections
+    import re
+
+    import duckdb
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{sf_smoke}/documents.parquet'"
+        ).fetchall()
+    ]
+    vocab = collections.Counter(
+        w for t in texts for w in re.split(r"\s+", t.strip()) if w
+    )
+    syms = {w: [c for c in w] for w in vocab}
+
+    def merge(lst, a, b):
+        out = []
+        for x in lst:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    expected = []
+    for rank in range(1, 6):
+        counts = collections.Counter()
+        for w, lst in syms.items():
+            for i in range(len(lst) - 1):
+                counts[(lst[i], lst[i + 1])] += vocab[w]
+        if not counts:
+            break
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expected.append((rank, a, b, c))
+        syms = {w: merge(lst, a, b) for w, lst in syms.items()}
+
+    got = [
+        (r.rank, r.left, r.right, r.pair_count)
+        for r in QUERIES["text_bpe_merges"](spark, sf_smoke).collect()
+    ]
+    assert sorted(got) == expected
+
+
+def test_bpe_pair_counts_weighted_by_word_frequency(spark, sf_smoke):
+    # cross-check one pair against an independent token-stream count
+    rows = {r.pair: r.pair_count for r in QUERIES["text_bpe_pair_counts"](spark, sf_smoke).collect()}
+    import collections
+    import re
+
+    import duckdb
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{sf_smoke}/documents.parquet'"
+        ).fetchall()
+    ]
+    counts = collections.Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.strip()):
+            for i in range(len(w) - 1):
+                counts[w[i : i + 2]] += 1
+    assert rows == dict(counts)

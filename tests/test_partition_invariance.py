@@ -49,6 +49,11 @@ def test_pipeline_ops_invariant_to_shuffle_partitions(spark, sf_smoke):
                     "pipeline_cross_source_dedup",
                     "sample_fixed_per_group",
                     "corpus_ingest_admit_twin",
+                    "pipeline_temperature_mix",
+                    "pipeline_global_shuffle",
+                    "pipeline_epoch_upsample",
+                    "text_bigram_fluency",
+                    "dedup_semantic_clustered",
                 )
             }
         assert results["3"] == results["17"]

@@ -383,3 +383,39 @@ def test_rarity_score_has_no_forced_vocab_broadcast(spark, sf_smoke):
     df = QUERIES["text_rarity_score"](spark, sf_smoke)
     logical = df._jdf.queryExecution().analyzed().toString()
     assert "UnresolvedHint" not in logical and "ResolvedHint" not in logical
+
+
+def test_temperature_mix_broadcasts_rate_table(spark, sf_smoke):
+    # the |langs|-row rate table must broadcast; the corpus side must never
+    # be the build side of anything
+    assert has_broadcast_join(QUERIES["pipeline_temperature_mix"](spark, sf_smoke))
+
+
+def test_semantic_dedup_broadcasts_centroids(spark, sf_smoke):
+    assert has_broadcast_join(QUERIES["dedup_semantic_clustered"](spark, sf_smoke))
+
+
+def test_global_shuffle_single_exchange(spark, sf_smoke):
+    # one hash exchange into shards + the per-shard sort — no global
+    # single-partition window, no extra shuffle
+    from vat_etl_spark.plans import formatted_plan
+
+    df = QUERIES["pipeline_global_shuffle"](spark, sf_smoke)
+    assert shuffle_count(df) <= 1
+    assert "SinglePartition" not in formatted_plan(df)
+
+
+def test_epoch_upsample_is_map_only(spark, sf_smoke):
+    # explode of sequence(1, n_copies): zero exchanges
+    assert shuffle_count(QUERIES["pipeline_epoch_upsample"](spark, sf_smoke)) == 0
+
+
+def test_bigram_fluency_no_forced_broadcast(spark, sf_smoke):
+    # corpus-derived count tables must not carry a broadcast HINT (the
+    # text_rarity_score lesson): the analyzed plan may contain no
+    # ResolvedHint (probed: F.broadcast shows up there — e.g.
+    # pipeline_contamination_ngram's eval side); AQE is free to pick
+    # broadcast at runtime from measured sizes, which is exactly the point
+    df = QUERIES["text_bigram_fluency"](spark, sf_smoke)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed

@@ -142,6 +142,19 @@ _FIRST = [
     "agg_equidepth_histogram",
     "agg_argmax_bitwise",
     "agg_hll_intersection",
+    # --- round-5 registrations (no driver row yet; complete the round-6
+    # window together with the 24 above) ---
+    "pipeline_duplicate_spans",
+    "pipeline_pii_scrub",
+    "corpus_ingest_admit_twin",
+    "dedup_phonetic_recall_eval",
+    "pipeline_temperature_mix",
+    "pipeline_global_shuffle",
+    "pipeline_epoch_upsample",
+    "text_bigram_fluency",
+    "dedup_semantic_clustered",
+    "text_bpe_pair_counts",
+    "text_bpe_merges",
 ]
 
 

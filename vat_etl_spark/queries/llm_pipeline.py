@@ -1303,22 +1303,153 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined back WITHOUT broadcast hints (a web-scale bigram table is
     bigger than the vocab — the text_rarity_score OOM lesson applies
     doubly); AQE broadcasts when small and skew-splits hot stopword heads
-    otherwise. Four keyed shuffles, all on token keys, none quadratic."""
+    otherwise. The head counts are derived by RE-AGGREGATING the
+    distinct-bigram count table (w1 is a function of g, so grouping by
+    (g, w1) costs the same as by g, and summing cg per w1 over bigram
+    TYPES equals counting the raw stream per head) — the raw bigram
+    stream is scanned once for counting and once for scoring, never
+    three times, and both count tables attach through ONE stream-sized
+    join on g."""
     d = _t(spark, sf_dir, "documents")
     toked = d.select("doc_id", tokens_expr(F.col("text")).alias("t"))
     bi = toked.select(
         "doc_id",
         F.explode(_ngrams(F.col("t"), 2)).alias("g"),
-    ).withColumn("w1", F.split_part(F.col("g"), F.lit(" "), F.lit(1)))
-    c2 = bi.groupBy("g").agg(F.count("*").alias("cg"))
-    c1 = bi.groupBy("w1").agg(F.count("*").alias("cw"))
-    scored = (
-        bi.join(c2, "g")
-        .join(c1, "w1")
-        .select("doc_id", F.expr("(1000000 * cg) div cw").alias("pts"))
+    )
+    c2 = bi.groupBy(
+        "g", F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1")
+    ).agg(F.count("*").alias("cg"))
+    c1 = c2.groupBy("w1").agg(F.sum("cg").alias("cw"))
+    counts = c2.join(c1, "w1").select("g", "cg", "cw")
+    scored = bi.join(counts, "g").select(
+        "doc_id", F.expr("(1000000 * cg) div cw").alias("pts")
     )
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.sum("pts").alias("fluency_sum"),
         F.expr("sum(pts) div count(*)").alias("fluency_mean"),
+    )
+
+
+# --- BPE tokenizer training steps ---------------------------------------------
+
+_BPE_PAIRS_SQL = r"""
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+),
+vocab AS (SELECT w, count(*) AS cnt FROM toks GROUP BY w),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, cnt
+  FROM vocab, UNNEST(generate_series(1, length(w) - 1)) AS s(i)
+)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_count
+FROM pairs GROUP BY pair
+"""
+
+
+@query("text_bpe_pair_counts", oracle=_BPE_PAIRS_SQL)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training (Sennrich et al. 2016,
+    arXiv:1508.07909): adjacent-character-pair frequencies over the
+    corpus. Uses the classic word-frequency trick — pairs are expanded
+    over the VOCABULARY table weighted by word count, not over the raw
+    token stream, so the expansion input is |vocab| rows regardless of
+    corpus size. At 100 TB the only corpus-sized shuffle is the word
+    count; the pair aggregate's key space is bounded by charset², which
+    is dictionary-sized for any real alphabet."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    idx = F.sequence(F.lit(1), F.length("w") - 1)
+    pair_arr = F.when(
+        F.length("w") >= 2,
+        F.transform(idx, lambda i: F.substr(F.col("w"), i, F.lit(2))),
+    ).otherwise(F.array().cast("array<string>"))
+    pairs = vocab.select(F.explode(pair_arr).alias("pair"), "cnt")
+    return pairs.groupBy("pair").agg(F.sum("cnt").alias("pair_count"))
+
+
+def _merge_pair_expr(arr, a: str, b: str):
+    """Left-scan greedy merge of adjacent symbols (a, b) in a symbol array:
+    whenever the accumulator's last symbol is ``a`` and the next is ``b``,
+    fuse them into ``a+b``. A just-fused symbol can itself match ``a``
+    again only if a+b == a (impossible for non-empty b), mirroring the
+    leftmost-first convention of the Python reference in tests."""
+    empty = F.array().cast("array<string>")
+    return F.aggregate(
+        arr,
+        empty,
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, F.size(acc)) == a)
+            & (x == F.lit(b)),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(a + b))
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+@query("text_bpe_merges")  # iterative argmax loop: not single-SQL-expressible
+def text_bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> DataFrame:
+    """BPE tokenizer training, the real iterative loop: K times, count
+    adjacent symbol pairs over the weighted vocabulary, pick the most
+    frequent (ties broken lexicographically — deterministic), and fuse it
+    everywhere. Returns the learned merge table (rank, pair, count at
+    merge time) — the artifact a tokenizer ships.
+
+    Distribution contract (the kmeans_lloyd / graph_pagerank convention):
+    per-iteration state is the DISTRIBUTED symbolized-vocab DataFrame;
+    the only driver-side data is the argmax pair — ONE row per iteration
+    (model-sized, like a centroid set). The vocab is re-derived per
+    iteration from the persisted base rather than chaining K lambda
+    layers (lineage growth is the scale hazard; at production K~30k the
+    vocab table is checkpointed every few hundred merges). Verified
+    against a pure-Python BPE on the same corpus in
+    tests/test_llm_pipeline.py."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
+    # seed symbol arrays: one single-char symbol per character
+    sym = vocab.select(
+        F.filter(F.split(F.col("w"), ""), lambda s: s != "").alias("syms"),
+        "cnt",
+    ).persist()
+    sym.count()
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            idx = F.sequence(F.lit(1), F.size("syms") - 1)
+            pair_arr = F.when(
+                F.size("syms") >= 2,
+                F.transform(
+                    idx,
+                    lambda i: F.struct(
+                        F.element_at("syms", i).alias("a"),
+                        F.element_at("syms", i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+            top = (
+                sym.select(F.explode(pair_arr).alias("p"), "cnt")
+                .groupBy("p")
+                .agg(F.sum("cnt").alias("c"))
+                .orderBy(F.col("c").desc(), F.col("p.a"), F.col("p.b"))
+                .limit(1)
+                .collect()
+            )
+            if not top or top[0]["c"] <= 0:
+                break
+            a, b, c = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["c"])
+            merges.append((rank, a, b, c))
+            nxt = sym.select(
+                _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "cnt"
+            ).persist()
+            nxt.count()
+            sym.unpersist()
+            sym = nxt
+    finally:
+        sym.unpersist()
+    return spark.createDataFrame(
+        merges, "rank long, left string, right string, pair_count long"
     )
