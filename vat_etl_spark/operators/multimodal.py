@@ -383,3 +383,47 @@ def keyframe_select(
             )
 
     return mm.mapInPandas(batches, schema=KEYFRAMES_SCHEMA)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+PHASH_BITS = 56
+PHASH_BANDS = 8  # 8 bands x 7 bits; pigeonhole: hamming <= 7 => >= 1 band equal
+
+
+def perceptual_hash(mm: DataFrame) -> DataFrame:
+    """Block-average perceptual hash (the aHash recipe of classic image
+    near-dup, applied byte-domain): the payload is split into 56 equal
+    byte blocks, bit i is set when block i's mean byte value is >= the
+    whole payload's mean. Visually/structurally similar payloads flip few
+    bits, so near-duplicates sit at small Hamming distance — the property
+    banded LSH blocking exploits. Pure-integer, deterministic, Arrow
+    batches; 56 bits so the signature always fits a signed int64."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                n = len(b)
+                sig = 0
+                if n:
+                    total = sum(b)
+                    # integer-exact comparison: block_sum * n >= total * block_len
+                    for i in range(PHASH_BITS):
+                        lo = i * n // PHASH_BITS
+                        hi = (i + 1) * n // PHASH_BITS
+                        if hi > lo:
+                            bs = sum(b[lo:hi])
+                            if bs * n >= total * (hi - lo):
+                                sig |= 1 << i
+                out.append((doc_id, n, sig))
+            yield pd.DataFrame(out, columns=["doc_id", "n_bytes", "phash"])
+
+    return mm.mapInPandas(batches, schema=PHASH_SCHEMA)

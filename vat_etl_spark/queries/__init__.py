@@ -155,6 +155,8 @@ _FIRST = [
     "dedup_semantic_clustered",
     "text_bpe_pair_counts",
     "text_bpe_merges",
+    "pipeline_leakage_safe_split",
+    "multimodal_dedup_phash",
 ]
 
 
