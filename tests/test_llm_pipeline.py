@@ -372,7 +372,7 @@ def test_epoch_upsample_copy_counts_exact(spark, sf_smoke):
         base = (epm // 1000) * len(docs)
         extra = sum(
             1 for rs in docs
-            if (rs[0].doc_id * 2654435761) % 1000 < epm % 1000
+            if (rs[0].doc_id * 2246822519) % 1000 < epm % 1000
         )
         assert total == base + extra
 

@@ -1195,7 +1195,7 @@ _EPOCH_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, lang, source,
          CAST(substr(source, 4) AS INTEGER) AS src_num,
-         (doc_id * 2654435761) % 1000 AS bucket,
+         (doc_id * 2246822519) % 1000 AS bucket,
          {_NTOK_SQL} AS n_tokens
   FROM documents
 ),
@@ -1235,12 +1235,19 @@ def pipeline_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the copy expansion is a map-side explode of sequence(1, n) —
     no shuffle, no join; output size is sum of weights × corpus, which is
     the intended training-set size. Returned doc-level (one row per
-    physical copy) so the gate pins the exact expansion."""
+    physical copy) so the gate pins the exact expansion.
+
+    The coin is SALTED with its own multiplier (2246822519, a xxhash
+    prime) rather than the 2654435761 the other samplers use: these
+    operators compose (sample, then upsample), and identical coins would
+    perfectly correlate the decisions — every temperature-sampling
+    survivor would also win the extra-copy toss, silently turning a 2.5
+    epoch weight into 3.0 on the composed output."""
     d = _t(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id", "lang", "source",
         F.substring("source", 4, 10).cast("int").alias("src_num"),
-        ((F.col("doc_id") * 2654435761) % 1000).alias("bucket"),
+        ((F.col("doc_id") * 2246822519) % 1000).alias("bucket"),
         F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
     )
     weighted = keyed.withColumn(
@@ -1417,6 +1424,10 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> Data
     ).persist()
     sym.count()
     merges: list[tuple[int, str, str, int]] = []
+    # every currently-persisted frame, so a failure between nxt.persist()
+    # and the sym = nxt handover can't strand a cached frame for the rest
+    # of the session
+    cached = [sym]
     try:
         for rank in range(1, n_merges + 1):
             idx = F.sequence(F.lit(1), F.size("syms") - 1)
@@ -1445,11 +1456,14 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> Data
             nxt = sym.select(
                 _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "cnt"
             ).persist()
+            cached.append(nxt)
             nxt.count()
             sym.unpersist()
+            cached.remove(sym)
             sym = nxt
     finally:
-        sym.unpersist()
+        for df in cached:
+            df.unpersist()
     return spark.createDataFrame(
         merges, "rank long, left string, right string, pair_count long"
     )

@@ -192,8 +192,14 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     sigs = perceptual_hash(attach_payload(docs)).select("doc_id", "phash")
+    # carry the signature THROUGH the band explode so the band join yields
+    # sig_a/sig_b directly: re-deriving them via two extra joins back to
+    # sigs re-ran the corpus-sized mapInPandas byte pass up to 4x (only
+    # one of the four subtrees got exchange reuse — measured); this shape
+    # evaluates it twice and AQE typically reuses one of those
     bands = sigs.select(
         "doc_id",
+        "phash",
         F.explode(
             F.array(
                 *[
@@ -208,22 +214,19 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band"),
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band")
-    cands = (
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("sig_a"), "band"
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("sig_b"), "band"
+    )
+    return (
         a.join(b, "band")
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
-    )
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("phash").alias("sig_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("phash").alias("sig_b"))
-    return (
-        cands.join(sa, "doc_a")
-        .join(sb, "doc_b")
         .select(
             "doc_a", "doc_b",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= 3)
+        .distinct()
     )
