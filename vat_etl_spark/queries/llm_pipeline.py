@@ -632,7 +632,13 @@ def build_corpus(
     Returns the funnel counts (also persisted alongside the shards as the
     dataset card). Single content-key window + one write; everything else
     is map-side — the same plan at 100 TB with the md5 fingerprint as the
-    content key."""
+    content key.
+
+    Split-leakage note: the doc_id-hash split tag here is safe ONLY
+    because cross-source dedup runs first — each content key survives
+    exactly once, so no key can straddle splits. A build that relaxes or
+    samples the dedup stage must switch the tag to the content-key hash
+    (``pipeline_leakage_safe_split``) to keep that guarantee."""
     quality = QUERIES["pipeline_quality_gopher"](spark, sf_dir).select(
         "doc_id", "passes"
     )
