@@ -66,3 +66,18 @@ def test_embed_normalize_arrow_matches_numpy(spark, sf_smoke):
         n = float(norms[i])
         assert got[vid][0] == n
         assert got[vid][1] == float(mat[i, 0] / (n if n else 1.0))
+
+
+def test_pq_recall_beats_random_by_wide_margin(spark, sf_smoke):
+    """PQ with 16 centroids/subspace is expectedly coarse (quantization
+    error), but ADC ranking must still carry strong signal: mean
+    recall@10 >= 0.15 where random selection scores ~10/N (~0.02).
+    Measured 0.32 at sf0.01 — the bound leaves drift margin without
+    letting the path silently degenerate to noise."""
+    from vat_etl_spark.queries import QUERIES
+
+    rows = QUERIES["ann_pq_recall_eval"](spark, sf_smoke).collect()
+    assert len(rows) == 5
+    mean = sum(r.recall_at_10 for r in rows) / len(rows)
+    assert mean >= 0.15, [tuple(r) for r in rows]
+    assert all(r.n_truth == 10 for r in rows)

@@ -157,6 +157,8 @@ _FIRST = [
     "text_bpe_merges",
     "pipeline_leakage_safe_split",
     "multimodal_dedup_phash",
+    "ann_pq_encode",
+    "ann_pq_recall_eval",
 ]
 
 

@@ -457,3 +457,178 @@ def embed_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return em.mapInArrow(
         norm_batches, "vec_id long, l2_norm double, first_component_normed double"
     )
+
+
+# --- product quantization (PQ) -------------------------------------------------
+
+_PQ_M = 8          # subspaces
+_PQ_DIM = 8        # dims per subspace (64-dim embeddings)
+_PQ_K = 16         # centroids per subspace (vec_id < 16 subvectors)
+
+_PQ_ENCODE_SQL = f"""
+WITH cents AS (
+  SELECT vec_id AS cid, s,
+         list_slice(cast(embedding AS DOUBLE[]), s * {_PQ_DIM} + 1, s * {_PQ_DIM} + {_PQ_DIM}) AS csub
+  FROM embeddings, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
+  WHERE vec_id < {_PQ_K}
+),
+vecs AS (
+  SELECT vec_id, s,
+         list_slice(cast(embedding AS DOUBLE[]), s * {_PQ_DIM} + 1, s * {_PQ_DIM} + {_PQ_DIM}) AS vsub
+  FROM embeddings, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
+),
+scored AS (
+  SELECT v.vec_id, v.s, c.cid,
+         list_sum(list_transform(list_zip(v.vsub, c.csub),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM vecs v JOIN cents c USING (s)
+)
+SELECT vec_id, CAST(s AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS code FROM (
+  SELECT vec_id, s, cid,
+         row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, cid) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+def _subspaces(vec_col):
+    """Explode a 64-dim double array into (s, 8-dim subvector) rows."""
+    return F.explode(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(_PQ_M - 1)),
+            lambda s: F.struct(
+                s.alias("s"),
+                F.slice(vec_col, s * _PQ_DIM + 1, _PQ_DIM).alias("sub"),
+            ),
+        )
+    )
+
+
+def _l2sq(a, b):
+    """Squared L2 between two double arrays as the same left fold DuckDB's
+    list_sum(list_transform(list_zip(...))) evaluates — probed
+    bit-identical, like cosine_expr."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+@query("ann_pq_encode", oracle=_PQ_ENCODE_SQL)
+def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode step (Jégou et al. 2011, IEEE TPAMI
+    33(1) "Product quantization for nearest neighbor search"): each
+    64-dim vector is split into 8 subspaces of 8 dims and every subvector
+    is replaced by the id of its nearest subspace centroid — 8 small
+    codes instead of 64 floats (here 8x4 bits: a 16x compression; 256
+    centroids/subspace = the classic 8-byte code at production scale).
+    Codebooks are the first 16 vectors' subvectors so the oracle can
+    replay the exact math (production: per-subspace k-means, the
+    kmeans_lloyd convention). Output is INTEGER codes only, so the
+    cross-engine hash is immune to float formatting; the argmin
+    comparison uses the same left-fold squared-L2 both engines evaluate
+    bit-identically (probed, like cosine_expr).
+
+    Scale: codebooks are M*K rows (broadcast); the subspace explode is
+    map-side 8x; the only shuffle is the per-(vector, subspace) argmin
+    window, keyed on the high-cardinality vec_id."""
+    em = _t(spark, sf_dir, "embeddings")
+    cents = (
+        em.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("cid"), _dbl(F.col("embedding")).alias("cv"))
+        .select("cid", _subspaces(F.col("cv")).alias("sp"))
+        .select("cid", F.col("sp.s").alias("s"), F.col("sp.sub").alias("csub"))
+    )
+    vecs = (
+        em.select("vec_id", _dbl(F.col("embedding")).alias("ev"))
+        .select("vec_id", _subspaces(F.col("ev")).alias("sp"))
+        .select("vec_id", F.col("sp.s").alias("s"), F.col("sp.sub").alias("vsub"))
+    )
+    scored = vecs.join(F.broadcast(cents), "s").select(
+        "vec_id", "s", "cid", _l2sq(F.col("vsub"), F.col("csub")).alias("d2")
+    )
+    w = W.partitionBy("vec_id", "s").orderBy("d2", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("s").cast("long").alias("subspace"),
+            F.col("cid").cast("long").alias("code"),
+        )
+    )
+
+
+@query("ann_pq_recall_eval")  # rows-only: evaluates the engine's own PQ path
+def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 audit of PQ asymmetric-distance search against the exact
+    L2 ground truth (the protocol of ann_ivf_recall_eval /
+    dedup_lsh_recall_eval: recall is the audited quantity because its
+    loss is silent). Query-time ADC: each query precomputes a 8x16
+    lookup table of squared distances from ITS subvectors to every
+    subspace centroid (M*K rows per query — broadcast); a database
+    vector's approximate distance is the sum of 8 table lookups selected
+    by its codes — no float vector math against the corpus at all, which
+    is the entire point of PQ at 100 TB (codes are 16-64x smaller than
+    vectors, and the scan is integer-keyed joins + one sum). Output: one
+    row per query with recall@10.
+
+    tests/test_graph.py pins mean recall — PQ with 16 centroids per
+    subspace on this clustered corpus is expected imperfect (quantization
+    error) but must beat random by a wide margin."""
+    k = 10
+    em = _t(spark, sf_dir, "embeddings")
+    codes = QUERIES["ann_pq_encode"](spark, sf_dir)
+    queries = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), _dbl(F.col("embedding")).alias("qv")
+    )
+    cents = (
+        em.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("cid"), _dbl(F.col("embedding")).alias("cv"))
+        .select("cid", _subspaces(F.col("cv")).alias("sp"))
+        .select("cid", F.col("sp.s").alias("s"), F.col("sp.sub").alias("csub"))
+    )
+    qsub = queries.select(
+        "qid", _subspaces(F.col("qv")).alias("sp")
+    ).select("qid", F.col("sp.s").alias("s"), F.col("sp.sub").alias("qsub"))
+    lut = qsub.join(F.broadcast(cents), "s").select(
+        "qid", "s", F.col("cid").alias("code"),
+        _l2sq(F.col("qsub"), F.col("csub")).alias("d2q"),
+    )
+    adc = (
+        codes.withColumnRenamed("subspace", "s")
+        .join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d2q").alias("adc_dist"))
+    )
+    wk = W.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    approx = (
+        adc.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id")
+    )
+    ev = em.select(F.col("vec_id").alias("nid"), _dbl(F.col("embedding")).alias("ev"))
+    exact_scored = ev.join(F.broadcast(queries), F.col("nid") != F.col("qid")).select(
+        "qid", "nid", _l2sq(F.col("qv"), F.col("ev")).alias("d2")
+    )
+    we = W.partitionBy("qid").orderBy("d2", "nid")
+    truth = (
+        exact_scored.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("nid").alias("vec_id"))
+    )
+    hits = truth.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        truth.groupBy("qid")
+        .agg(F.count("*").alias("n_truth"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid", "n_truth",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.col("n_truth")).alias("recall_at_10"),
+        )
+    )
