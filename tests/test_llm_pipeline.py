@@ -548,3 +548,52 @@ def test_leakage_safe_split_keys_never_straddle_splits(spark, sf_smoke):
         .count()
     )
     assert leaks > 0
+
+
+def test_bpe_apply_matches_pure_python_encoder(spark, sf_smoke):
+    import collections
+    import re
+
+    import duckdb
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_smoke}/documents.parquet'"
+    ).fetchall()
+    vocab = collections.Counter(
+        w for _, t in rows for w in re.split(r"\s+", t.strip()) if w
+    )
+    syms = {w: [c for c in w] for w in vocab}
+
+    def merge(lst, a, b):
+        out = []
+        for x in lst:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        return out
+
+    merges = []
+    for _ in range(5):
+        counts = collections.Counter()
+        for w, lst in syms.items():
+            for i in range(len(lst) - 1):
+                counts[(lst[i], lst[i + 1])] += vocab[w]
+        if not counts:
+            break
+        (a, b), _c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b))
+        syms = {w: merge(lst, a, b) for w, lst in syms.items()}
+
+    expected = {}
+    for doc_id, t in rows:
+        words = [w for w in re.split(r"\s+", t.strip()) if w]
+        chars = sum(len(w) for w in words)
+        toks = sum(len(syms[w]) for w in words)
+        expected[doc_id] = (chars, toks, 1000 * toks // chars)
+
+    got = {
+        r.doc_id: (r.chars, r.bpe_tokens, r.compression_per_mille)
+        for r in QUERIES["text_bpe_apply"](spark, sf_smoke).collect()
+    }
+    assert got == expected

@@ -159,6 +159,7 @@ _FIRST = [
     "multimodal_dedup_phash",
     "ann_pq_encode",
     "ann_pq_recall_eval",
+    "text_bpe_apply",
 ]
 
 

@@ -1537,3 +1537,41 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.countDistinct("content_key").alias("n_keys"),
     )
+
+
+@query("text_bpe_apply")  # rows-only: applies the learned (data-dependent) merges
+def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer APPLICATION — the other half of tokenizer training:
+    encode the corpus with the merge table ``text_bpe_merges`` learned,
+    reporting per-document token counts before (characters) and after the
+    merges, plus the realized compression. The learned merges are
+    model-sized (K rows) driver data; applying them is K chained map-side
+    folds over the symbol arrays — no shuffle except the final count
+    aggregate is not even needed (doc-level output). At production K~30k
+    the apply step compiles the merge table into a trie/priority encoder
+    inside a pandas UDF instead of K expression layers; the semantics
+    pinned here (rank-ordered leftmost-first fusion) are identical.
+    Verified against a pure-Python encoder in tests."""
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in text_bpe_merges(spark, sf_dir).orderBy("rank").collect()
+    ]
+    toks = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("w"))
+    sym = toks.select(
+        "doc_id",
+        F.filter(F.split(F.col("w"), ""), lambda s: s != "").alias("syms"),
+    )
+    expr = F.col("syms")
+    for a, b in merges:
+        expr = _merge_pair_expr(expr, a, b)
+    encoded = sym.select(
+        "doc_id",
+        F.size("syms").alias("n_chars"),
+        F.size(expr).alias("n_tokens"),
+    )
+    return encoded.groupBy("doc_id").agg(
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_tokens").alias("bpe_tokens"),
+        F.expr("1000 * sum(n_tokens) div sum(n_chars)").alias("compression_per_mille"),
+    )
