@@ -439,11 +439,12 @@ def test_semantic_dedup_survivors_are_pairwise_distant(spark, sf_smoke):
 def test_bpe_merges_match_pure_python(spark, sf_smoke):
     """The iterative BPE trainer must reproduce a pure-Python BPE with the
     same conventions (overlapping pair counts weighted by word frequency,
-    ties broken lexicographically, leftmost-first greedy fusion)."""
-    import collections
-    import re
-
+    ties broken lexicographically, leftmost-first greedy fusion). The
+    reference lives once in conftest (train_ref_bpe) — shared with the
+    apply-step and property tests so the convention cannot drift."""
     import duckdb
+
+    from tests.conftest import train_ref_bpe
 
     texts = [
         r[0]
@@ -451,32 +452,7 @@ def test_bpe_merges_match_pure_python(spark, sf_smoke):
             f"SELECT text FROM '{sf_smoke}/documents.parquet'"
         ).fetchall()
     ]
-    vocab = collections.Counter(
-        w for t in texts for w in re.split(r"\s+", t.strip()) if w
-    )
-    syms = {w: [c for c in w] for w in vocab}
-
-    def merge(lst, a, b):
-        out = []
-        for x in lst:
-            if out and out[-1] == a and x == b:
-                out[-1] = a + b
-            else:
-                out.append(x)
-        return out
-
-    expected = []
-    for rank in range(1, 6):
-        counts = collections.Counter()
-        for w, lst in syms.items():
-            for i in range(len(lst) - 1):
-                counts[(lst[i], lst[i + 1])] += vocab[w]
-        if not counts:
-            break
-        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        expected.append((rank, a, b, c))
-        syms = {w: merge(lst, a, b) for w, lst in syms.items()}
-
+    expected, _syms, _vocab = train_ref_bpe(texts, n_merges=5)
     got = [
         (r.rank, r.left, r.right, r.pair_count)
         for r in QUERIES["text_bpe_merges"](spark, sf_smoke).collect()
@@ -551,46 +527,23 @@ def test_leakage_safe_split_keys_never_straddle_splits(spark, sf_smoke):
 
 
 def test_bpe_apply_matches_pure_python_encoder(spark, sf_smoke):
-    import collections
     import re
 
     import duckdb
 
+    from tests.conftest import train_ref_bpe
+
     rows = duckdb.sql(
         f"SELECT doc_id, text FROM '{sf_smoke}/documents.parquet'"
     ).fetchall()
-    vocab = collections.Counter(
-        w for _, t in rows for w in re.split(r"\s+", t.strip()) if w
-    )
-    syms = {w: [c for c in w] for w in vocab}
-
-    def merge(lst, a, b):
-        out = []
-        for x in lst:
-            if out and out[-1] == a and x == b:
-                out[-1] = a + b
-            else:
-                out.append(x)
-        return out
-
-    merges = []
-    for _ in range(5):
-        counts = collections.Counter()
-        for w, lst in syms.items():
-            for i in range(len(lst) - 1):
-                counts[(lst[i], lst[i + 1])] += vocab[w]
-        if not counts:
-            break
-        (a, b), _c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((a, b))
-        syms = {w: merge(lst, a, b) for w, lst in syms.items()}
+    _merges, syms, _vocab = train_ref_bpe([t for _, t in rows], n_merges=5)
 
     expected = {}
     for doc_id, t in rows:
         words = [w for w in re.split(r"\s+", t.strip()) if w]
         chars = sum(len(w) for w in words)
         toks = sum(len(syms[w]) for w in words)
-        expected[doc_id] = (chars, toks, 1000 * toks // chars)
+        expected[doc_id] = (chars, toks, 1000 * toks // chars if chars else None)
 
     got = {
         r.doc_id: (r.chars, r.bpe_tokens, r.compression_per_mille)

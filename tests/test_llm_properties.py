@@ -13,14 +13,7 @@ from vat_etl_spark.operators.multimodal import PHASH_BITS
 from vat_etl_spark.queries.llm_pipeline import _merge_pair_expr
 
 
-def _py_merge(lst, a, b):
-    out = []
-    for x in lst:
-        if out and out[-1] == a and x == b:
-            out[-1] = a + b
-        else:
-            out.append(x)
-    return out
+from tests.conftest import py_bpe_merge as _py_merge
 
 
 syms = st.sampled_from(["a", "b", "aa", "ab", "c"])

@@ -419,3 +419,9 @@ def test_bigram_fluency_no_forced_broadcast(spark, sf_smoke):
     df = QUERIES["text_bigram_fluency"](spark, sf_smoke)
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
+
+
+def test_bpe_apply_is_map_only(spark, sf_smoke):
+    # K nested in-row merge folds over the word array: a bare projection
+    # over the scan, zero exchanges (the docstring's scale claim)
+    assert shuffle_count(QUERIES["text_bpe_apply"](spark, sf_smoke)) == 0

@@ -1545,33 +1545,40 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode the corpus with the merge table ``text_bpe_merges`` learned,
     reporting per-document token counts before (characters) and after the
     merges, plus the realized compression. The learned merges are
-    model-sized (K rows) driver data; applying them is K chained map-side
-    folds over the symbol arrays — no shuffle except the final count
-    aggregate is not even needed (doc-level output). At production K~30k
-    the apply step compiles the merge table into a trie/priority encoder
-    inside a pandas UDF instead of K expression layers; the semantics
-    pinned here (rank-ordered leftmost-first fusion) are identical.
-    Verified against a pure-Python encoder in tests."""
+    model-sized (K rows) driver data; applying them is K nested map-side
+    folds evaluated IN-ROW over each document's word array — zero
+    exchanges, the plan is a bare projection over the scan (asserted in
+    tests/test_plans.py). At production K~30k the folds compile into a
+    trie/priority encoder inside a pandas UDF instead of K expression
+    layers; the semantics pinned here (rank-ordered leftmost-first
+    fusion) are identical. A document with no non-space characters
+    reports NULL compression rather than dividing by zero. Verified
+    against a pure-Python encoder in tests."""
     d = _t(spark, sf_dir, "documents")
     merges = [
         (r.left, r.right)
         for r in text_bpe_merges(spark, sf_dir).orderBy("rank").collect()
     ]
-    toks = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("w"))
-    sym = toks.select(
+    words = F.filter(tokens_expr(F.col("text")), lambda w: w != "")
+
+    def word_tokens(w):
+        expr = F.filter(F.split(w, ""), lambda s: s != "")
+        for a, b in merges:
+            expr = _merge_pair_expr(expr, a, b)
+        return F.size(expr)
+
+    counted = d.select(
         "doc_id",
-        F.filter(F.split(F.col("w"), ""), lambda s: s != "").alias("syms"),
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)), F.lit(0), lambda acc, x: acc + x
+        ).cast("long").alias("chars"),
+        F.aggregate(
+            F.transform(words, word_tokens), F.lit(0), lambda acc, x: acc + x
+        ).cast("long").alias("bpe_tokens"),
     )
-    expr = F.col("syms")
-    for a, b in merges:
-        expr = _merge_pair_expr(expr, a, b)
-    encoded = sym.select(
-        "doc_id",
-        F.size("syms").alias("n_chars"),
-        F.size(expr).alias("n_tokens"),
-    )
-    return encoded.groupBy("doc_id").agg(
-        F.sum("n_chars").alias("chars"),
-        F.sum("n_tokens").alias("bpe_tokens"),
-        F.expr("1000 * sum(n_tokens) div sum(n_chars)").alias("compression_per_mille"),
+    return counted.select(
+        "doc_id", "chars", "bpe_tokens",
+        F.when(
+            F.col("chars") > 0, F.expr("(1000 * bpe_tokens) div chars")
+        ).alias("compression_per_mille"),
     )

@@ -515,6 +515,19 @@ def _l2sq(a, b):
     )
 
 
+def _pq_centroids(em: DataFrame) -> DataFrame:
+    """The PQ codebook: subvectors of the first K vectors, one row per
+    (centroid, subspace). SHARED by the encoder and the recall audit so
+    the audit can never silently score against a different codebook than
+    the codes it joins."""
+    return (
+        em.filter(F.col("vec_id") < _PQ_K)
+        .select(F.col("vec_id").alias("cid"), _dbl(F.col("embedding")).alias("cv"))
+        .select("cid", _subspaces(F.col("cv")).alias("sp"))
+        .select("cid", F.col("sp.s").alias("s"), F.col("sp.sub").alias("csub"))
+    )
+
+
 @query("ann_pq_encode", oracle=_PQ_ENCODE_SQL)
 def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode step (Jégou et al. 2011, IEEE TPAMI
@@ -534,12 +547,7 @@ def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side 8x; the only shuffle is the per-(vector, subspace) argmin
     window, keyed on the high-cardinality vec_id."""
     em = _t(spark, sf_dir, "embeddings")
-    cents = (
-        em.filter(F.col("vec_id") < _PQ_K)
-        .select(F.col("vec_id").alias("cid"), _dbl(F.col("embedding")).alias("cv"))
-        .select("cid", _subspaces(F.col("cv")).alias("sp"))
-        .select("cid", F.col("sp.s").alias("s"), F.col("sp.sub").alias("csub"))
-    )
+    cents = _pq_centroids(em)
     vecs = (
         em.select("vec_id", _dbl(F.col("embedding")).alias("ev"))
         .select("vec_id", _subspaces(F.col("ev")).alias("sp"))
@@ -574,6 +582,13 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors, and the scan is integer-keyed joins + one sum). Output: one
     row per query with recall@10.
 
+    Determinism: the 8 looked-up terms are collected, SORTED by subspace,
+    and summed by an in-row left fold — a plain F.sum over the shuffled
+    rows would accumulate doubles in partition-merge order and a
+    rank-10-boundary tie within one ulp could flip between runs; the
+    fixed-order fold makes the ranking partition-invariant like every
+    other ANN path here.
+
     tests/test_graph.py pins mean recall — PQ with 16 centroids per
     subspace on this clustered corpus is expected imperfect (quantization
     error) but must beat random by a wide margin."""
@@ -583,12 +598,7 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = em.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), _dbl(F.col("embedding")).alias("qv")
     )
-    cents = (
-        em.filter(F.col("vec_id") < _PQ_K)
-        .select(F.col("vec_id").alias("cid"), _dbl(F.col("embedding")).alias("cv"))
-        .select("cid", _subspaces(F.col("cv")).alias("sp"))
-        .select("cid", F.col("sp.s").alias("s"), F.col("sp.sub").alias("csub"))
-    )
+    cents = _pq_centroids(em)
     qsub = queries.select(
         "qid", _subspaces(F.col("qv")).alias("sp")
     ).select("qid", F.col("sp.s").alias("s"), F.col("sp.sub").alias("qsub"))
@@ -601,7 +611,15 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(lut), ["s", "code"])
         .filter(F.col("vec_id") != F.col("qid"))
         .groupBy("qid", "vec_id")
-        .agg(F.sum("d2q").alias("adc_dist"))
+        .agg(F.sort_array(F.collect_list(F.struct("s", "d2q"))).alias("terms"))
+        .select(
+            "qid", "vec_id",
+            F.aggregate(
+                F.transform("terms", lambda t: t["d2q"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
     )
     wk = W.partitionBy("qid").orderBy("adc_dist", "vec_id")
     approx = (
