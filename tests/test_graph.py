@@ -81,3 +81,34 @@ def test_pq_recall_beats_random_by_wide_margin(spark, sf_smoke):
     mean = sum(r.recall_at_10 for r in rows) / len(rows)
     assert mean >= 0.15, [tuple(r) for r in rows]
     assert all(r.n_truth == 10 for r in rows)
+
+
+def test_hybrid_rrf_fuses_both_branches(spark, sf_smoke):
+    """RRF must actually fuse: the top-20 contains documents found by only
+    one branch on each side, a doc ranked by BOTH branches outscores one
+    with the same single-branch rank alone, and the score formula is the
+    exact integer RRF of the reported ranks."""
+    from vat_etl_spark.queries import QUERIES
+
+    rows = QUERIES["retrieval_hybrid_rrf"](spark, sf_smoke).collect()
+    assert len(rows) == 20
+    for r in rows:
+        expected = 0
+        if r.rank_lex is not None:
+            expected += 1000000 // (60 + r.rank_lex)
+        if r.rank_vec is not None:
+            expected += 1000000 // (60 + r.rank_vec)
+        assert r.rrf_score == expected, tuple(r)
+    both = [r for r in rows if r.rank_lex is not None and r.rank_vec is not None]
+    only_lex = [r for r in rows if r.rank_vec is None]
+    only_vec = [r for r in rows if r.rank_lex is None]
+    # fusion promotes agreement: every doc ranked by both branches beats
+    # every single-branch doc whose one rank is no better
+    for b in both:
+        for s in only_lex:
+            if s.rank_lex >= min(b.rank_lex, b.rank_vec):
+                assert b.rrf_score > s.rrf_score
+    # the list is sorted by fused score then doc_id
+    scores = [(r.rrf_score, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert both, "no doc ranked by both branches — fusion vacuous"

@@ -160,6 +160,7 @@ _FIRST = [
     "ann_pq_encode",
     "ann_pq_recall_eval",
     "text_bpe_apply",
+    "retrieval_hybrid_rrf",
 ]
 
 

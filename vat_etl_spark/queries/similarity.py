@@ -650,3 +650,109 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.coalesce("n_hits", F.lit(0)) / F.col("n_truth")).alias("recall_at_10"),
         )
     )
+
+
+# --- hybrid retrieval: BM25 + vector, reciprocal-rank fusion -------------------
+
+_RRF_K = 60
+_RRF_SQL = """
+WITH lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
+  FROM (
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+    stats AS (
+      SELECT cast(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n_docs FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM tok
+      WHERE w IN ('hash', 'join', 'vector') GROUP BY doc_id, w
+    ),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    scored AS (
+      SELECT tf.doc_id, tf.w,
+        ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+          * ((tf * 2.2::DOUBLE)
+             / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl / avgdl)))) AS sterm
+      FROM tf
+      JOIN dl ON tf.doc_id = dl.doc_id
+      JOIN df ON tf.w = df.w
+      CROSS JOIN stats
+    )
+    SELECT doc_id,
+      coalesce(max(CASE WHEN w = 'hash' THEN sterm END), 0.0::DOUBLE)
+        + coalesce(max(CASE WHEN w = 'join' THEN sterm END), 0.0::DOUBLE)
+        + coalesce(max(CASE WHEN w = 'vector' THEN sterm END), 0.0::DOUBLE) AS score
+    FROM scored GROUP BY doc_id
+    ORDER BY score DESC, doc_id LIMIT 50
+  ) bm
+),
+vecq AS (SELECT cast(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vscored AS (
+  SELECT e.vec_id AS doc_id,
+         list_cosine_similarity(cast(e.embedding AS DOUBLE[]), q.qv) AS cos
+  FROM embeddings e, vecq q WHERE e.vec_id <> 0
+),
+vtop AS (
+  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank_vec
+  FROM vscored ORDER BY cos DESC, doc_id LIMIT 50
+),
+fused AS (
+  SELECT coalesce(lex.doc_id, vtop.doc_id) AS doc_id,
+         lex.rank_lex, vtop.rank_vec,
+         coalesce(1000000 // (60 + rank_lex), 0)
+           + coalesce(1000000 // (60 + rank_vec), 0) AS rrf_score
+  FROM lex FULL JOIN vtop ON lex.doc_id = vtop.doc_id
+)
+SELECT doc_id, CAST(rank_lex AS BIGINT) AS rank_lex,
+       CAST(rank_vec AS BIGINT) AS rank_vec,
+       CAST(rrf_score AS BIGINT) AS rrf_score
+FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+"""
+
+
+@query("retrieval_hybrid_rrf", oracle=_RRF_SQL)
+def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009,
+    SIGIR, "Reciprocal rank fusion outperforms Condorcet..."): the lexical
+    branch is the registered BM25 top-50 (terms 'hash join vector'), the
+    vector branch is cosine top-50 against document embedding 0
+    (vec_id == doc_id: document-level embeddings), and the fused score is
+    the integer-scaled RRF ``sum 1e6 div (60 + rank)`` — rank-based, so
+    the two branches' incomparable score scales never need calibration,
+    and integer-exact so the gate hash-pins the fusion. The modern RAG
+    retrieval stack in one plan.
+
+    Scale: each branch ends in a TakeOrderedAndProject top-k (never a
+    global sort); ranking the k survivors is a k-row window; the fusion
+    is a full outer join of two k-row sets. Corpus-sized work is exactly
+    the two branch scans, both already audited (text_bm25_ranking,
+    knn_bruteforce_cosine)."""
+    lex = QUERIES["text_bm25_ranking"](spark, sf_dir)
+    wl = W.orderBy(F.desc("score"), "doc_id")
+    lex_ranked = lex.select(
+        "doc_id", F.row_number().over(wl).alias("rank_lex")
+    )
+    em = _t(spark, sf_dir, "embeddings")
+    q = em.filter(F.col("vec_id") == 0).select(_dbl(F.col("embedding")).alias("qv"))
+    vscored = (
+        em.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id").alias("doc_id"), _dbl(F.col("embedding")).alias("ev"))
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", cosine_expr(F.col("ev"), F.col("qv")).alias("cos"))
+    )
+    vtop = vscored.orderBy(F.desc("cos"), "doc_id").limit(50)
+    wv = W.orderBy(F.desc("cos"), "doc_id")
+    vec_ranked = vtop.select("doc_id", F.row_number().over(wv).alias("rank_vec"))
+    fused = lex_ranked.join(vec_ranked, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("rank_lex").cast("long").alias("rank_lex"),
+        F.col("rank_vec").cast("long").alias("rank_vec"),
+        (
+            F.coalesce(F.expr(f"1000000 div ({_RRF_K} + rank_lex)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 div ({_RRF_K} + rank_vec)"), F.lit(0))
+        ).cast("long").alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
