@@ -112,3 +112,24 @@ def test_hybrid_rrf_fuses_both_branches(spark, sf_smoke):
     scores = [(r.rrf_score, -r.doc_id) for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert both, "no doc ranked by both branches — fusion vacuous"
+
+
+def test_maxp_best_chunk_contains_query_term(spark, sf_smoke):
+    """MaxP must return a passage that actually matches: every returned
+    doc's winning chunk contains at least one query term, and the list is
+    score-sorted."""
+    from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.queries.text import _BM25_TERMS
+
+    rows = QUERIES["retrieval_chunk_maxp"](spark, sf_smoke).collect()
+    assert len(rows) == 20
+    chunks = {
+        (r.doc_id, r.chunk_idx): r.chunk
+        for r in QUERIES["text_chunking"](spark, sf_smoke).collect()
+    }
+    for r in rows:
+        assert r.score > 0
+        passage = chunks[(r.doc_id, r.best_chunk_idx)]
+        assert any(t in passage.split() for t in _BM25_TERMS), (r, passage)
+    scores = [(r.score, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, reverse=True)

@@ -161,6 +161,7 @@ _FIRST = [
     "ann_pq_recall_eval",
     "text_bpe_apply",
     "retrieval_hybrid_rrf",
+    "retrieval_chunk_maxp",
 ]
 
 

@@ -811,3 +811,131 @@ def text_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --- chunk-level retrieval with max-passage aggregation (MaxP) ----------------
+
+_MAXP_SQL = r"""
+WITH chunks AS (
+  SELECT doc_id, chunk_idx,
+         substring(text, cast(chunk_idx * 160 + 1 AS BIGINT), 200) AS chunk
+  FROM documents
+  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS chunk_idx)
+  WHERE chunk_idx * 160 < len(text)
+),
+tok AS (
+  SELECT doc_id, chunk_idx,
+         unnest(regexp_split_to_array(trim(chunk), '\s+')) AS w
+  FROM chunks
+),
+cl AS (SELECT doc_id, chunk_idx, count(*) AS cl FROM tok GROUP BY doc_id, chunk_idx),
+stats AS (
+  SELECT cast(sum(cl) AS DOUBLE) / count(*) AS avgcl, count(*) AS n_chunks FROM cl
+),
+tf AS (
+  SELECT doc_id, chunk_idx, w, count(*) AS tf FROM tok
+  WHERE w IN ('hash', 'join', 'vector') GROUP BY doc_id, chunk_idx, w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id, tf.chunk_idx, tf.w,
+    ((n_chunks - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+      * ((tf * 2.2::DOUBLE)
+         / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (cl / avgcl)))) AS sterm
+  FROM tf
+  JOIN cl ON tf.doc_id = cl.doc_id AND tf.chunk_idx = cl.chunk_idx
+  JOIN df ON tf.w = df.w
+  CROSS JOIN stats
+),
+chunk_scores AS (
+  SELECT doc_id, chunk_idx,
+    coalesce(max(CASE WHEN w = 'hash' THEN sterm END), 0.0::DOUBLE)
+      + coalesce(max(CASE WHEN w = 'join' THEN sterm END), 0.0::DOUBLE)
+      + coalesce(max(CASE WHEN w = 'vector' THEN sterm END), 0.0::DOUBLE) AS cscore
+  FROM scored GROUP BY doc_id, chunk_idx
+),
+best AS (
+  SELECT doc_id, CAST(chunk_idx AS BIGINT) AS best_chunk_idx, cscore AS score
+  FROM (
+    SELECT doc_id, chunk_idx, cscore,
+           row_number() OVER (PARTITION BY doc_id ORDER BY cscore DESC, chunk_idx) AS rn
+    FROM chunk_scores
+  ) WHERE rn = 1
+)
+SELECT doc_id, best_chunk_idx, score
+FROM best ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@query("retrieval_chunk_maxp", oracle=_MAXP_SQL)
+def retrieval_chunk_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level retrieval with max-passage (MaxP) document scoring
+    (Dai & Callan 2019, SIGIR, "Deeper text understanding for IR..."):
+    BM25 runs over the 200-char CHUNKS of ``text_chunking`` rather than
+    whole documents, and a document's score is its best chunk's — the
+    standard fix for long documents, where whole-doc BM25 dilutes a
+    strong local passage with unrelated length. Output: top-20 docs with
+    the winning chunk index (the passage a RAG system would return).
+
+    Same engine-exactness discipline as text_bm25_ranking: rational idf
+    (no log), literal constants, fixed-order per-term adds — the chunk
+    strings themselves are substring() outputs identical in both engines,
+    so chunk-boundary token splits can never diverge. Scale: chunking is
+    the audited map-only stage; tf/cl aggregates shuffle only query-term
+    postings at chunk grain; the MaxP step is a doc-keyed window over
+    matching chunks only."""
+    window, stride = 200, 160
+    d = _t(spark, sf_dir, "documents")
+    n_chunks_per_doc = F.ceil(F.length("text") / F.lit(stride)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), F.least(n_chunks_per_doc - 1, F.lit(63))))
+    chunks = (
+        d.select("doc_id", "text", idx.alias("chunk_idx"))
+        .filter(F.col("chunk_idx") * stride < F.length("text"))
+        .select(
+            "doc_id", "chunk_idx",
+            F.substring(F.col("text"), F.col("chunk_idx") * stride + 1, window).alias("chunk"),
+        )
+    )
+    tok = chunks.select(
+        "doc_id", "chunk_idx", F.explode(tokens_expr(F.col("chunk"))).alias("w")
+    )
+    cl = tok.groupBy("doc_id", "chunk_idx").agg(F.count("*").alias("cl"))
+    stats = cl.agg(
+        (F.sum("cl").cast("double") / F.count("*")).alias("avgcl"),
+        F.count("*").alias("n_chunks"),
+    )
+    tf = (
+        tok.filter(F.col("w").isin(_BM25_TERMS))
+        .groupBy("doc_id", "chunk_idx", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = (F.col("n_chunks") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tfnorm = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (F.col("cl") / F.col("avgcl")))
+    )
+    scored = (
+        tf.join(cl, ["doc_id", "chunk_idx"])
+        .join(df_, "w")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "chunk_idx", "w", (idf * tfnorm).alias("sterm"))
+    )
+    per_term = [
+        F.coalesce(F.max(F.when(F.col("w") == t, F.col("sterm"))), F.lit(0.0))
+        for t in _BM25_TERMS
+    ]
+    cscore = per_term[0] + per_term[1] + per_term[2]
+    chunk_scores = scored.groupBy("doc_id", "chunk_idx").agg(cscore.alias("cscore"))
+    wb = W.partitionBy("doc_id").orderBy(F.desc("cscore"), "chunk_idx")
+    best = (
+        chunk_scores.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("best_chunk_idx"),
+            F.col("cscore").alias("score"),
+        )
+    )
+    return best.orderBy(F.desc("score"), "doc_id").limit(20)
