@@ -86,32 +86,44 @@ def test_pq_recall_beats_random_by_wide_margin(spark, sf_smoke):
 def test_hybrid_rrf_fuses_both_branches(spark, sf_smoke):
     """RRF must actually fuse: the top-20 contains documents found by only
     one branch on each side, a doc ranked by BOTH branches outscores one
-    with the same single-branch rank alone, and the score formula is the
-    exact integer RRF of the reported ranks."""
+    with the same single-branch rank alone, the score formula is the
+    exact integer RRF of the reported ranks, and the query document
+    (doc 0) is excluded from both branches."""
     from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.queries.similarity import _RRF_K
 
     rows = QUERIES["retrieval_hybrid_rrf"](spark, sf_smoke).collect()
     assert len(rows) == 20
+    assert all(r.doc_id != 0 for r in rows)
     for r in rows:
         expected = 0
         if r.rank_lex is not None:
-            expected += 1000000 // (60 + r.rank_lex)
+            expected += 1000000 // (_RRF_K + r.rank_lex)
         if r.rank_vec is not None:
-            expected += 1000000 // (60 + r.rank_vec)
+            expected += 1000000 // (_RRF_K + r.rank_vec)
         assert r.rrf_score == expected, tuple(r)
     both = [r for r in rows if r.rank_lex is not None and r.rank_vec is not None]
     only_lex = [r for r in rows if r.rank_vec is None]
     only_vec = [r for r in rows if r.rank_lex is None]
-    # fusion promotes agreement: every doc ranked by both branches beats
-    # every single-branch doc whose one rank is no better
+    # fusion promotes agreement over EITHER single branch: every doc
+    # ranked by both beats every single-branch doc whose one rank is no
+    # better
     for b in both:
         for s in only_lex:
             if s.rank_lex >= min(b.rank_lex, b.rank_vec):
+                assert b.rrf_score > s.rrf_score
+        for s in only_vec:
+            if s.rank_vec >= min(b.rank_lex, b.rank_vec):
                 assert b.rrf_score > s.rrf_score
     # the list is sorted by fused score then doc_id
     scores = [(r.rrf_score, -r.doc_id) for r in rows]
     assert scores == sorted(scores, reverse=True)
     assert both, "no doc ranked by both branches — fusion vacuous"
+    # both single-branch populations exist in the full fused set (before
+    # the top-20 cut the branches disagree on 500-doc corpora; assert on
+    # the survivors only when present, but lex-only must appear — BM25
+    # ranks docs the vector query is far from)
+    assert only_lex or only_vec, "top-20 is all-agreement — fusion untested"
 
 
 def test_maxp_best_chunk_contains_query_term(spark, sf_smoke):
@@ -133,3 +145,21 @@ def test_maxp_best_chunk_contains_query_term(spark, sf_smoke):
         assert any(t in passage.split() for t in _BM25_TERMS), (r, passage)
     scores = [(r.score, -r.doc_id) for r in rows]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_chunking_skips_empty_documents(spark, tmp_path):
+    """An empty/whitespace document must produce ZERO chunks: Spark's
+    sequence(0, -1) DESCENDS, so without the clamp a phantom
+    chunk_idx=-1 would pass the length filter and diverge from the
+    DuckDB oracle's generate_series."""
+    from vat_etl_spark.queries import QUERIES
+
+    df = spark.createDataFrame(
+        [(0, "", "en", "src0", 0), (1, "short doc", "en", "src0", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    rows = QUERIES["text_chunking"](spark, d).collect()
+    assert {r.doc_id for r in rows} == {1}
+    assert all(r.chunk_idx >= 0 for r in rows)

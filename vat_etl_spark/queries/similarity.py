@@ -654,40 +654,16 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- hybrid retrieval: BM25 + vector, reciprocal-rank fusion -------------------
 
+from vat_etl_spark.queries.text import _BM25_SQL  # noqa: E402  (one BM25 source of truth)
+
 _RRF_K = 60
-_RRF_SQL = """
+# the lexical branch INTERPOLATES the registered BM25 oracle text and the
+# fusion constant, so neither can silently drift from the Spark plan
+_RRF_SQL = f"""
 WITH lex AS (
   SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
-  FROM (
-    WITH tok AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
-    ),
-    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
-    stats AS (
-      SELECT cast(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n_docs FROM dl
-    ),
-    tf AS (
-      SELECT doc_id, w, count(*) AS tf FROM tok
-      WHERE w IN ('hash', 'join', 'vector') GROUP BY doc_id, w
-    ),
-    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
-    scored AS (
-      SELECT tf.doc_id, tf.w,
-        ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
-          * ((tf * 2.2::DOUBLE)
-             / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl / avgdl)))) AS sterm
-      FROM tf
-      JOIN dl ON tf.doc_id = dl.doc_id
-      JOIN df ON tf.w = df.w
-      CROSS JOIN stats
-    )
-    SELECT doc_id,
-      coalesce(max(CASE WHEN w = 'hash' THEN sterm END), 0.0::DOUBLE)
-        + coalesce(max(CASE WHEN w = 'join' THEN sterm END), 0.0::DOUBLE)
-        + coalesce(max(CASE WHEN w = 'vector' THEN sterm END), 0.0::DOUBLE) AS score
-    FROM scored GROUP BY doc_id
-    ORDER BY score DESC, doc_id LIMIT 50
-  ) bm
+  FROM ( {_BM25_SQL} ) bm
+  WHERE doc_id <> 0
 ),
 vecq AS (SELECT cast(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 vscored AS (
@@ -702,8 +678,8 @@ vtop AS (
 fused AS (
   SELECT coalesce(lex.doc_id, vtop.doc_id) AS doc_id,
          lex.rank_lex, vtop.rank_vec,
-         coalesce(1000000 // (60 + rank_lex), 0)
-           + coalesce(1000000 // (60 + rank_vec), 0) AS rrf_score
+         coalesce(1000000 // ({_RRF_K} + rank_lex), 0)
+           + coalesce(1000000 // ({_RRF_K} + rank_vec), 0) AS rrf_score
   FROM lex FULL JOIN vtop ON lex.doc_id = vtop.doc_id
 )
 SELECT doc_id, CAST(rank_lex AS BIGINT) AS rank_lex,
@@ -730,7 +706,10 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a full outer join of two k-row sets. Corpus-sized work is exactly
     the two branch scans, both already audited (text_bm25_ranking,
     knn_bruteforce_cosine)."""
-    lex = QUERIES["text_bm25_ranking"](spark, sf_dir)
+    # doc 0 IS the query (vec_id == doc_id): exclude it from BOTH
+    # branches, not just the vector one, so the fused list can never
+    # contain the query document with an artificially single-branch score
+    lex = QUERIES["text_bm25_ranking"](spark, sf_dir).filter(F.col("doc_id") != 0)
     wl = W.orderBy(F.desc("score"), "doc_id")
     lex_ranked = lex.select(
         "doc_id", F.row_number().over(wl).alias("rank_lex")

@@ -11,7 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from vat_etl_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
-from vat_etl_spark.queries import query
+from vat_etl_spark.queries import QUERIES, query
 from vat_etl_spark.sources.catalog import read_table as _t
 
 _WS = r"\s+"
@@ -253,7 +253,14 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     window, stride = 200, 160
     n_chunks = F.ceil(F.length("text") / F.lit(stride)).cast("int")
-    idx = F.explode(F.sequence(F.lit(0), F.least(n_chunks - 1, F.lit(63))))
+    # clamp the sequence end to >= 0: for an EMPTY document n_chunks-1 is
+    # -1 and Spark's sequence(0, -1) DESCENDS to [0, -1] — the phantom
+    # chunk_idx=-1 would pass the length filter (-160 < 0) and diverge
+    # from the oracle's generate_series(0, 63); the clamped [0] chunk is
+    # then correctly removed by the filter (0 < 0 is false)
+    idx = F.explode(
+        F.sequence(F.lit(0), F.greatest(F.least(n_chunks - 1, F.lit(63)), F.lit(0)))
+    )
     chunked = d.select("doc_id", "text", idx.alias("chunk_idx"))
     chunk = F.substring(
         F.col("text"), F.col("chunk_idx") * stride + 1, window
@@ -880,21 +887,15 @@ def retrieval_chunk_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same engine-exactness discipline as text_bm25_ranking: rational idf
     (no log), literal constants, fixed-order per-term adds — the chunk
     strings themselves are substring() outputs identical in both engines,
-    so chunk-boundary token splits can never diverge. Scale: chunking is
-    the audited map-only stage; tf/cl aggregates shuffle only query-term
-    postings at chunk grain; the MaxP step is a doc-keyed window over
-    matching chunks only."""
-    window, stride = 200, 160
-    d = _t(spark, sf_dir, "documents")
-    n_chunks_per_doc = F.ceil(F.length("text") / F.lit(stride)).cast("int")
-    idx = F.explode(F.sequence(F.lit(0), F.least(n_chunks_per_doc - 1, F.lit(63))))
-    chunks = (
-        d.select("doc_id", "text", idx.alias("chunk_idx"))
-        .filter(F.col("chunk_idx") * stride < F.length("text"))
-        .select(
-            "doc_id", "chunk_idx",
-            F.substring(F.col("text"), F.col("chunk_idx") * stride + 1, window).alias("chunk"),
-        )
+    so chunk-boundary token splits can never diverge. The chunk stream IS
+    the registered ``text_chunking`` query (one source of truth for
+    window/stride/cap). Scale: chunking is the audited map-only stage;
+    the ``cl`` aggregate shuffles one row per CHUNK of the corpus (it
+    must — avgcl/n_chunks are corpus statistics, the same honest cost as
+    BM25's ``dl``), while tf/df shuffle only query-term postings; the
+    MaxP step is a doc-keyed window over matching chunks only."""
+    chunks = QUERIES["text_chunking"](spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk"
     )
     tok = chunks.select(
         "doc_id", "chunk_idx", F.explode(tokens_expr(F.col("chunk"))).alias("w")
