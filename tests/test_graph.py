@@ -163,3 +163,18 @@ def test_chunking_skips_empty_documents(spark, tmp_path):
     rows = QUERIES["text_chunking"](spark, d).collect()
     assert {r.doc_id for r in rows} == {1}
     assert all(r.chunk_idx >= 0 for r in rows)
+
+
+def test_prf_rm3_expansion_changes_ranking(spark, sf_smoke):
+    """RM3 must actually expand: the re-ranked list differs from plain
+    BM25 (expansion terms carry weight), every score is positive, and
+    the result is deterministic across runs."""
+    from vat_etl_spark.queries import QUERIES
+
+    rm3 = [(r.doc_id, r.score) for r in QUERIES["retrieval_prf_rm3"](spark, sf_smoke).collect()]
+    assert len(rm3) == 20
+    assert all(s > 0 for _, s in rm3)
+    again = [(r.doc_id, r.score) for r in QUERIES["retrieval_prf_rm3"](spark, sf_smoke).collect()]
+    assert rm3 == again
+    bm25 = [r.doc_id for r in QUERIES["text_bm25_ranking"](spark, sf_smoke).collect()][:20]
+    assert [d for d, _ in rm3] != bm25, "expansion had zero effect — vacuous"

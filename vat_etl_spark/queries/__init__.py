@@ -162,6 +162,7 @@ _FIRST = [
     "text_bpe_apply",
     "retrieval_hybrid_rrf",
     "retrieval_chunk_maxp",
+    "retrieval_prf_rm3",
 ]
 
 

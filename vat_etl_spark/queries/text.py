@@ -940,3 +940,152 @@ def retrieval_chunk_maxp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+# --- pseudo-relevance feedback (RM3-style query expansion) --------------------
+
+_PRF_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+_PRF_TERMS_SQL = "('hash', 'join', 'vector')"
+_PRF_FB_DOCS = 10   # feedback depth
+_PRF_N_EXP = 2      # expansion terms
+_PRF_LAMBDA = 0.5   # expansion weight (literal on both sides)
+
+_PRF_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT cast(sum(dl) AS DOUBLE) / count(*) AS avgdl, count(*) AS n_docs FROM dl
+),
+fb AS (
+  SELECT doc_id FROM ( {_BM25_SQL} ) bm ORDER BY score DESC, doc_id LIMIT {_PRF_FB_DOCS}
+),
+exp_terms AS (
+  SELECT w, CAST(2 + row_number() OVER (ORDER BY c DESC, w) AS BIGINT) AS term_rank
+  FROM (
+    SELECT t.w, count(*) AS c
+    FROM tok t JOIN fb USING (doc_id)
+    WHERE t.w NOT IN {_PRF_TERMS_SQL} AND t.w NOT IN {_PRF_STOP_SQL}
+    GROUP BY t.w
+  ) cand
+  ORDER BY c DESC, w LIMIT {_PRF_N_EXP}
+),
+terms AS (
+  SELECT 'hash' AS w, CAST(0 AS BIGINT) AS term_rank, 1.0::DOUBLE AS wgt
+  UNION ALL SELECT 'join', 1, 1.0::DOUBLE
+  UNION ALL SELECT 'vector', 2, 1.0::DOUBLE
+  UNION ALL SELECT w, term_rank, {_PRF_LAMBDA}::DOUBLE FROM exp_terms
+),
+tf AS (
+  SELECT t.doc_id, t.w, count(*) AS tf
+  FROM tok t JOIN terms ON t.w = terms.w
+  GROUP BY t.doc_id, t.w
+),
+df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+scored AS (
+  SELECT tf.doc_id, terms.term_rank,
+    terms.wgt * ((n_docs - df + 0.5::DOUBLE) / (df + 0.5::DOUBLE))
+      * ((tf * 2.2::DOUBLE)
+         / (tf + 1.2::DOUBLE * (0.25::DOUBLE + 0.75::DOUBLE * (dl / avgdl)))) AS sterm
+  FROM tf
+  JOIN terms ON tf.w = terms.w
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON tf.w = df.w
+  CROSS JOIN stats
+),
+folded AS (
+  SELECT doc_id,
+         list_reduce(
+           list_prepend(0.0::DOUBLE, list(sterm ORDER BY term_rank)),
+           (acc, x) -> acc + x) AS score
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, score FROM folded ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@query("retrieval_prf_rm3", oracle=_PRF_SQL)
+def retrieval_prf_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (the RM3 recipe, Abdul-Jaleel et al.
+    2004, TREC: expand the query with terms from the first round's top
+    documents, then re-rank): round 1 is the registered BM25; the 2
+    expansion terms are the most frequent non-query, non-stopword words
+    of the top-10 feedback
+    docs (count desc, term asc — integer-deterministic); round 2 scores
+    original terms at weight 1.0 and expansion terms at 0.5, summed in
+    FIXED term-rank order through an in-row fold (the deterministic-sum
+    discipline of ann_pq_recall_eval — a shuffled float sum over a
+    data-dependent term set could flip a rank-20 boundary).
+
+    Engine-exactness: the oracle derives the SAME expansion terms in SQL
+    (no literals baked from the Spark run), every constant is a shared
+    literal, and both engines fold the per-term scores in term-rank
+    order. Scale: feedback term counting touches only the top-k docs'
+    postings; round 2 is the audited BM25 shape with 5 terms instead
+    of 3."""
+    lam = _PRF_LAMBDA
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("w"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
+    )
+    fb = (
+        QUERIES["text_bm25_ranking"](spark, sf_dir)
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_PRF_FB_DOCS)
+        .select("doc_id")
+    )
+    exp_terms = (
+        tok.join(fb, "doc_id")
+        .filter(~F.col("w").isin(_BM25_TERMS) & ~F.col("w").isin(STOPWORDS))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(_PRF_N_EXP)
+        .select(
+            "w",
+            (
+                F.lit(2)
+                + F.row_number().over(W.orderBy(F.desc("c"), "w"))
+            ).cast("long").alias("term_rank"),
+            F.lit(lam).alias("wgt"),
+        )
+    )
+    orig = spark.createDataFrame(
+        [(t, i, 1.0) for i, t in enumerate(_BM25_TERMS)],
+        "w string, term_rank long, wgt double",
+    )
+    terms = orig.unionByName(exp_terms)
+    tf = tok.join(F.broadcast(terms.select("w")), "w").groupBy("doc_id", "w").agg(
+        F.count("*").alias("tf")
+    )
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    tfnorm = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (F.lit(1.0 - _BM25_B) + F.lit(_BM25_B) * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(df_, "w")
+        .join(F.broadcast(terms), "w")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term_rank", (F.col("wgt") * idf * tfnorm).alias("sterm"))
+    )
+    folded = (
+        scored.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("term_rank", "sterm"))).alias("terms"))
+        .select(
+            "doc_id",
+            F.aggregate(
+                F.transform("terms", lambda t: t["sterm"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("score"),
+        )
+    )
+    return folded.orderBy(F.desc("score"), "doc_id").limit(20)
