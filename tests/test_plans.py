@@ -425,3 +425,19 @@ def test_bpe_apply_is_map_only(spark, sf_smoke):
     # K nested in-row merge folds over the word array: a bare projection
     # over the scan, zero exchanges (the docstring's scale claim)
     assert shuffle_count(QUERIES["text_bpe_apply"](spark, sf_smoke)) == 0
+
+
+def test_retrieval_family_topk_plans(spark, sf_smoke):
+    # every retrieval query's final ordering must compile to
+    # TakeOrderedAndProject — never a global sort of the corpus. (The
+    # unpartitioned rank windows inside rrf/prf are k-row by construction:
+    # their inputs are post-limit top-50 survivor sets.)
+    from vat_etl_spark.plans import formatted_plan
+
+    for name in (
+        "retrieval_hybrid_rrf",
+        "retrieval_chunk_maxp",
+        "retrieval_prf_rm3",
+    ):
+        plan = formatted_plan(QUERIES[name](spark, sf_smoke))
+        assert "TakeOrderedAndProject" in plan, name
