@@ -51,6 +51,10 @@ BENCH_QUERIES = [
     # stream with NO broadcast hints — exercises AQE's join-strategy and
     # skew decisions, a shape nothing else in the list covers.
     "text_bigram_fluency",
+    # composed IR: two independent corpus-scan branches (BM25 postings,
+    # vector cosine) each ending in a top-k, fused by a k-row outer join —
+    # guards the retrieval family end-to-end.
+    "retrieval_hybrid_rrf",
 ]
 
 
