@@ -441,3 +441,21 @@ def test_retrieval_family_topk_plans(spark, sf_smoke):
     ):
         plan = formatted_plan(QUERIES[name](spark, sf_smoke))
         assert "TakeOrderedAndProject" in plan, name
+
+
+def test_rank_family_has_no_single_partition_windows(spark, sf_smoke):
+    """The two-pass range-partitioned rank family (functions/ranks.py) must
+    never compile to an unpartitioned WindowExec — the single-partition
+    global window was the one flagged 100 TB scale-killer; this pins the
+    fix for all five routed queries."""
+    from vat_etl_spark.plans import unpartitioned_window_count
+
+    for name in (
+        "ids_assign_stable",
+        "agg_gini_concentration",
+        "agg_lorenz_deciles",
+        "events_rfm_segmentation",
+        "events_max_concurrency",
+    ):
+        df = QUERIES[name](spark, sf_smoke)
+        assert unpartitioned_window_count(df) == 0, name

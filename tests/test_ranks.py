@@ -1,0 +1,76 @@
+"""two_pass_rank / two_pass_ntile / two_pass_prefix_sum must be bit-identical
+to the single-partition global-window spellings they replace (rank arithmetic
+is layout-free), while partitioning their WindowExec by range bucket."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from vat_etl_spark.functions.ranks import (
+    two_pass_ntile,
+    two_pass_prefix_sum,
+    two_pass_rank,
+)
+from vat_etl_spark.plans import unpartitioned_window_count
+
+
+def _df(spark):
+    return spark.range(0, 5000).select(
+        (F.col("id") % 613).alias("v"),
+        F.col("id").alias("uid"),
+        ((F.col("id") * 37) % 11 - 5).alias("delta"),
+    )
+
+
+def test_rank_matches_global_window_asc_and_desc(spark):
+    df = _df(spark)
+    for order, wspec in [
+        ([("v", "asc"), ("uid", "asc")], W.orderBy("v", "uid")),
+        ([("v", "desc"), ("uid", "asc")], W.orderBy(F.desc("v"), "uid")),
+    ]:
+        exp = df.select("v", "uid", F.row_number().over(wspec).alias("rk"))
+        got = two_pass_rank(df.select("v", "uid"), order, rank_col="rk").select(
+            "v", "uid", F.col("rk").cast("int").alias("rk")
+        )
+        assert exp.exceptAll(got).count() == 0
+        assert got.count() == df.count()
+
+
+def test_ntile_matches_global_window_uneven_k(spark):
+    df = _df(spark)
+    for k in (5, 7, 13):  # 5000 % 7 != 0 exercises the uneven-tile split
+        exp = df.select("uid", F.ntile(k).over(W.orderBy("v", "uid")).alias("t"))
+        got = two_pass_ntile(
+            df.select("v", "uid"), [("v", "asc"), ("uid", "asc")], k, tile_col="t"
+        ).select("uid", "t")
+        assert exp.exceptAll(got).count() == 0
+
+
+def test_prefix_sum_matches_global_window(spark):
+    df = _df(spark)
+    exp = df.select(
+        "uid",
+        F.sum("delta")
+        .over(W.orderBy("v", "uid").rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("cs"),
+    )
+    got = two_pass_prefix_sum(
+        df, [("v", "asc"), ("uid", "asc")], "delta", out_col="cs"
+    ).select("uid", "cs")
+    assert exp.exceptAll(got).count() == 0
+
+
+def test_two_pass_plans_have_partitioned_windows_only(spark):
+    df = _df(spark)
+    ranked = two_pass_rank(df.select("v", "uid"), [("v", "asc"), ("uid", "asc")])
+    assert unpartitioned_window_count(ranked) == 0
+
+
+def test_empty_input(spark):
+    df = _df(spark).filter(F.lit(False))
+    assert two_pass_rank(df.select("v", "uid"), [("v", "asc"), ("uid", "asc")]).count() == 0
+    assert (
+        two_pass_prefix_sum(df, [("v", "asc"), ("uid", "asc")], "delta", out_col="cs").count()
+        == 0
+    )

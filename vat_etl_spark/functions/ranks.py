@@ -1,0 +1,228 @@
+"""Two-pass range-partitioned global ordering primitives.
+
+A global ``row_number()/ntile()/running-sum`` window with no partition key
+compiles to a single-partition WindowExec — every row through ONE task,
+the classic 100 TB scale-killer. The scalable spelling is the TeraSort
+discipline, done here as pure DataFrame ops:
+
+1. **Boundary sample** (driver-side, once): sample the order key, sort it,
+   pick ``B-1`` boundary tuples. The boundaries are embedded as LITERALS,
+   so every downstream pass is a deterministic pure function of the input —
+   no persist/checkpoint needed for re-evaluation consistency (unlike
+   ``repartitionByRange``, whose sampled boundaries change per RDD
+   instantiation). Any boundary set is CORRECT (buckets respect the total
+   order by construction); sampling quality only affects balance.
+2. **Pass 1** (count/sum per bucket): a B-row aggregate, collected to the
+   driver; cumulative offsets per bucket are again literals.
+3. **Pass 2**: per-bucket local window (``partitionBy(_bucket)`` — B
+   parallel window partitions, never one) plus the broadcast offset.
+
+Rank arithmetic is layout-free, so results are bit-identical to the
+single-partition window: these helpers are drop-in replacements for
+``row_number().over(Window.orderBy(...))`` (``two_pass_rank``),
+``ntile(k).over(...)`` (``two_pass_ntile``) and a global running sum
+(``two_pass_prefix_sum``) wherever the order key is a TOTAL order (callers
+must include a unique tie-break column — same contract the oracle-exact
+single-partition spellings already required).
+
+Keys must be non-null atomic orderable types. The input is scanned twice
+(pass 1 + pass 2) plus the key-only sample; at 100 TB you would persist the
+(usually already aggregated) input once — correctness does not depend on it.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+OrderSpec = Sequence[tuple[str, str]]  # [(col, "asc"|"desc"), ...]
+
+_BUCKET = "__tpr_bucket"
+
+
+def _sort_exprs(order: OrderSpec) -> list[Column]:
+    return [
+        F.col(c).desc() if d == "desc" else F.col(c).asc() for c, d in order
+    ]
+
+
+def _cmp_rows(order: OrderSpec):
+    """Driver-side lexicographic comparator honouring per-column direction."""
+
+    def cmp(a, b) -> int:
+        for i, (_, d) in enumerate(order):
+            x, y = a[i], b[i]
+            if x == y:
+                continue
+            lt = x < y
+            if d == "desc":
+                lt = not lt
+            return -1 if lt else 1
+        return 0
+
+    return cmp
+
+
+def _gt_boundary(order: OrderSpec, boundary: tuple) -> Column:
+    """Column predicate: row's key tuple is strictly AFTER ``boundary`` in
+    the given order (lexicographic, direction-aware)."""
+    expr = F.lit(False)
+    for i in range(len(order) - 1, -1, -1):
+        col, d = order[i]
+        b = F.lit(boundary[i])
+        after = F.col(col) < b if d == "desc" else F.col(col) > b
+        expr = after | ((F.col(col) == b) & expr)
+    return expr
+
+
+def _boundaries(
+    df: DataFrame, order: OrderSpec, buckets: int, sample_per_bucket: int, seed: int
+) -> list[tuple]:
+    cols = [c for c, _ in order]
+    sample = df.select(*cols).rdd.takeSample(
+        False, buckets * sample_per_bucket, seed=seed
+    )
+    if not sample:
+        return []
+    keys = sorted((tuple(r) for r in sample), key=functools.cmp_to_key(_cmp_rows(order)))
+    bounds: list[tuple] = []
+    for i in range(1, buckets):
+        cand = keys[(i * len(keys)) // buckets]
+        if not bounds or _cmp_rows(order)(bounds[-1], cand) < 0:
+            bounds.append(cand)
+    return bounds
+
+
+def _bucketize(
+    df: DataFrame, order: OrderSpec, buckets: int, sample_per_bucket: int, seed: int
+) -> DataFrame:
+    bounds = _boundaries(df, order, buckets, sample_per_bucket, seed)
+    if not bounds:
+        return df.withColumn(_BUCKET, F.lit(0))
+    bucket = functools.reduce(
+        Column.__add__,
+        (_gt_boundary(order, b).cast("int") for b in bounds),
+    )
+    return df.withColumn(_BUCKET, bucket)
+
+
+def _offset_expr(offsets: dict[int, int]) -> Column:
+    pairs: list[Column] = []
+    for k, v in offsets.items():
+        pairs += [F.lit(k), F.lit(v)]
+    return F.element_at(F.create_map(*pairs), F.col(_BUCKET))
+
+
+def _rank_with_total(
+    df: DataFrame,
+    order: OrderSpec,
+    rank_col: str,
+    buckets: int,
+    sample_per_bucket: int,
+    seed: int,
+) -> tuple[DataFrame, int]:
+    b = _bucketize(df, order, buckets, sample_per_bucket, seed)
+    counts = {r[0]: r[1] for r in b.groupBy(_BUCKET).count().collect()}
+    offsets: dict[int, int] = {}
+    acc = 0
+    for k in sorted(counts):
+        offsets[k] = acc
+        acc += counts[k]
+    if not offsets:
+        offsets = {0: 0}
+    local = F.row_number().over(W.partitionBy(_BUCKET).orderBy(*_sort_exprs(order)))
+    ranked = b.withColumn(
+        rank_col, (_offset_expr(offsets) + local).cast("bigint")
+    ).drop(_BUCKET)
+    return ranked, acc
+
+
+def two_pass_rank(
+    df: DataFrame,
+    order: OrderSpec,
+    *,
+    rank_col: str = "rk",
+    buckets: int = 32,
+    sample_per_bucket: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Global ``row_number()`` over a total order, range-partitioned.
+
+    Returns ``df`` plus ``rank_col`` (bigint, 1-based). Bit-identical to
+    ``row_number().over(Window.orderBy(...))`` for total-order keys, with a
+    ``partitionBy(bucket)`` window (B-way parallel) instead of the
+    single-partition global WindowExec.
+    """
+    ranked, _ = _rank_with_total(df, order, rank_col, buckets, sample_per_bucket, seed)
+    return ranked
+
+
+def ntile_from_rank(rank: Column, n: int, k: int) -> Column:
+    """SQL ``ntile(k)`` from a global 1-based rank and total row count ``n``
+    (pure rank arithmetic: first ``n % k`` tiles get ``n//k + 1`` rows)."""
+    q, r = divmod(n, k)
+    if q == 0:
+        return rank.cast("int")
+    head = r * (q + 1)
+    # floor(a / b) over doubles is exact for a < 2^53 — far past any real
+    # row count; keeps the expression codegen-friendly without expr() text.
+    return (
+        F.when(rank <= head, F.floor((rank + q) / (q + 1)))
+        .otherwise(r + F.floor((rank - head + q - 1) / q))
+        .cast("int")
+    )
+
+
+def two_pass_ntile(
+    df: DataFrame,
+    order: OrderSpec,
+    k: int,
+    *,
+    tile_col: str,
+    buckets: int = 32,
+    sample_per_bucket: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Global ``ntile(k)`` over a total order, range-partitioned; returns
+    ``df`` plus ``tile_col`` (int, 1-based), dropping the intermediate rank.
+    """
+    rc = "__tpr_rank"
+    ranked, n = _rank_with_total(df, order, rc, buckets, sample_per_bucket, seed)
+    return ranked.withColumn(tile_col, ntile_from_rank(F.col(rc), n, k)).drop(rc)
+
+
+def two_pass_prefix_sum(
+    df: DataFrame,
+    order: OrderSpec,
+    value_col: str,
+    *,
+    out_col: str,
+    buckets: int = 32,
+    sample_per_bucket: int = 64,
+    seed: int = 7,
+) -> DataFrame:
+    """Global running sum of ``value_col`` in key order (rows between
+    unbounded preceding and current row), range-partitioned: per-bucket sums
+    → driver cumulative offsets → offset + local running sum. The sweep-line
+    primitive for interval-concurrency problems."""
+    b = _bucketize(df, order, buckets, sample_per_bucket, seed)
+    sums = {
+        r[0]: r[1] or 0
+        for r in b.groupBy(_BUCKET).agg(F.sum(value_col)).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for k in sorted(sums):
+        offsets[k] = acc
+        acc += sums[k]
+    if not offsets:
+        offsets = {0: 0}
+    local = F.sum(value_col).over(
+        W.partitionBy(_BUCKET)
+        .orderBy(*_sort_exprs(order))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return b.withColumn(out_col, _offset_expr(offsets) + local).drop(_BUCKET)

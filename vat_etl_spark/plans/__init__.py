@@ -10,6 +10,7 @@ from vat_etl_spark.plans.inspect import (
     pushed_filters,
     read_schema_columns,
     shuffle_count,
+    unpartitioned_window_count,
 )
 
 __all__ = [
@@ -18,4 +19,5 @@ __all__ = [
     "read_schema_columns",
     "has_broadcast_join",
     "shuffle_count",
+    "unpartitioned_window_count",
 ]

@@ -43,3 +43,36 @@ def shuffle_count(df: DataFrame) -> int:
     (excludes BroadcastExchange, which moves dim-sized data only)."""
     plan = formatted_plan(df)
     return len(re.findall(r"\n\s*(?:\+-|:-)?\s*Exchange ", plan)) + plan.startswith("Exchange")
+
+
+def _top_level_groups(line: str) -> int:
+    """Count top-level [...] groups in a formatted-plan Arguments line."""
+    depth = 0
+    groups = 0
+    for ch in line:
+        if ch == "[":
+            if depth == 0:
+                groups += 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+    return groups
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of WindowExec nodes with an EMPTY partition spec — the
+    single-partition global windows that serialize at scale. In the
+    formatted plan a Window node's Arguments line is
+    ``[exprs], [partitionSpec], [orderSpec]`` (3 groups) when partitioned
+    and ``[exprs], [orderSpec]`` (2 groups) when global."""
+    plan = formatted_plan(df)
+    lines = plan.splitlines()
+    count = 0
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Window", line.strip()):
+            for j in range(i + 1, min(i + 6, len(lines))):
+                if lines[j].startswith("Arguments:"):
+                    if _top_level_groups(lines[j]) < 3:
+                        count += 1
+                    break
+    return count

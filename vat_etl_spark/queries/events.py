@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from vat_etl_spark.functions.numeric import dsum, dsum_sql
+from vat_etl_spark.functions.ranks import two_pass_ntile
 from vat_etl_spark.queries import query
 from vat_etl_spark.sources.catalog import read_table as _t
 
@@ -402,9 +403,10 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile orders by (metric, user_id) — the tie-break key that makes
     quintile assignment a total order (the verified-safe ntile contract,
     scores 1 = best). Scale shape: one filtered fact agg to user grain;
-    the three global ntiles run over USER-grain rows — at 100 TB these
-    become two-pass range-partitioned quantile assignment, same results
-    (ntile boundaries are rank arithmetic, layout-free)."""
+    the three quintile assignments run over USER-grain rows as two-pass
+    range-partitioned rank arithmetic (functions/ranks.py — layout-free,
+    same results as global ntile, no single-partition WindowExec;
+    asserted in tests/test_plans.py)."""
     p = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase").select(
         "user_id",
         F.to_date("ts").alias("d"),
@@ -416,17 +418,17 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("frequency"),
         F.sum("cents").alias("monetary_cents"),
     )
-    scored = (
-        base.withColumn(
-            "r_score", F.ntile(5).over(W.orderBy(F.asc("recency_days"), "user_id"))
-        )
-        .withColumn(
-            "f_score", F.ntile(5).over(W.orderBy(F.desc("frequency"), "user_id"))
-        )
-        .withColumn(
-            "m_score",
-            F.ntile(5).over(W.orderBy(F.desc("monetary_cents"), "user_id")),
-        )
+    scored = two_pass_ntile(
+        base, [("recency_days", "asc"), ("user_id", "asc")], 5, tile_col="r_score"
+    )
+    scored = two_pass_ntile(
+        scored, [("frequency", "desc"), ("user_id", "asc")], 5, tile_col="f_score"
+    )
+    scored = two_pass_ntile(
+        scored,
+        [("monetary_cents", "desc"), ("user_id", "asc")],
+        5,
+        tile_col="m_score",
     )
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")

@@ -27,6 +27,7 @@ from vat_etl_spark.functions.numeric import (
     hsum_merge,
     hsum_partial,
 )
+from vat_etl_spark.functions.ranks import two_pass_ntile, two_pass_rank
 from vat_etl_spark.queries import query
 from vat_etl_spark.sources.catalog import read_table as _t
 
@@ -1356,19 +1357,19 @@ FROM supplier
 
 @query("ids_assign_stable", oracle=_IDS_SQL)
 def ids_assign_stable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stable global ID assignment via row_number over a deterministic key
-    order — the reproducible way to mint surrogate keys. At 100 TB a single
-    global window serializes; the scalable spelling is two-pass: per-
-    partition counts → broadcast cumulative offsets → offset + local
-    row_number (same result, no global sort). ``monotonically_increasing_id``
-    is the zero-shuffle alternative when ids only need uniqueness, not
-    density or stability across runs — its values encode (partition, row)
-    and change with the layout, so it never feeds an oracle-checked
-    contract."""
-    s = _t(spark, sf_dir, "supplier")
-    w = W.orderBy("s_suppkey")
-    return s.select(
-        F.row_number().over(w).alias("stable_id"), "s_suppkey", "s_name"
+    """Stable global ID assignment — the reproducible way to mint surrogate
+    keys — via ``two_pass_rank`` (functions/ranks.py): literal range
+    boundaries → per-bucket counts → broadcast cumulative offsets → offset +
+    per-bucket local row_number. Rank arithmetic is layout-free, so the
+    result is bit-identical to ``row_number() OVER (ORDER BY s_suppkey)``
+    with NO single-partition WindowExec anywhere in the plan (asserted in
+    tests/test_plans.py). ``monotonically_increasing_id`` is the
+    zero-shuffle alternative when ids only need uniqueness, not density or
+    stability across runs — its values encode (partition, row) and change
+    with the layout, so it never feeds an oracle-checked contract."""
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return two_pass_rank(s, [("s_suppkey", "asc")], rank_col="stable_id").select(
+        "stable_id", "s_suppkey", "s_name"
     )
 
 
@@ -1771,17 +1772,16 @@ def agg_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     customers, cents ≤ 2^47 — no overflow until ~10^11 customers); the
     final expression is a fixed tree of IEEE ops, so both engines emit the
     same double. The rank tie-breaks on custkey → total order. Scale
-    shape: one fact agg to customer grain, one global rank over that grain
-    (two-pass range-partitioned at 100 TB — rank arithmetic is
-    layout-free), one tiny reduce."""
+    shape: one fact agg to customer grain, one two-pass range-partitioned
+    rank over that grain (functions/ranks.py — rank arithmetic is
+    layout-free, no single-partition WindowExec), one tiny reduce."""
     o = _t(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("spend")
     )
-    ranked = cust.select(
-        "spend",
-        F.row_number().over(W.orderBy("spend", "o_custkey")).alias("rk"),
-    )
+    ranked = two_pass_rank(
+        cust, [("spend", "asc"), ("o_custkey", "asc")], rank_col="rk"
+    ).select("spend", "rk")
     agg = ranked.agg(
         F.count("*").alias("n"),
         F.sum("spend").alias("total"),
@@ -1894,29 +1894,43 @@ def agg_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     = X% of revenue' statement, and the curve whose area the Gini
     coefficient (agg_gini_concentration) summarizes.
 
-    Integer window sums over 10 decile rows; shares are terminal
-    divisions. Scale: fact → customer grain → 10 rows; the global ntile is
-    rank arithmetic (range-partitioned two-pass at 100 TB)."""
+    Integer sums over 10 decile rows; shares are terminal divisions.
+    Scale: fact → customer grain → 10 rows; the global ntile is two-pass
+    range-partitioned rank arithmetic (functions/ranks.py), and the 10-row
+    cumulative/total sums are triangular broadcast self-joins — the whole
+    plan has NO single-partition WindowExec (asserted in
+    tests/test_plans.py)."""
     o = _t(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("spend")
     )
-    d = cust.select(
-        "spend", F.ntile(10).over(W.orderBy("spend", "o_custkey")).alias("decile")
-    )
+    d = two_pass_ntile(
+        cust, [("spend", "asc"), ("o_custkey", "asc")], 10, tile_col="decile"
+    ).select("spend", "decile")
     g = d.groupBy("decile").agg(
         F.count("*").alias("n_customers"), F.sum("spend").alias("decile_cents")
     )
-    return g.select(
+    cum = (
+        g.join(
+            F.broadcast(
+                g.select(
+                    F.col("decile").alias("b_decile"),
+                    F.col("decile_cents").alias("b_cents"),
+                )
+            ),
+            F.col("b_decile") <= F.col("decile"),
+        )
+        .groupBy("decile", "n_customers", "decile_cents")
+        .agg(F.sum("b_cents").alias("cum_cents"))
+    )
+    total = g.agg(F.sum("decile_cents").alias("tot_cents"))
+    return cum.crossJoin(F.broadcast(total)).select(
         "decile",
         "n_customers",
         "decile_cents",
-        (
-            F.sum("decile_cents")
-            .over(W.orderBy("decile").rowsBetween(W.unboundedPreceding, W.currentRow))
-            .cast("double")
-            / F.sum("decile_cents").over(W.partitionBy()).cast("double")
-        ).alias("cum_share"),
+        (F.col("cum_cents").cast("double") / F.col("tot_cents").cast("double")).alias(
+            "cum_share"
+        ),
     )
 
 

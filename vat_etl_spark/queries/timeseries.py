@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from vat_etl_spark.functions.numeric import dsumx, dsumx_sql
+from vat_etl_spark.functions.ranks import two_pass_prefix_sum
 from vat_etl_spark.queries import query
 from vat_etl_spark.sources.catalog import read_table as _t
 
@@ -340,10 +341,11 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the deterministic (t, delta) order — −1 before +1 at equal
     timestamps, the conservative tie rule), so the sweep is oracle-exact.
     Scale shape: sessionization and boundary emission are key-partitioned;
-    only the boundary stream (2 rows per session, not per event) crosses
-    the global ordered window — at 100 TB, range-partition the sweep by
-    day after carrying each day's opening balance (two-pass prefix-sum),
-    same discipline as ids_assign_stable."""
+    only the boundary stream (2 rows per session, not per event) reaches
+    the global sweep, which runs as ``two_pass_prefix_sum``
+    (functions/ranks.py): range buckets by (t, delta) → per-bucket delta
+    sums → broadcast opening balances → local running sum. No
+    single-partition WindowExec (asserted in tests/test_plans.py)."""
     e = _t(spark, sf_dir, "events")
     wu = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(wu)
@@ -366,11 +368,8 @@ def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1).alias("delta"),
         )
     )
-    swept = bounds.select(
-        "t",
-        F.sum("delta")
-        .over(W.orderBy("t", "delta").rowsBetween(W.unboundedPreceding, W.currentRow))
-        .alias("concurrency"),
+    swept = two_pass_prefix_sum(
+        bounds, [("t", "asc"), ("delta", "asc")], "delta", out_col="concurrency"
     )
     return swept.groupBy(F.to_date("t").alias("day")).agg(
         F.max("concurrency").alias("peak_concurrent_sessions")
