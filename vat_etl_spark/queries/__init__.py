@@ -108,6 +108,7 @@ _FIRST = [
     "retrieval_chunk_maxp",
     "retrieval_prf_rm3",
     # --- round-6 registrations (new this round, inside the window) ---
+    "ann_ivfpq_search",
 ]
 
 

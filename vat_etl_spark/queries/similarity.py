@@ -652,6 +652,124 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ann_ivfpq_search")  # rows-only: audits the engine's own IVF+PQ stack
+def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN stack composed end-to-end: IVF coarse probe →
+    PQ asymmetric-distance (ADC) scoring inside the probed cells → exact
+    re-rank of the ADC shortlist (Jégou et al. 2011's IVFADC system,
+    §IV-B). This is what a 100 TB vector store actually runs: the coarse
+    quantizer cuts the corpus to ~N·nprobe/K candidates (cell id is the
+    partition key — a probe touches nprobe co-located partitions), ADC
+    scores those candidates from 8 integer codes + a broadcast
+    (queries × M × K) lookup table without touching a single corpus float,
+    and only the top `shortlist` survivors per query are re-scored against
+    their true vectors.
+
+    Reuses the registered build steps (`ann_ivf_coarse` cell assignment,
+    `ann_pq_encode` codes, the shared `_pq_centroids` codebook) so the
+    audit can never drift from what the engine actually indexes. Output:
+    one row per query — corpus size, candidates after the IVF cut, ADC
+    shortlist size, exact-rerank hits against the full-corpus L2 truth,
+    recall@10. tests/test_graph.py pins mean recall at/above the
+    standalone-PQ floor (the exact re-rank repairs ADC quantization-error
+    misrankings inside the candidate set; the IVF cut is the only recall
+    loss left). SCALE.md records the candidate-reduction factor."""
+    k, nprobe, shortlist = 10, 3, 30
+    em = _t(spark, sf_dir, "embeddings")
+    n_corpus = em.count()
+    codes = QUERIES["ann_pq_encode"](spark, sf_dir).withColumnRenamed("subspace", "s")
+    assign = QUERIES["ann_ivf_coarse"](spark, sf_dir).select("vec_id", "centroid_id")
+    cents = em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), _dbl(F.col("embedding")).alias("cv")
+    )
+    queries = em.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), _dbl(F.col("embedding")).alias("qv")
+    )
+    # coarse probe: nprobe nearest cells per query (L2, the PQ metric)
+    qc = queries.join(F.broadcast(cents))
+    wq = W.partitionBy("qid").orderBy(_l2sq(F.col("qv"), F.col("cv")), F.asc("cid"))
+    probes = (
+        qc.select("qid", "cid", F.row_number().over(wq).alias("rn"))
+        .filter(F.col("rn") <= nprobe)
+        .select("qid", F.col("cid").alias("centroid_id"))
+    )
+    # candidates: vectors assigned to probed cells (cell-keyed join, never a scan)
+    cand = (
+        probes.join(assign, "centroid_id")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id")
+    )
+    n_cand = cand.count()
+    # ADC: per-query LUT (queries × M × K rows, broadcast); candidate distance
+    # is the sorted-fold sum of 8 integer-keyed lookups (the partition-
+    # invariance discipline of ann_pq_recall_eval)
+    qsub = queries.select("qid", _subspaces(F.col("qv")).alias("sp")).select(
+        "qid", F.col("sp.s").alias("s"), F.col("sp.sub").alias("qsub")
+    )
+    lut = qsub.join(F.broadcast(_pq_centroids(em)), "s").select(
+        "qid", "s", F.col("cid").alias("code"),
+        _l2sq(F.col("qsub"), F.col("csub")).alias("d2q"),
+    )
+    adc = (
+        cand.join(codes, "vec_id")
+        .join(F.broadcast(lut), ["qid", "s", "code"])
+        .groupBy("qid", "vec_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "d2q"))).alias("terms"))
+        .select(
+            "qid", "vec_id",
+            F.aggregate(
+                F.transform("terms", lambda t: t["d2q"]),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ).alias("adc_dist"),
+        )
+    )
+    ws = W.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(ws))
+        .filter(F.col("rn") <= shortlist)
+        .select("qid", "vec_id")
+    )
+    # exact re-rank of the shortlist only (shortlist × dim floats per query)
+    ev = em.select("vec_id", _dbl(F.col("embedding")).alias("ev"))
+    rer = short.join(ev, "vec_id").join(F.broadcast(queries), "qid").select(
+        "qid", "vec_id", _l2sq(F.col("qv"), F.col("ev")).alias("d2")
+    )
+    wr = W.partitionBy("qid").orderBy("d2", "vec_id")
+    approx = (
+        rer.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id")
+    )
+    # full-corpus L2 truth (the audit's ground truth, not part of the search)
+    exact_scored = ev.join(F.broadcast(queries), F.col("vec_id") != F.col("qid")).select(
+        "qid", "vec_id", _l2sq(F.col("qv"), F.col("ev")).alias("d2")
+    )
+    we = W.partitionBy("qid").orderBy("d2", "vec_id")
+    truth = (
+        exact_scored.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id")
+    )
+    hits = truth.join(approx, ["qid", "vec_id"]).groupBy("qid").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        truth.groupBy("qid")
+        .agg(F.count("*").alias("n_truth"))
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.lit(n_corpus).alias("n_corpus"),
+            F.lit(n_cand).alias("n_candidates_total"),
+            F.lit(shortlist).alias("shortlist"),
+            "n_truth",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) / F.col("n_truth")).alias("recall_at_10"),
+        )
+    )
+
+
 # --- hybrid retrieval: BM25 + vector, reciprocal-rank fusion -------------------
 
 from vat_etl_spark.queries.text import _BM25_SQL  # noqa: E402  (one BM25 source of truth)
