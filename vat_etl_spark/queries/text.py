@@ -232,13 +232,18 @@ def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- document chunking (LLM training-data prep) -------------------------------
 
-_CHUNK_SQL = """
+# One source of truth for the chunking geometry: interpolated into BOTH SQL
+# oracles (_CHUNK_SQL, _MAXP_SQL) and read by text_chunking's Python body, so
+# a window/stride change can never desynchronize the three spellings.
+_CHUNK_WINDOW, _CHUNK_STRIDE, _CHUNK_CAP = 200, 160, 63
+
+_CHUNK_SQL = f"""
 SELECT doc_id, chunk_idx,
-       substring(text, cast(chunk_idx * 160 + 1 AS BIGINT), 200) AS chunk,
-       len(substring(text, cast(chunk_idx * 160 + 1 AS BIGINT), 200)) AS chunk_len
+       substring(text, cast(chunk_idx * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_WINDOW}) AS chunk,
+       len(substring(text, cast(chunk_idx * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_WINDOW})) AS chunk_len
 FROM documents
-CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS chunk_idx)
-WHERE chunk_idx * 160 < len(text)
+CROSS JOIN (SELECT unnest(generate_series(0, {_CHUNK_CAP})) AS chunk_idx)
+WHERE chunk_idx * {_CHUNK_STRIDE} < len(text)
 """
 
 
@@ -251,7 +256,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     count per doc is bounded so no skew. A Python UDTF could express the
     same thing — this form keeps whole-stage codegen."""
     d = _t(spark, sf_dir, "documents")
-    window, stride = 200, 160
+    window, stride = _CHUNK_WINDOW, _CHUNK_STRIDE
     n_chunks = F.ceil(F.length("text") / F.lit(stride)).cast("int")
     # clamp the sequence end to >= 0: for an EMPTY document n_chunks-1 is
     # -1 and Spark's sequence(0, -1) DESCENDS to [0, -1] — the phantom
@@ -259,7 +264,7 @@ def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from the oracle's generate_series(0, 63); the clamped [0] chunk is
     # then correctly removed by the filter (0 < 0 is false)
     idx = F.explode(
-        F.sequence(F.lit(0), F.greatest(F.least(n_chunks - 1, F.lit(63)), F.lit(0)))
+        F.sequence(F.lit(0), F.greatest(F.least(n_chunks - 1, F.lit(_CHUNK_CAP)), F.lit(0)))
     )
     chunked = d.select("doc_id", "text", idx.alias("chunk_idx"))
     chunk = F.substring(
@@ -537,18 +542,32 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     BEFORE the shuffle, so only query-term postings move), one for dl;
     df and the corpus stats are tiny broadcasts. This is a scan + two
     shuffles regardless of corpus size — the BM25 of a 100 TB corpus
-    moves only its postings lists."""
+    moves only its postings lists.
+
+    dl is computed as ``size(tokens)`` — a map-only projection on the same
+    scan (identical to explode+count: the splitter emits one token per
+    whitespace gap, incl. the empty token of empty text), so the whole
+    ranking costs ONE explode-shuffle (the term-filtered tf), not two."""
     d = _t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("w"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        F.count("*").alias("n_docs"),
-    )
+    toks = tokens_expr(F.col("text"))
+    dl = d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
+    tok = d.select("doc_id", F.explode(toks).alias("w"))
     tf = (
         tok.filter(F.col("w").isin(_BM25_TERMS))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
+    )
+    return _bm25_round1(tf, dl)
+
+
+def _bm25_round1(tf: DataFrame, dl: DataFrame, limit: int = 50) -> DataFrame:
+    """The registered BM25 ranking over prebuilt (doc_id, w, tf) postings
+    and doc-length frames — shared with retrieval_prf_rm3, whose feedback
+    round reuses (persists) the round-1 postings instead of re-deriving
+    them from the corpus."""
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
     )
     df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
     idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -574,7 +593,7 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.groupBy("doc_id")
         .agg(score.alias("score"))
         .orderBy(F.desc("score"), "doc_id")
-        .limit(50)
+        .limit(limit)
     )
 
 
@@ -822,13 +841,13 @@ def text_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- chunk-level retrieval with max-passage aggregation (MaxP) ----------------
 
-_MAXP_SQL = r"""
+_MAXP_SQL = rf"""
 WITH chunks AS (
   SELECT doc_id, chunk_idx,
-         substring(text, cast(chunk_idx * 160 + 1 AS BIGINT), 200) AS chunk
+         substring(text, cast(chunk_idx * {_CHUNK_STRIDE} + 1 AS BIGINT), {_CHUNK_WINDOW}) AS chunk
   FROM documents
-  CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS chunk_idx)
-  WHERE chunk_idx * 160 < len(text)
+  CROSS JOIN (SELECT unnest(generate_series(0, {_CHUNK_CAP})) AS chunk_idx)
+  WHERE chunk_idx * {_CHUNK_STRIDE} < len(text)
 ),
 tok AS (
   SELECT doc_id, chunk_idx,
@@ -1021,47 +1040,62 @@ def retrieval_prf_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     Engine-exactness: the oracle derives the SAME expansion terms in SQL
     (no literals baked from the Spark run), every constant is a shared
     literal, and both engines fold the per-term scores in term-rank
-    order. Scale: feedback term counting touches only the top-k docs'
-    postings; round 2 is the audited BM25 shape with 5 terms instead
-    of 3."""
+    order. Scale: the round-1 postings are built ONCE and persisted — the
+    doc-length frame (map-only ``size(tokens)``, no explode shuffle) and
+    the term-filtered tf (doc×3 rows) are reused by the feedback round, so
+    round 2 adds only the expansion-term postings scan and the 10
+    feedback docs' term counting (two BM25 rounds are inherent to PRF, a
+    third full postings build is not)."""
     lam = _PRF_LAMBDA
     d = _t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens_expr(F.col("text"))).alias("w"))
-    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    toks = tokens_expr(F.col("text"))
+    dl = d.select("doc_id", F.size(toks).cast("bigint").alias("dl")).persist()
+    tok = d.select("doc_id", F.explode(toks).alias("w"))
     stats = dl.agg(
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
         F.count("*").alias("n_docs"),
     )
-    fb = (
-        QUERIES["text_bm25_ranking"](spark, sf_dir)
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(_PRF_FB_DOCS)
-        .select("doc_id")
+    tf3 = (
+        tok.filter(F.col("w").isin(_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .persist()
     )
-    exp_terms = (
-        tok.join(fb, "doc_id")
+    # the feedback state is model-sized (10 doc ids, then 2 expansion
+    # terms) — collect it and re-inject as literals, so the final plan is
+    # one linear job instead of re-running the round-1 subtree inside
+    # every branch that references the lazy expansion frame (the
+    # model-sized-collect discipline of kmeans_lloyd / text_bpe_merges)
+    fb_ids = [
+        r.doc_id for r in _bm25_round1(tf3, dl, limit=_PRF_FB_DOCS).collect()
+    ]
+    # tokenize ONLY the feedback docs: the pushed-down id filter prunes
+    # before the explode — feedback-term counting splits 10 documents
+    fb_tok = (
+        d.filter(F.col("doc_id").isin(fb_ids))
+        .select(F.explode(toks).alias("w"))
+    )
+    exp_rows = (
+        fb_tok
         .filter(~F.col("w").isin(_BM25_TERMS) & ~F.col("w").isin(STOPWORDS))
         .groupBy("w")
         .agg(F.count("*").alias("c"))
         .orderBy(F.desc("c"), "w")
         .limit(_PRF_N_EXP)
-        .select(
-            "w",
-            (
-                F.lit(2)
-                + F.row_number().over(W.orderBy(F.desc("c"), "w"))
-            ).cast("long").alias("term_rank"),
-            F.lit(lam).alias("wgt"),
-        )
+        .collect()
     )
-    orig = spark.createDataFrame(
-        [(t, i, 1.0) for i, t in enumerate(_BM25_TERMS)],
+    exp_ws = [r.w for r in exp_rows]
+    terms = spark.createDataFrame(
+        [(t, i, 1.0) for i, t in enumerate(_BM25_TERMS)]
+        + [(w, 2 + j + 1, lam) for j, w in enumerate(exp_ws)],
         "w string, term_rank long, wgt double",
     )
-    terms = orig.unionByName(exp_terms)
-    tf = tok.join(F.broadcast(terms.select("w")), "w").groupBy("doc_id", "w").agg(
-        F.count("*").alias("tf")
+    tf_exp = (
+        tok.filter(F.col("w").isin(exp_ws))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
     )
+    tf = tf3.unionByName(tf_exp)
     df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
     idf = (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
     tfnorm = (F.col("tf") * F.lit(2.2)) / (
