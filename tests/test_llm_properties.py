@@ -73,3 +73,21 @@ def test_phash_matches_python_on_arbitrary_bytes(spark, payloads):
 
     for i, b in enumerate(payloads):
         assert got[i] == ref(b), b
+
+
+def test_sampling_coin_never_overflows_to_negative(spark):
+    """The per-mille sampling coin folds doc_id to 31 bits BEFORE the
+    multiply: for doc_id up to 2^62 the bucket stays in [0, 1000) — the
+    unmasked product would wrap negative above ~3.5e9 (and a negative
+    bucket always passes `bucket < rate`, silently keeping every such
+    doc). Pins the masked form for both primes."""
+    from pyspark.sql import functions as F
+
+    ids = [0, 1, 3_499_999_999, 2**31, 2**40, 2**62, 2**62 + 12345]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = df.select(
+        (((F.col("doc_id") % 2147483648) * 2654435761) % 1000).alias("b1"),
+        (((F.col("doc_id") % 2147483648) * 2246822519) % 1000).alias("b2"),
+    ).collect()
+    for r in out:
+        assert 0 <= r.b1 < 1000 and 0 <= r.b2 < 1000, tuple(r)

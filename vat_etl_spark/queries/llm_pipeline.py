@@ -233,7 +233,7 @@ _N_PACK_SHARDS = 4
 _PACKING_SQL = f"""
 WITH sized AS (
   SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens,
-         (doc_id * 2654435761) % {_N_PACK_SHARDS} AS shard
+         ((doc_id % 2147483648) * 2654435761) % {_N_PACK_SHARDS} AS shard
   FROM documents
 ),
 runs AS (
@@ -266,7 +266,7 @@ def pipeline_seq_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = d.select(
         "doc_id", "lang",
         F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
-        ((F.col("doc_id") * 2654435761) % _N_PACK_SHARDS)
+        (((F.col("doc_id") % 2147483648) * 2654435761) % _N_PACK_SHARDS)
         .cast("long")
         .alias("shard"),
     )
@@ -296,7 +296,7 @@ _MIX_CASE_SQL = "CASE lang " + " ".join(
 _DOMAIN_MIX_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens,
-         (doc_id * 2654435761) % 1000 AS bucket,
+         ((doc_id % 2147483648) * 2654435761) % 1000 AS bucket,
          CAST(round(({_MIX_CASE_SQL}) * 1000) AS BIGINT) AS keep_per_mille
   FROM documents
 )
@@ -321,7 +321,14 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     800. Output is the per-domain mix report (kept counts + token
     budget). Map-side Bernoulli selection + one tiny aggregate; at 100 TB
     the selection fuses into the scan and the report aggregate shuffles 5
-    rows."""
+    rows.
+
+    Every coin here folds doc_id to 31 bits BEFORE the multiply
+    (``(doc_id % 2^31) * prime``, product < 2^63): the unmasked product
+    overflows int64 for doc_id above ~3.5e9, where non-ANSI Spark wraps
+    to a negative bucket (which always passes ``bucket < rate`` — every
+    such doc silently kept) while DuckDB raises — exactly the 100 TB
+    regime. Assumes non-negative doc_id (the corpus-ingest contract)."""
     d = _t(spark, sf_dir, "documents")
     weight = F.element_at(
         F.create_map(*[F.lit(x) for kv in _MIX_WEIGHTS.items() for x in kv]),
@@ -330,7 +337,7 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = d.select(
         "doc_id", "lang",
         F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
-        ((F.col("doc_id") * 2654435761) % 1000).alias("bucket"),
+        (((F.col("doc_id") % 2147483648) * 2654435761) % 1000).alias("bucket"),
         F.round(F.coalesce(weight, F.lit(0.0)) * 1000)
         .cast("long")
         .alias("keep_per_mille"),
@@ -520,7 +527,7 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens,
-         (doc_id * 2654435761) % 100 AS bucket
+         ((doc_id % 2147483648) * 2654435761) % 100 AS bucket
   FROM documents
 ),
 tagged AS (
@@ -549,7 +556,7 @@ def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = d.select(
         "doc_id", "lang",
         F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
-        ((F.col("doc_id") * 2654435761) % 100).alias("bucket"),
+        (((F.col("doc_id") % 2147483648) * 2654435761) % 100).alias("bucket"),
     ).withColumn(
         "split",
         F.when(F.col("bucket") < 90, "train")
@@ -569,7 +576,7 @@ def pipeline_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RESERVOIR_SQL = """
 WITH hashed AS (
   SELECT doc_id, lang, source,
-         (doc_id * 2654435761) % 2147483647 AS h
+         ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
   FROM documents
 ),
 ranked AS (
@@ -601,8 +608,8 @@ def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     hashed = d.select(
         "doc_id", "lang", "source",
-        ((F.col("doc_id") * 2654435761) % 2147483647).alias("h"),
-        ((F.col("doc_id") * 2654435761) % _N_PACK_SHARDS).alias("shard"),
+        (((F.col("doc_id") % 2147483648) * 2654435761) % 2147483647).alias("h"),
+        (((F.col("doc_id") % 2147483648) * 2654435761) % _N_PACK_SHARDS).alias("shard"),
     )
     w_partial = W.partitionBy("lang", "shard").orderBy("h", "doc_id")
     survivors = (
@@ -649,7 +656,7 @@ def build_corpus(
     kept = (
         d.join(quality.filter(F.col("passes")).select("doc_id"), "doc_id")
         .join(survivors, "doc_id")
-        .withColumn("bucket", (F.col("doc_id") * 2654435761) % 100)
+        .withColumn("bucket", ((F.col("doc_id") % 2147483648) * 2654435761) % 100)
         .withColumn(
             "split",
             F.when(F.col("bucket") < 90, "train")
@@ -657,7 +664,7 @@ def build_corpus(
             .otherwise("test"),
         )
         .withColumn(
-            "shard", ((F.col("doc_id") * 2654435761) % n_shards).cast("long")
+            "shard", (((F.col("doc_id") % 2147483648) * 2654435761) % n_shards).cast("long")
         )
         .drop("bucket")
     )
@@ -706,9 +713,9 @@ def build_corpus(
 _NOSPLIT_SQL = f"""
 WITH RECURSIVE d AS (
   SELECT lang, doc_id, {_NTOK_SQL} AS n_tokens,
-         (doc_id * 2654435761) % {_N_PACK_SHARDS} AS shard,
+         ((doc_id % 2147483648) * 2654435761) % {_N_PACK_SHARDS} AS shard,
          row_number() OVER (
-           PARTITION BY lang, (doc_id * 2654435761) % {_N_PACK_SHARDS}
+           PARTITION BY lang, ((doc_id % 2147483648) * 2654435761) % {_N_PACK_SHARDS}
            ORDER BY doc_id) AS rn
   FROM documents
 ),
@@ -775,7 +782,7 @@ def pipeline_seq_packing_nosplit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = d.select(
         "lang", "doc_id",
         F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
-        ((F.col("doc_id") * 2654435761) % _N_PACK_SHARDS)
+        (((F.col("doc_id") % 2147483648) * 2654435761) % _N_PACK_SHARDS)
         .cast("long")
         .alias("shard"),
     )
@@ -1063,7 +1070,7 @@ def pipeline_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TEMP_MIX_SQL = f"""
 WITH feat AS (
   SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens,
-         (doc_id * 2654435761) % 1000 AS bucket
+         ((doc_id % 2147483648) * 2654435761) % 1000 AS bucket
   FROM documents
 ),
 stats AS (
@@ -1111,7 +1118,7 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     feat = d.select(
         "doc_id", "lang",
         F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
-        ((F.col("doc_id") * 2654435761) % 1000).alias("bucket"),
+        (((F.col("doc_id") % 2147483648) * 2654435761) % 1000).alias("bucket"),
     )
     stats = feat.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
@@ -1149,7 +1156,7 @@ _N_SHUFFLE_SHARDS = 16
 _GLOBAL_SHUFFLE_SQL = f"""
 WITH hashed AS (
   SELECT doc_id, lang, {_NTOK_SQL} AS n_tokens,
-         (doc_id * 2654435761) % 2147483647 AS h
+         ((doc_id % 2147483648) * 2654435761) % 2147483647 AS h
   FROM documents
 ),
 sharded AS (
@@ -1184,7 +1191,7 @@ def pipeline_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = d.select(
         "doc_id", "lang",
         F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
-        ((F.col("doc_id") * 2654435761) % 2147483647).alias("h"),
+        (((F.col("doc_id") % 2147483648) * 2654435761) % 2147483647).alias("h"),
     ).withColumn("shard", F.col("h") % _N_SHUFFLE_SHARDS)
     w = W.partitionBy("shard").orderBy("h", "doc_id")
     return hashed.select(
@@ -1201,7 +1208,7 @@ _EPOCH_SQL = f"""
 WITH keyed AS (
   SELECT doc_id, lang, source,
          CAST(substr(source, 4) AS INTEGER) AS src_num,
-         (doc_id * 2246822519) % 1000 AS bucket,
+         ((doc_id % 2147483648) * 2246822519) % 1000 AS bucket,
          {_NTOK_SQL} AS n_tokens
   FROM documents
 ),
@@ -1253,7 +1260,7 @@ def pipeline_epoch_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed = d.select(
         "doc_id", "lang", "source",
         F.substring("source", 4, 10).cast("int").alias("src_num"),
-        ((F.col("doc_id") * 2246822519) % 1000).alias("bucket"),
+        (((F.col("doc_id") % 2147483648) * 2246822519) % 1000).alias("bucket"),
         F.size(tokens_expr(F.col("text"))).alias("n_tokens"),
     )
     weighted = keyed.withColumn(

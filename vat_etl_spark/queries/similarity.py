@@ -772,7 +772,7 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- hybrid retrieval: BM25 + vector, reciprocal-rank fusion -------------------
 
-from vat_etl_spark.queries.text import _BM25_SQL  # noqa: E402  (one BM25 source of truth)
+from vat_etl_spark.queries.text import _bm25_postings, _bm25_sql  # noqa: E402  (one BM25 source of truth)
 
 _RRF_K = 60
 # the lexical branch INTERPOLATES the registered BM25 oracle text and the
@@ -780,8 +780,7 @@ _RRF_K = 60
 _RRF_SQL = f"""
 WITH lex AS (
   SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex
-  FROM ( {_BM25_SQL} ) bm
-  WHERE doc_id <> 0
+  FROM ( {_bm25_sql(where="WHERE doc_id <> 0")} ) bm
 ),
 vecq AS (SELECT cast(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
 vscored AS (
@@ -825,9 +824,12 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the two branch scans, both already audited (text_bm25_ranking,
     knn_bruteforce_cosine)."""
     # doc 0 IS the query (vec_id == doc_id): exclude it from BOTH
-    # branches, not just the vector one, so the fused list can never
-    # contain the query document with an artificially single-branch score
-    lex = QUERIES["text_bm25_ranking"](spark, sf_dir).filter(F.col("doc_id") != 0)
+    # branches, not just the vector one — and BEFORE each branch's top-k,
+    # so the lexical depth is a true 50 even when the query doc would
+    # rank (filtering after the limit silently fused only 49 candidates)
+    from vat_etl_spark.queries.text import _bm25_round1
+
+    lex = _bm25_round1(*_bm25_postings(spark, sf_dir), exclude_doc_id=0)
     wl = W.orderBy(F.desc("score"), "doc_id")
     lex_ranked = lex.select(
         "doc_id", F.row_number().over(wl).alias("rank_lex")

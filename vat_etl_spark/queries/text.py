@@ -299,7 +299,7 @@ survivors AS (
   SELECT fp, min(doc_id) AS keep_id FROM keyed GROUP BY fp
 )
 SELECT k.doc_id, k.lang, k.n_chars, k.n_tokens,
-       cast(k.doc_id * 2654435761 % 8 AS BIGINT) AS shard
+       cast((k.doc_id % 2147483648) * 2654435761 % 8 AS BIGINT) AS shard
 FROM keyed k JOIN survivors s ON k.fp = s.fp AND k.doc_id = s.keep_id
 WHERE k.n_tokens >= 5 AND k.n_chars >= 20
 """
@@ -342,7 +342,7 @@ def pipeline_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k.lang").alias("lang"),
             F.col("k.n_chars").alias("n_chars"),
             F.col("k.n_tokens").alias("n_tokens"),
-            (F.col("k.doc_id") * F.lit(2654435761) % 8).cast("long").alias("shard"),
+            ((F.col("k.doc_id") % 2147483648) * F.lit(2654435761) % 8).cast("long").alias("shard"),
         )
     )
 
@@ -497,7 +497,15 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["hash", "join", "vector"]
 _BM25_K1, _BM25_B = 1.2, 0.75
 
-_BM25_SQL = """
+def _bm25_sql(where: str = "", limit: int = 50) -> str:
+    """BM25 oracle SQL with an optional pre-top-k candidate filter — the
+    exclusion runs BEFORE the LIMIT, so callers (retrieval_hybrid_rrf) get
+    a true top-``limit`` over the filtered candidate set, never a
+    truncated one (corpus stats still include every doc)."""
+    return _BM25_SQL_TEMPLATE.format(where=where, limit=limit)
+
+
+_BM25_SQL_TEMPLATE = """
 WITH tok AS (
   SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
 ),
@@ -524,9 +532,11 @@ SELECT doc_id,
   coalesce(max(CASE WHEN w = 'hash' THEN sterm END), 0.0::DOUBLE)
     + coalesce(max(CASE WHEN w = 'join' THEN sterm END), 0.0::DOUBLE)
     + coalesce(max(CASE WHEN w = 'vector' THEN sterm END), 0.0::DOUBLE) AS score
-FROM scored GROUP BY doc_id
-ORDER BY score DESC, doc_id LIMIT 50
+FROM scored {where} GROUP BY doc_id
+ORDER BY score DESC, doc_id LIMIT {limit}
 """
+
+_BM25_SQL = _bm25_sql()
 
 
 @query("text_bm25_ranking", oracle=_BM25_SQL)
@@ -548,6 +558,14 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan (identical to explode+count: the splitter emits one token per
     whitespace gap, incl. the empty token of empty text), so the whole
     ranking costs ONE explode-shuffle (the term-filtered tf), not two."""
+    tf, dl = _bm25_postings(spark, sf_dir)
+    return _bm25_round1(tf, dl)
+
+
+def _bm25_postings(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """The (doc_id, w, tf) query-term postings and map-only doc-length
+    frames text_bm25_ranking scores — shared with retrieval_hybrid_rrf so
+    its lexical branch can filter candidates BEFORE the top-k."""
     d = _t(spark, sf_dir, "documents")
     toks = tokens_expr(F.col("text"))
     dl = d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
@@ -557,10 +575,12 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
     )
-    return _bm25_round1(tf, dl)
+    return tf, dl
 
 
-def _bm25_round1(tf: DataFrame, dl: DataFrame, limit: int = 50) -> DataFrame:
+def _bm25_round1(
+    tf: DataFrame, dl: DataFrame, limit: int = 50, exclude_doc_id: int | None = None
+) -> DataFrame:
     """The registered BM25 ranking over prebuilt (doc_id, w, tf) postings
     and doc-length frames — shared with retrieval_prf_rm3, whose feedback
     round reuses (persists) the round-1 postings instead of re-deriving
@@ -589,12 +609,12 @@ def _bm25_round1(tf: DataFrame, dl: DataFrame, limit: int = 50) -> DataFrame:
         for t in _BM25_TERMS
     ]
     score = per_term[0] + per_term[1] + per_term[2]
-    return (
-        scored.groupBy("doc_id")
-        .agg(score.alias("score"))
-        .orderBy(F.desc("score"), "doc_id")
-        .limit(limit)
-    )
+    ranked = scored.groupBy("doc_id").agg(score.alias("score"))
+    if exclude_doc_id is not None:
+        # before the top-k, so the caller gets a true top-``limit`` over
+        # the remaining candidates (not limit-1 when the excluded doc ranks)
+        ranked = ranked.filter(F.col("doc_id") != exclude_doc_id)
+    return ranked.orderBy(F.desc("score"), "doc_id").limit(limit)
 
 
 _CHISQ_SQL = """
