@@ -538,12 +538,69 @@ def test_corpus_key_index_compaction_preserves_dedup(spark, sf_smoke, tmp_path):
 
     before = {r.content_key for r in spark.read.parquet(f"{out}/key_index").collect()}
     n = compact_key_index(spark, out)
-    idx_dirs = [p.name for p in pathlib.Path(f"{out}/key_index").iterdir() if p.is_dir()]
-    assert idx_dirs == ["epoch=-1"]
+    idx_dirs = {p.name for p in pathlib.Path(f"{out}/key_index").iterdir() if p.is_dir()}
+    # grace protocol: consolidated partition published, folded dirs only
+    # MARKED (still readable by an in-flight admit), purged next cycle
+    assert "epoch=-1" in idx_dirs and len(idx_dirs) > 1
     after = {r.content_key for r in spark.read.parquet(f"{out}/key_index").collect()}
     assert after == before and n == len(before)
+
+    # second cycle purges the marked dirs and re-consolidates
+    n2 = compact_key_index(spark, out)
+    idx_dirs2 = {
+        p.name for p in pathlib.Path(f"{out}/key_index").iterdir() if p.is_dir()
+    }
+    assert idx_dirs2 == {"epoch=-1", "epoch=-2"} and n2 == len(before)
+    after2 = {r.content_key for r in spark.read.parquet(f"{out}/key_index").collect()}
+    assert after2 == before
 
     # re-admitting the same documents as a new epoch admits NOTHING
     admit_batch(docs, out, epoch_id=99)
     replay = spark.read.parquet(f"{out}/docs").filter(F.col("epoch") == 99)
     assert replay.count() == 0
+
+
+def test_corpus_compaction_interleaved_with_live_admits(spark, sf_smoke, tmp_path):
+    """Live-stream safety: admit_batch calls interleaved with compaction
+    cycles (the sequence a running stream + a maintenance job produces)
+    must admit exactly the same corpus as uninterrupted ingest — no key
+    lost to a fold, no duplicate admitted past a consolidated index, and
+    epochs written mid-cycle survive the next purge."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.sources.catalog import read_table
+    from vat_etl_spark.streaming.corpus import admit_batch, compact_key_index
+
+    docs = read_table(spark, sf_smoke, "documents")
+    out = str(tmp_path / "corpus")
+
+    b = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
+    admit_batch(b[0], out, epoch_id=0)
+    admit_batch(b[1], out, epoch_id=1)
+    compact_key_index(spark, out)          # folds 0,1 → -1; marks 0,1
+    admit_batch(b[2], out, epoch_id=2)     # index = marked 0,1 + -1 + dupes OK
+    compact_key_index(spark, out)          # purges 0,1; folds -1,2 → -2
+    admit_batch(b[3], out, epoch_id=3)
+    # replay epoch 3 after yet another cycle: still blocked, still idempotent
+    compact_key_index(spark, out)
+    admit_batch(b[3], out, epoch_id=3)
+
+    got = spark.read.parquet(f"{out}/docs")
+    # one-shot reference: the same admit plan over the full corpus. The
+    # per-key SURVIVOR may differ (in a split ingest the first-arriving
+    # batch's ranked winner takes the key), so compare at key granularity:
+    # exactly the same admitted KEY SET, each key admitted exactly once.
+    from vat_etl_spark.queries.llm_pipeline import corpus_admit_plan
+
+    want = corpus_admit_plan(docs, None)
+    got_keys = [r.content_key for r in got.select("content_key").collect()]
+    assert sorted(set(got_keys)) == sorted(
+        r.content_key for r in want.select("content_key").collect()
+    )
+    assert len(got_keys) == len(set(got_keys))  # no double-admit across epochs
+    # the index still holds exactly the admitted keys
+    keys = {
+        r.content_key
+        for r in spark.read.parquet(f"{out}/key_index").select("content_key").collect()
+    }
+    assert keys == set(got_keys)

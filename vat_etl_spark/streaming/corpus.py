@@ -43,9 +43,19 @@ def admit_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
     if pathlib.Path(idx_path).exists():
         # exclude THIS epoch's own prior (partial/replayed) index rows from
         # the dedup reference or a replay would block itself
+        # ignoreMissingFiles: a purged-under-us superseded directory (its
+        # keys are guaranteed present in a consolidated partition this
+        # listing also sees — compact_key_index's grace protocol) must not
+        # fail the scan. The exclusion filters on the src_epoch DATA
+        # column, not the partition directory: compaction may have folded
+        # this epoch's keys into a consolidated partition, and a replay
+        # must still be able to exclude its own keys or it would block
+        # itself and clobber its output with an empty admit.
         existing = (
-            spark.read.option("basePath", idx_path).parquet(idx_path)
-            .filter(F.col("epoch") != epoch_id)
+            spark.read.option("basePath", idx_path)
+            .option("ignoreMissingFiles", "true")
+            .parquet(idx_path)
+            .filter(F.col("src_epoch") != epoch_id)
             .select("content_key")
             .distinct()
         )
@@ -54,9 +64,9 @@ def admit_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
     # second must not observe rows the first just wrote
     admitted = admitted.localCheckpoint(eager=True)
     admitted.write.mode("overwrite").parquet(f"{out_dir}/docs/epoch={epoch_id}")
-    admitted.select("content_key").write.mode("overwrite").parquet(
-        f"{idx_path}/epoch={epoch_id}"
-    )
+    admitted.select(
+        "content_key", F.lit(epoch_id).alias("src_epoch")
+    ).write.mode("overwrite").parquet(f"{idx_path}/epoch={epoch_id}")
 
 
 def corpus_ingest_stream(
@@ -81,42 +91,72 @@ def corpus_ingest_stream(
     )
 
 
+_SUPERSEDED_MARKER = "_SUPERSEDED"
+
+
 def compact_key_index(spark: SparkSession, out_dir: str) -> int:
-    """Index maintenance: fold all accumulated ``epoch=N`` partitions of the
-    key index into a single consolidated ``epoch=-1`` partition (distinct
-    keys, coalesced files) and remove the per-epoch directories. Run this
-    periodically — each micro-batch reads the whole index, so thousands of
-    tiny epoch files would otherwise turn every admit into a small-files
+    """Index maintenance, safe to run WHILE the ingest stream is live: fold
+    the key index's accumulated ``epoch=N`` partitions into a single
+    consolidated negative-epoch partition (distinct keys, coalesced files).
+    Run periodically — each micro-batch reads the whole index, so thousands
+    of tiny epoch files would otherwise turn every admit into a small-files
     scan (the same pathology compact_parquet_dir exists for). Negative
     epoch ids can never collide with a replayed real epoch id, so the
     replay-excludes-own-epoch rule in admit_batch is unaffected.
 
-    Crash-safety ordering: the consolidated partition is renamed INTO the
-    index first, and only then are the superseded epoch directories
-    removed — a crash at any point leaves every key readable (at worst
-    duplicated across partitions, which is harmless because every reader
-    applies ``distinct``). Each compaction picks the next unused negative
-    epoch id, so a prior consolidated partition is simply one more input
-    until it is cleaned up. The ingest stream must be STOPPED while this
-    runs: deleting epoch directories under a concurrently listing reader
-    can fail that reader's scan. Returns the distinct key count."""
+    Live-safety protocol (one maintenance thread at a time):
+
+    1. **Purge with grace**: delete only directories a PREVIOUS compaction
+       marked ``_SUPERSEDED`` — their keys have lived in a consolidated
+       partition for a full inter-compaction cycle, so no reader that
+       listed the index since then depends on them, and admit_batch reads
+       with ``ignoreMissingFiles`` as the belt-and-braces.
+    2. **Snapshot**: list the epoch directories ONCE and fold exactly
+       those explicit paths — an epoch the stream writes mid-compaction is
+       neither folded nor touched, just left for the next cycle.
+    3. **Publish then mark**: the consolidated partition is renamed INTO
+       the index first (rename-first crash safety: a crash at any point
+       leaves every key readable, at worst duplicated — harmless, every
+       reader applies ``distinct``), and the snapshotted directories are
+       then only MARKED superseded, never removed in the same cycle.
+
+    Returns the distinct key count of the consolidated partition."""
     import shutil
 
     idx_path = f"{out_dir}/key_index"
-    keys = spark.read.parquet(idx_path).select("content_key").distinct()
+    root = pathlib.Path(idx_path)
+    # 1. purge what the previous cycle superseded (grace period elapsed)
+    for p in root.iterdir():
+        if p.is_dir() and p.name.startswith("epoch=") and (
+            p / _SUPERSEDED_MARKER
+        ).exists():
+            shutil.rmtree(p)
+    # 2. pin this cycle to a one-shot snapshot of the remaining epoch dirs
+    snapshot = [
+        p for p in root.iterdir() if p.is_dir() and p.name.startswith("epoch=")
+    ]
+    if not snapshot:
+        return 0
+    # src_epoch provenance survives consolidation so a late replay of a
+    # folded epoch can still exclude its own keys (see admit_batch)
+    keys = (
+        spark.read.parquet(*[str(p) for p in snapshot])
+        .select("content_key", "src_epoch")
+        .distinct()
+    )
     staging = f"{out_dir}/key_index_compacting"
     keys.coalesce(1).write.mode("overwrite").parquet(staging)
     n = spark.read.parquet(staging).count()
-    old = [
-        p
-        for p in pathlib.Path(idx_path).iterdir()
+    taken = {
+        int(p.name.split("=", 1)[1])
+        for p in root.iterdir()
         if p.is_dir() and p.name.startswith("epoch=")
-    ]
-    taken = {int(p.name.split("=", 1)[1]) for p in old}
+    }
     slot = -1
     while slot in taken:
         slot -= 1
+    # 3. publish the consolidated partition, then mark (not delete) inputs
     pathlib.Path(staging).rename(f"{idx_path}/epoch={slot}")
-    for p in old:
-        shutil.rmtree(p)
+    for p in snapshot:
+        (p / _SUPERSEDED_MARKER).touch()
     return n
