@@ -77,3 +77,25 @@ def test_every_registered_query_documented_in_parity():
     txt = open(os.path.join(here, "PARITY.md")).read()
     missing = [q for q in QUERIES if f"`{q}`" not in txt]
     assert not missing, missing
+
+
+def test_every_rows_only_query_has_a_pytest_bound():
+    """Every ``oracle=None`` registration escapes the DuckDB value-hash
+    gate, so its correctness evidence IS its pytest (error bound, recall
+    floor, parity-vs-pure-Python, stream==batch, ...). PARITY.md claims
+    each one has such a test — this assertion makes the discipline
+    structural: a rows-only query whose name appears in no test file
+    fails CI. (Substring match on the test sources is deliberate — the
+    binding test must NAME the query it audits.)"""
+    import glob
+    import os
+
+    from vat_etl_spark.queries import ORACLE_SQL, QUERIES
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    corpus = "\n".join(
+        open(p).read() for p in sorted(glob.glob(os.path.join(here, "test_*.py")))
+    )
+    rows_only = [q for q in QUERIES if q not in ORACLE_SQL]
+    unbound = [q for q in rows_only if q not in corpus]
+    assert not unbound, unbound

@@ -73,3 +73,31 @@ def test_pandas_udf_agrees_with_native_expr(spark):
     got = [r.out for r in df.select(udf(F.col("raw")).alias("out")).collect()]
     native = _run(spark, currency_to_aed, values)
     assert got == pytest.approx(native, abs=1e-9)
+
+
+def test_registered_pandas_udf_currency_matches_native(spark, sf_smoke):
+    """Binds the registered `pandas_udf_currency` query: the Arrow-batched
+    UDF must agree with the native currency_to_aed expression on every
+    supplier row (both parse 'USD x.xx' and convert at the shared rate)."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.functions.currency import currency_to_aed
+    from vat_etl_spark.queries import QUERIES
+
+    got = {
+        r.s_suppkey: r.aed
+        for r in QUERIES["pandas_udf_currency"](spark, sf_smoke).collect()
+    }
+    from vat_etl_spark.sources.catalog import read_table
+
+    supplier = read_table(spark, sf_smoke, "supplier")
+    raw = F.concat(F.lit("USD "), F.format_string("%.2f", F.col("s_acctbal")))
+    want = {
+        r.s_suppkey: r.aed
+        for r in supplier.select(
+            "s_suppkey", F.round(currency_to_aed(raw), 2).alias("aed")
+        ).collect()
+    }
+    assert set(got) == set(want) and len(got) > 0
+    for k in got:
+        assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])

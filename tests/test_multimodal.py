@@ -259,3 +259,68 @@ def test_phash_dedup_finds_synthetic_near_dups(spark, tmp_path):
     assert (0, 1) in pairs and pairs[(0, 1)] <= 3
     assert (0, 2) in pairs and pairs[(0, 2)] <= 3
     assert all(3 not in p for p in pairs), pairs
+
+
+def test_registered_multimodal_audio_frames_query(spark, sf_smoke, mm):
+    """Binds the registered `multimodal_audio_frames` query (default frame
+    geometry) to the payload bytes: frame indices contiguous from 0, total
+    sample count reconstructs the payload's usable s16 length, and the
+    first frames match the struct.unpack reference."""
+    import struct
+
+    from vat_etl_spark.queries import QUERIES
+
+    rows = QUERIES["multimodal_audio_frames"](spark, sf_smoke).collect()
+    per_doc: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, {})[r.frame_idx] = (
+            r.n_samples, r.energy, r.peak_abs,
+        )
+    payloads = {
+        r.doc_id: bytes(r.payload) for r in mm.select("doc_id", "payload").collect()
+    }
+    assert set(per_doc) == set(payloads)
+    frame = max(max(d) for d in per_doc.values())  # infer default frame size
+    for doc_id, frames in per_doc.items():
+        assert sorted(frames) == list(range(len(frames)))
+        usable = len(payloads[doc_id]) // 2
+        assert sum(n for n, _, _ in frames.values()) == max(usable, 0)
+    # exact struct reference on a sample of docs at the registered geometry
+    some = sorted(payloads)[:5]
+    default_fs = max(n for d in some for (n, _, _) in per_doc[d].values())
+    for doc_id in some:
+        b = payloads[doc_id]
+        usable = len(b) // 2 * 2
+        samples = struct.unpack(f"<{usable // 2}h", b[:usable])
+        for idx in range(0, max(len(samples), 1), default_fs):
+            fr = samples[idx : idx + default_fs]
+            assert per_doc[doc_id][idx // default_fs] == (
+                len(fr),
+                sum(s * s for s in fr),
+                max((abs(s) for s in fr), default=0),
+            )
+
+
+def test_registered_multimodal_keyframes_query(spark, sf_smoke, mm):
+    """Binds the registered `multimodal_keyframes` query: frame 0 is always
+    a keyframe with delta 0, keyframe flags equal (delta > threshold), and
+    the selection is a nontrivial subset."""
+    from vat_etl_spark.queries import QUERIES
+
+    rows = QUERIES["multimodal_keyframes"](spark, sf_smoke).collect()
+    per_doc: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        per_doc.setdefault(r.doc_id, {})[r.frame_idx] = (r.delta, r.is_keyframe)
+    assert per_doc
+    # threshold is recoverable: every non-first keyframe delta exceeds every
+    # non-keyframe delta (the flag is a pure threshold on delta)
+    key_deltas = [d for doc in per_doc.values() for i, (d, k) in doc.items() if k and i > 0]
+    non_deltas = [d for doc in per_doc.values() for i, (d, k) in doc.items() if not k]
+    for doc in per_doc.values():
+        assert doc[0] == (0, True)
+        assert sorted(doc) == list(range(len(doc)))
+    if key_deltas and non_deltas:
+        assert min(key_deltas) > max(non_deltas)
+    n_key = len(key_deltas) + len(per_doc)
+    n_all = sum(len(d) for d in per_doc.values())
+    assert 0 < n_key < n_all

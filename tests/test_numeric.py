@@ -113,3 +113,18 @@ def test_percentile_approx_brackets_exact(spark, sf_smoke):
     for k in got:
         for a, e in zip(got[k], exact[k]):
             assert abs(a - e) / e < 0.02  # within 2% of the exact quantile
+
+
+def test_registered_agg_approx_distinct_error_bound(spark, sf_smoke):
+    """Binds the registered `agg_approx_distinct` query: the rsd=0.01 HLL
+    estimate must land within 5% of the exact distinct count it is joined
+    against (5 sigma of the configured rsd — drift margin without letting
+    the sketch degenerate)."""
+    from vat_etl_spark.queries import QUERIES
+
+    rows = QUERIES["agg_approx_distinct"](spark, sf_smoke).collect()
+    assert len(rows) >= 2
+    for r in rows:
+        assert r.exact_orders > 0
+        rel = abs(r.approx_orders - r.exact_orders) / r.exact_orders
+        assert rel <= 0.05, tuple(r)
