@@ -57,6 +57,20 @@ BENCH_QUERIES = [
     "retrieval_hybrid_rrf",
 ]
 
+# Queries whose REAL cost includes driver-coordinated phases (model-sized
+# collects between distributed stages: PRF's feedback round, the two-pass
+# rank's boundary/offset jobs). The prepared-plan protocol would hide those
+# phases, so these are rebuilt and executed inside the timed pass —
+# measuring the whole algorithm, exactly as a user runs it.
+MULTI_JOB_BENCH = [
+    # round-1 postings persist + feedback collect + round-2 re-rank (r5
+    # ask: 2.8 s -> ~1.7 s after postings reuse)
+    "retrieval_prf_rm3",
+    # three two-pass range-partitioned ntiles (functions/ranks.py) — the
+    # round-6 replacement for the single-partition global-window family
+    "events_rfm_segmentation",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -78,7 +92,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
     QUERIES["vat_summary"](spark, warm).write.format("noop").mode("overwrite").save()
     # untimed warm pass: compile every query's codegen stages at bench scale
-    for name in BENCH_QUERIES:
+    for name in BENCH_QUERIES + MULTI_JOB_BENCH:
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # N timed passes (default 5), median-of-N per query: round 3 showed
@@ -96,12 +110,18 @@ def main() -> None:
     # flagship number.
     n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "5"))
     prepared = {name: QUERIES[name](spark, sf_dir) for name in BENCH_QUERIES}
-    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    samples: dict[str, list[float]] = {
+        name: [] for name in BENCH_QUERIES + MULTI_JOB_BENCH
+    }
     for _ in range(n_passes):
         for name in BENCH_QUERIES:
             df = prepared[name]
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
+            samples[name].append(time.perf_counter() - t0)
+        for name in MULTI_JOB_BENCH:
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
 
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}

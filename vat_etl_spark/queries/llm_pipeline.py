@@ -1411,7 +1411,12 @@ def _merge_pair_expr(arr, a: str, b: str):
 
 
 @query("text_bpe_merges")  # iterative argmax loop: not single-SQL-expressible
-def text_bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> DataFrame:
+def text_bpe_merges(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int = 5,
+    checkpoint_every: int | None = None,
+) -> DataFrame:
     """BPE tokenizer training, the real iterative loop: K times, count
     adjacent symbol pairs over the weighted vocabulary, pick the most
     frequent (ties broken lexicographically — deterministic), and fuse it
@@ -1421,12 +1426,17 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> Data
     Distribution contract (the kmeans_lloyd / graph_pagerank convention):
     per-iteration state is the DISTRIBUTED symbolized-vocab DataFrame;
     the only driver-side data is the argmax pair — ONE row per iteration
-    (model-sized, like a centroid set). The vocab is re-derived per
-    iteration from the persisted base rather than chaining K lambda
-    layers (lineage growth is the scale hazard; at production K~30k the
-    vocab table is checkpointed every few hundred merges). Verified
+    (model-sized, like a centroid set). Lineage control: persist bounds
+    RECOMPUTE cost but the logical plan still chains one fuse layer per
+    merge (analyzer time grows with K), so ``checkpoint_every`` truncates
+    the chain with an eager ``localCheckpoint`` every N merges — the
+    cadence a production K~30k run needs (at K=200 the measured per-merge
+    wall time is flat with checkpointing and grows without; SCALE.md §BPE,
+    tools/bpe_bench.py). A checkpointed frame is never unpersisted
+    mid-loop: downstream persisted frames recompute THROUGH it on
+    eviction, and its truncated lineage cannot be replayed. Verified
     against a pure-Python BPE on the same corpus in
-    tests/test_llm_pipeline.py."""
+    tests/test_llm_pipeline.py (K=5 registered, K=200 in the bench)."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
     vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
@@ -1441,6 +1451,7 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> Data
     # and the sym = nxt handover can't strand a cached frame for the rest
     # of the session
     cached = [sym]
+    checkpointed: set[int] = set()
     try:
         for rank in range(1, n_merges + 1):
             idx = F.sequence(F.lit(1), F.size("syms") - 1)
@@ -1468,11 +1479,23 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str, n_merges: int = 5) -> Data
             merges.append((rank, a, b, c))
             nxt = sym.select(
                 _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "cnt"
-            ).persist()
-            cached.append(nxt)
-            nxt.count()
-            sym.unpersist()
-            cached.remove(sym)
+            )
+            if checkpoint_every and rank % checkpoint_every == 0:
+                # truncate the K-deep fuse-lambda plan chain; eager, so the
+                # data is materialized before the old frame is released
+                nxt = nxt.localCheckpoint(eager=True)
+                cached.append(nxt)
+                checkpointed.add(id(nxt))
+            else:
+                nxt = nxt.persist()
+                cached.append(nxt)
+                nxt.count()
+            if sym in cached and id(sym) not in checkpointed:
+                # keep checkpointed frames cached until the loop ends —
+                # persisted descendants recompute through them on eviction,
+                # and a truncated lineage cannot be replayed
+                sym.unpersist()
+                cached.remove(sym)
             sym = nxt
     finally:
         for df in cached:
