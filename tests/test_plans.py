@@ -459,3 +459,41 @@ def test_rank_family_has_no_single_partition_windows(spark, sf_smoke):
     ):
         df = QUERIES[name](spark, sf_smoke)
         assert unpartitioned_window_count(df) == 0, name
+
+
+def test_no_unbounded_single_partition_windows_anywhere(spark, sf_smoke):
+    """Repo-wide structural guarantee: NO registered query may compile to a
+    single-partition WindowExec over an unbounded grain. The whitelist
+    names every justified global window, each with a boundedness argument:
+
+    - text_zipf_rank_freq / dq_key_skew_profile: the window input is a
+      TakeOrderedAndProject LIMIT (30 / 5 rows) — rank-of-top-k, bounded.
+    - retrieval_hybrid_rrf: rank windows over the two top-50 branches
+      (plan-asserted top-k upstream), bounded at 2×50 rows.
+    - ts_gapfill_interpolate / ts_rolling_median / ts_yoy_growth:
+      calendar-grain series (days/months) — input cardinality is the
+      calendar, not the data volume.
+    - agg_equidepth_histogram: documented demo of the ntile spelling whose
+      scalable twin (agg_percentiles + width_bucket) ships alongside; its
+      docstring redirects 100 TB use there.
+
+    Anything else with an empty-partition WindowExec is a regression —
+    route it through functions/ranks.py (two_pass_rank/ntile/prefix_sum)
+    or bound its input with a top-k."""
+    from vat_etl_spark.plans import unpartitioned_window_count
+
+    JUSTIFIED_BOUNDED = {
+        "text_zipf_rank_freq",
+        "dq_key_skew_profile",
+        "retrieval_hybrid_rrf",
+        "ts_gapfill_interpolate",
+        "ts_rolling_median",
+        "ts_yoy_growth",
+        "agg_equidepth_histogram",
+    }
+    offenders = {}
+    for name, fn in QUERIES.items():
+        c = unpartitioned_window_count(fn(spark, sf_smoke))
+        if c and name not in JUSTIFIED_BOUNDED:
+            offenders[name] = c
+    assert not offenders, offenders

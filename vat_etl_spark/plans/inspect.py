@@ -45,34 +45,35 @@ def shuffle_count(df: DataFrame) -> int:
     return len(re.findall(r"\n\s*(?:\+-|:-)?\s*Exchange ", plan)) + plan.startswith("Exchange")
 
 
-def _top_level_groups(line: str) -> int:
-    """Count top-level [...] groups in a formatted-plan Arguments line."""
-    depth = 0
-    groups = 0
-    for ch in line:
-        if ch == "[":
-            if depth == 0:
-                groups += 1
-            depth += 1
-        elif ch == "]":
-            depth -= 1
-    return groups
+def _iter_plan_nodes(node):
+    """Depth-first walk of a JVM SparkPlan tree, descending into
+    AdaptiveSparkPlanExec/QueryStage wrappers (their physical children
+    hide behind accessor methods, not ``children()``)."""
+    yield node
+    cls = node.getClass().getSimpleName()
+    if cls == "AdaptiveSparkPlanExec":
+        yield from _iter_plan_nodes(node.executedPlan())
+        return
+    if cls.endswith("QueryStageExec"):
+        yield from _iter_plan_nodes(node.plan())
+        return
+    children = node.children()
+    for i in range(children.size()):
+        yield from _iter_plan_nodes(children.apply(i))
 
 
 def unpartitioned_window_count(df: DataFrame) -> int:
-    """Number of WindowExec nodes with an EMPTY partition spec — the
-    single-partition global windows that serialize at scale. In the
-    formatted plan a Window node's Arguments line is
-    ``[exprs], [partitionSpec], [orderSpec]`` (3 groups) when partitioned
-    and ``[exprs], [orderSpec]`` (2 groups) when global."""
-    plan = formatted_plan(df)
-    lines = plan.splitlines()
+    """Number of WindowExec-family nodes with an EMPTY partition spec —
+    the single-partition global windows that serialize at scale.
+    Inspected on the JVM plan tree (``partitionSpec().isEmpty()``), not
+    the formatted string: long Arguments lines truncate and
+    WindowGroupLimit shares the Window prefix, so string parsing
+    miscounts."""
+    root = df._jdf.queryExecution().executedPlan()  # type: ignore[attr-defined]
     count = 0
-    for i, line in enumerate(lines):
-        if re.match(r"^\(\d+\) Window", line.strip()):
-            for j in range(i + 1, min(i + 6, len(lines))):
-                if lines[j].startswith("Arguments:"):
-                    if _top_level_groups(lines[j]) < 3:
-                        count += 1
-                    break
+    for node in _iter_plan_nodes(root):
+        cls = node.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowInPandasExec"):
+            if node.partitionSpec().isEmpty():
+                count += 1
     return count

@@ -116,9 +116,12 @@ def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the per-shard manifest (counts + byte totals — what the data
     loader reads). Scale shape: sizes are map-side (octet_length, no
     payload movement); the global size-rank is the only coordination and
-    runs over (size,id) pairs, not payloads — at 100 TB a two-pass
-    range-partitioned rank (sample boundaries → rank within range) keeps
-    it off a single partition, same assignment."""
+    runs over (size,id) pairs, not payloads — via ``two_pass_rank``
+    (functions/ranks.py: range buckets + broadcast offsets, no
+    single-partition WindowExec; rank arithmetic is layout-free so the
+    round-robin assignment is identical)."""
+    from vat_etl_spark.functions.ranks import two_pass_rank
+
     d = _t(spark, sf_dir, "documents")
     sized = d.select(
         "doc_id",
@@ -126,11 +129,11 @@ def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "payload_bytes"
         ),
     )
-    from pyspark.sql import Window as W
-
-    rk = F.row_number().over(W.orderBy(F.desc("payload_bytes"), F.asc("doc_id")))
-    assigned = sized.select(
-        "payload_bytes", ((rk - 1) % 8).cast("int").alias("shard")
+    ranked = two_pass_rank(
+        sized, [("payload_bytes", "desc"), ("doc_id", "asc")], rank_col="rk"
+    )
+    assigned = ranked.select(
+        "payload_bytes", ((F.col("rk") - 1) % 8).cast("int").alias("shard")
     )
     return assigned.groupBy("shard").agg(
         F.count("*").alias("n_items"),

@@ -478,10 +478,11 @@ def dq_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c").alias("max_c"),
         F.expr("sum(c) div count(*)").alias("mean_c"),
     )
+    # top-5 FIRST (TakeOrderedAndProject), then rank the 5-row result —
+    # the global rank window never sees the key-grain table
+    top5 = per_key.orderBy(F.desc("c"), F.asc("key")).limit(5)
     w = W.orderBy(F.desc("c"), F.asc("key"))
-    top = per_key.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= 5
-    )
+    top = top5.withColumn("rank", F.row_number().over(w))
     return top.crossJoin(F.broadcast(stats)).select(
         "rank",
         F.col("key").alias("hot_key"),

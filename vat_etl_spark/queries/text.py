@@ -847,10 +847,12 @@ def text_zipf_rank_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("word")
         .agg(F.count("*").alias("freq"))
     )
+    # top-30 FIRST (TakeOrderedAndProject — never a global sort), then the
+    # rank window runs over 30 rows: no corpus-sized single-partition window
+    top = freq.orderBy(F.desc("freq"), F.asc("word")).limit(30)
     w = W.orderBy(F.desc("freq"), F.asc("word"))
     return (
-        freq.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 30)
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
         .select(
             "rank", "word", "freq",
             (F.col("freq") * F.col("rank")).cast("long").alias("rank_freq_product"),

@@ -241,22 +241,24 @@ def window_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     value is order-independent-exact no matter how the engine's window
     aggregator associates additions (DuckDB uses a segment tree — a plain
     double cumsum would hash-differ); the share is then one IEEE division
-    of bit-identical operands. Input to the global window is the per-key
-    aggregate (|customers| rows, not |orders|); at 100 TB replace the
-    single global sort-window with the two-pass range-partitioned
-    equivalent (per-partition totals → broadcast offsets)."""
+    of bit-identical operands. Input is the per-key aggregate (|customers|
+    rows, not |orders|), and the cumulative runs through
+    ``two_pass_prefix_sum`` (functions/ranks.py): range buckets by
+    (rev desc, custkey) → per-bucket decimal sums → broadcast opening
+    balances → local running sum — no single-partition WindowExec
+    (plan-asserted); the grand total is a broadcast 1-row aggregate."""
+    from vat_etl_spark.functions.ranks import two_pass_prefix_sum
+
     o = _t(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(_DEC)).alias("rev")
     )
-    w_cum = W.orderBy(F.col("rev").desc(), "o_custkey").rowsBetween(
-        W.unboundedPreceding, W.currentRow
+    cum = two_pass_prefix_sum(
+        per_cust, [("rev", "desc"), ("o_custkey", "asc")], "rev", out_col="cum"
     )
-    ranked = per_cust.select(
-        "o_custkey",
-        "rev",
-        F.sum("rev").over(w_cum).alias("cum"),
-        F.sum("rev").over(W.partitionBy()).alias("total"),
+    total = per_cust.agg(F.sum("rev").alias("total"))
+    ranked = cum.crossJoin(F.broadcast(total)).select(
+        "o_custkey", "rev", "cum", "total"
     )
     share = F.col("cum").cast("double") / F.col("total").cast("double")
     return ranked.select(
