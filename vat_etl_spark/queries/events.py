@@ -412,11 +412,22 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_date("ts").alias("d"),
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    d1 = p.agg(F.max("d")).first()[0]
-    base = p.groupBy("user_id").agg(
-        F.datediff(F.lit(d1), F.max("d")).cast("bigint").alias("recency_days"),
+    # user-grain metric table, persisted: each two-pass ntile runs its own
+    # boundary-sample and bucket-count jobs against it, and the three
+    # layered assignments nest in the final plan — without the persist the
+    # fact scan+agg would re-run once per job per layer. The anchor date
+    # comes from the persisted frame (tiny agg), not a second fact scan.
+    per_user = p.groupBy("user_id").agg(
+        F.max("d").alias("last_d"),
         F.count("*").alias("frequency"),
         F.sum("cents").alias("monetary_cents"),
+    ).persist()
+    d1 = per_user.agg(F.max("last_d")).first()[0]
+    base = per_user.select(
+        "user_id",
+        F.datediff(F.lit(d1), F.col("last_d")).cast("bigint").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
     )
     scored = two_pass_ntile(
         base, [("recency_days", "asc"), ("user_id", "asc")], 5, tile_col="r_score"
