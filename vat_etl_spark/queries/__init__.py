@@ -109,6 +109,7 @@ _FIRST = [
     "retrieval_prf_rm3",
     # --- round-6 registrations (new this round, inside the window) ---
     "ann_ivfpq_search",
+    "pipeline_contamination_containment",
 ]
 
 

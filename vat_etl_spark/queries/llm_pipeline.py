@@ -105,6 +105,74 @@ def pipeline_contamination_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CONTAINMENT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(t, i, i + 2), ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS s(i)
+),
+ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, g FROM grams WHERE doc_id % 97 <> 0),
+per_doc AS (
+  SELECT tr.doc_id,
+         count(*) AS n_grams,
+         CAST(sum(CASE WHEN ev.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS shared
+  FROM tr LEFT JOIN ev ON tr.g = ev.g
+  GROUP BY tr.doc_id
+)
+SELECT doc_id, n_grams, shared,
+       1000 * shared // n_grams AS containment_per_mille,
+       CASE WHEN 1000 * shared // n_grams >= 500 THEN true ELSE false END AS drop_doc
+FROM per_doc
+"""
+
+
+@query("pipeline_contamination_containment", oracle=_CONTAINMENT_SQL)
+def pipeline_contamination_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-grade fuzzy decontamination: per training document, the
+    CONTAINMENT of its distinct 3-gram set in the eval set — shared/total
+    as an integer per-mille — plus the drop decision at the 50% threshold.
+    `pipeline_contamination_ngram` reports raw overlap counts (any-hit
+    flagging, the GPT-3 recipe); containment is the graded form
+    (Dirt-simple fuzzy matching: a doc 90% covered by eval grams is a
+    paraphrased leak even when no single long n-gram matches), the same
+    asymmetric-containment idea `dedup_shingle_containment` applies
+    doc-to-doc, here doc-to-benchmark.
+
+    Exactness: score is integer floor-division per-mille (no float
+    ratio); the LEFT join + conditional count keeps docs with zero
+    overlap in the report (they are the evidence of cleanliness). Scale:
+    identical to the exact twin — distinct per-doc grams map-side, eval
+    grams broadcast, one per-doc count shuffle; the decision threshold is
+    a literal."""
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+    grams = toked.select(
+        "doc_id",
+        F.explode(F.array_distinct(_ngrams(F.col("t"), 3))).alias("g"),
+    )
+    ev = grams.filter(F.col("doc_id") % 97 == 0).select("g").distinct()
+    tr = grams.filter(F.col("doc_id") % 97 != 0)
+    per_doc = (
+        tr.join(F.broadcast(ev.withColumn("hit", F.lit(1))), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("bigint").alias("shared"),
+        )
+    )
+    per_mille = F.expr("1000 * shared div n_grams")
+    return per_doc.select(
+        "doc_id",
+        "n_grams",
+        "shared",
+        per_mille.alias("containment_per_mille"),
+        (per_mille >= 500).alias("drop_doc"),
+    )
+
+
 # --- Gopher-style quality rules ----------------------------------------------
 
 _STOP_IN_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
