@@ -1,0 +1,75 @@
+"""Multi-executor correctness: the oracle gate re-run under
+``local-cluster[2,4,1536]`` — real executor JVM separation, so closures
+serialize over RPC, broadcasts actually transfer, and shuffles cross
+process boundaries. ``local[32]`` shares one JVM and can hide
+serialization and broadcast bugs; this is the closest local proxy to the
+1000-executor deployment the engine is designed for.
+
+Runs in a SUBPROCESS because a SparkContext's master is fixed per JVM —
+the session-scoped ``local[32]`` fixture and this cluster session cannot
+coexist in one process.
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+# A representative slice of every subsystem: flagship reshape, exact-decimal
+# wide agg, broadcast dim join, two-pass rank family (cross-executor
+# boundary/offset broadcasts), sessionization window, Arrow/pandas UDF
+# exchange, postings-shuffle text ranking, hash-coin sampling, and the
+# broadcast-eval decontamination join.
+CLUSTER_SET = [
+    "vat_summary",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "agg_gini_concentration",
+    "events_rfm_segmentation",
+    "events_sessionize",
+    "events_user_stats_pandas",
+    "text_bm25_ranking",
+    "pipeline_domain_mix",
+    "pipeline_contamination_containment",
+]
+
+_SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (
+    SparkSession.builder.master("local-cluster[2,4,1536]")
+    .appName("cluster-parity")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+from vat_etl_spark.oracle import run_all
+res = run_all(spark, {sf!r}, only={names!r})
+bad = [m for ok, m in res.values() if not ok]
+for name, (ok, msg) in sorted(res.items()):
+    print(("PASS " if ok else "FAIL ") + msg, flush=True)
+spark.stop()
+assert len(res) == len({names!r}), (len(res), "queries missing from run")
+assert not bad, bad
+print("CLUSTER-PARITY-GREEN", flush=True)
+"""
+
+
+def test_oracle_parity_on_local_cluster(sf_smoke):
+    """Every query in the slice must be rows+schema+hash identical to the
+    DuckDB oracle when executed across two separate executor JVMs."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _SCRIPT.format(repo=repo, sf=sf_smoke, names=CLUSTER_SET)
+    proc = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=repo,
+    )
+    tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-25:])
+    assert proc.returncode == 0, tail
+    assert "CLUSTER-PARITY-GREEN" in proc.stdout, tail

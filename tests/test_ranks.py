@@ -74,3 +74,18 @@ def test_empty_input(spark):
         two_pass_prefix_sum(df, [("v", "asc"), ("uid", "asc")], "delta", out_col="cs").count()
         == 0
     )
+
+
+def test_rank_invariant_to_bucket_count(spark):
+    """Layout-freeness, pinned: the same total order must produce the same
+    ranks for ANY bucket count (1, 7, 64) and any boundary sample size —
+    bucket geometry is a physical choice, never a semantic one."""
+    df = _df(spark).select("v", "uid")
+    base = two_pass_rank(df, [("v", "asc"), ("uid", "asc")], buckets=32).collect()
+    want = sorted((r.v, r.uid, r.rk) for r in base)
+    for buckets, spb in ((1, 8), (7, 4), (64, 128)):
+        got = two_pass_rank(
+            df, [("v", "asc"), ("uid", "asc")], buckets=buckets,
+            sample_per_bucket=spb,
+        ).collect()
+        assert sorted((r.v, r.uid, r.rk) for r in got) == want, buckets
