@@ -483,6 +483,7 @@ def test_no_unbounded_single_partition_windows_anywhere(spark, sf_smoke):
     from vat_etl_spark.plans import unpartitioned_window_count
 
     JUSTIFIED_BOUNDED = {
+        "retrieval_eval_metrics",  # rank windows over LIMIT-50/LIMIT-10 inputs
         "text_zipf_rank_freq",
         "dq_key_skew_profile",
         "retrieval_hybrid_rrf",

@@ -110,6 +110,7 @@ _FIRST = [
     # --- round-6 registrations (new this round, inside the window) ---
     "ann_ivfpq_search",
     "pipeline_contamination_containment",
+    "retrieval_eval_metrics",
 ]
 
 

@@ -1145,3 +1145,126 @@ def retrieval_prf_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return folded.orderBy(F.desc("score"), "doc_id").limit(20)
+
+
+# --- retrieval evaluation: MRR + nDCG@10, integer-exact ------------------------
+
+# log2 discounts as INTEGER micros, computed once here and interpolated into
+# BOTH engines as literals — the established trick for log-shaped metrics
+# whose libm ulps would otherwise flake the value-hash gate.
+_NDCG_W = [1000000, 630930, 500000, 430677, 386853, 356207, 333333, 315465,
+           301030, 289065]  # round(1e6 / log2(rank+1)), rank = 1..10
+
+_REL_SQL = (
+    "(CASE WHEN list_contains(t, 'hash') THEN 1 ELSE 0 END"
+    " + CASE WHEN list_contains(t, 'join') THEN 1 ELSE 0 END"
+    " + CASE WHEN list_contains(t, 'vector') THEN 1 ELSE 0 END)"
+)
+
+_W_CASE_SQL = "CASE rnk " + " ".join(
+    f"WHEN {i + 1} THEN {w}" for i, w in enumerate(_NDCG_W)
+) + " ELSE 0 END"
+
+_EVAL_SQL = f"""
+WITH rel AS (
+  SELECT doc_id, {_REL_SQL} AS rel
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents)
+),
+bm AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+  FROM ( {{bm25}} ) b
+),
+ranked AS (
+  SELECT bm.rnk, (power(2, rel.rel) - 1)::BIGINT AS gain
+  FROM bm JOIN rel USING (doc_id) WHERE bm.rnk <= 10
+),
+dcg AS (SELECT cast(sum(gain * ({_W_CASE_SQL})) AS BIGINT) AS dcg FROM ranked),
+ideal AS (
+  SELECT row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk,
+         (power(2, rel) - 1)::BIGINT AS gain
+  FROM (SELECT * FROM rel ORDER BY rel DESC, doc_id LIMIT 10)
+),
+idcg AS (SELECT cast(sum(gain * ({_W_CASE_SQL})) AS BIGINT) AS idcg FROM ideal),
+mrr AS (
+  SELECT cast(min(bm.rnk) AS BIGINT) AS first_rel_rank
+  FROM bm JOIN rel USING (doc_id) WHERE rel.rel >= 1
+)
+SELECT dcg.dcg, idcg.idcg,
+  CASE WHEN idcg.idcg > 0 THEN 1000000 * dcg.dcg // idcg.idcg ELSE 0 END
+    AS ndcg10_micros,
+  coalesce(mrr.first_rel_rank, 0) AS first_rel_rank,
+  CASE WHEN mrr.first_rel_rank IS NOT NULL THEN 1000000 // mrr.first_rel_rank
+       ELSE 0 END AS mrr_micros
+FROM dcg, idcg, mrr
+""".format(bm25=_BM25_SQL)
+
+
+@query("retrieval_eval_metrics", oracle=_EVAL_SQL)
+def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retrieval stack's evaluation harness: MRR and nDCG@10 of the
+    registered BM25 ranking against a deterministic graded-relevance rule
+    (rel = number of distinct query terms a document contains, gain =
+    2^rel − 1 — the standard graded-gain form). Completes the IR tier:
+    rankers (BM25/MaxP/RRF/RM3) without their metrics are unfalsifiable.
+
+    Engine-exactness: log2 rank discounts are INTEGER-micros literals
+    computed once in Python and interpolated into both engines (libm log
+    never runs in either); DCG/IDCG are integer sums, nDCG and MRR are
+    integer floor-divisions. IDCG uses the ideal top-10 over the WHOLE
+    corpus (TakeOrderedAndProject), so the metric is the honest global
+    nDCG, not list-relative. Scale: relevance is a map-only projection;
+    the only per-corpus work is the BM25 branch itself plus one top-10;
+    rank windows run over LIMIT-bounded rows (10/50)."""
+    bm = QUERIES["text_bm25_ranking"](spark, sf_dir)
+    wb = W.orderBy(F.desc("score"), "doc_id")
+    bm_ranked = bm.select("doc_id", F.row_number().over(wb).alias("rnk"))
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens_expr(F.col("text"))
+    rel = d.select(
+        "doc_id",
+        sum(
+            F.array_contains(toks, t).cast("int") for t in _BM25_TERMS
+        ).alias("rel"),
+    )
+    wmap = F.create_map(
+        *[F.lit(x) for i, w in enumerate(_NDCG_W) for x in (i + 1, w)]
+    )
+    # graded gain 2^rel - 1 as a literal map (rel ∈ 0..3) — integer-exact
+    gain_map = F.create_map(
+        *[F.lit(x) for pair in ((0, 0), (1, 1), (2, 3), (3, 7)) for x in pair]
+    )
+    gain = F.element_at(gain_map, F.col("rel")).cast("bigint")
+    # rel is corpus-sized — broadcast the 10-row ranked side into it
+    ranked = rel.join(F.broadcast(bm_ranked.filter(F.col("rnk") <= 10)), "doc_id")
+    dcg = ranked.agg(
+        F.sum(gain * F.element_at(wmap, F.col("rnk"))).cast("bigint").alias("dcg")
+    )
+    ideal10 = rel.orderBy(F.desc("rel"), "doc_id").limit(10)
+    wi = W.orderBy(F.desc("rel"), "doc_id")
+    ideal = ideal10.select(F.row_number().over(wi).alias("rnk"), gain.alias("gain"))
+    idcg = ideal.agg(
+        F.sum(F.col("gain") * F.element_at(wmap, F.col("rnk")))
+        .cast("bigint")
+        .alias("idcg")
+    )
+    mrr = (
+        rel.filter(F.col("rel") >= 1)
+        .join(F.broadcast(bm_ranked), "doc_id")
+        .agg(F.min("rnk").cast("bigint").alias("first_rel_rank"))
+    )
+    return (
+        dcg.crossJoin(F.broadcast(idcg))
+        .crossJoin(F.broadcast(mrr))
+        .select(
+            "dcg",
+            "idcg",
+            F.when(
+                F.col("idcg") > 0, F.expr("1000000 * dcg div idcg")
+            ).otherwise(F.lit(0)).alias("ndcg10_micros"),
+            F.coalesce("first_rel_rank", F.lit(0)).alias("first_rel_rank"),
+            F.when(
+                F.col("first_rel_rank").isNotNull(),
+                F.expr("1000000 div first_rel_rank"),
+            ).otherwise(F.lit(0)).alias("mrr_micros"),
+        )
+    )
