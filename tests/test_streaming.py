@@ -604,3 +604,36 @@ def test_corpus_compaction_interleaved_with_live_admits(spark, sf_smoke, tmp_pat
         for r in spark.read.parquet(f"{out}/key_index").select("content_key").collect()
     }
     assert keys == set(got_keys)
+
+
+def test_corpus_index_migrates_from_pre_provenance_layout(spark, sf_smoke, tmp_path):
+    """A key index written before the src_epoch provenance column existed
+    (content_key only, provenance in the partition directory) must keep
+    working: admits still dedup against it and compaction folds it."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.sources.catalog import read_table
+    from vat_etl_spark.streaming.corpus import admit_batch, compact_key_index
+
+    docs = read_table(spark, sf_smoke, "documents")
+    out = str(tmp_path / "corpus")
+    # build epoch 0 with the CURRENT code, then strip src_epoch to simulate
+    # a pre-migration index partition
+    admit_batch(docs.filter(F.col("doc_id") % 2 == 0), out, epoch_id=0)
+    legacy = (
+        spark.read.parquet(f"{out}/key_index/epoch=0")
+        .select("content_key")
+        .localCheckpoint(eager=True)  # pin: the write overwrites its own source
+    )
+    legacy_rows = legacy.count()
+    legacy.write.mode("overwrite").parquet(f"{out}/key_index/epoch=0")
+
+    # an admit against the legacy layout must still dedup (not crash)
+    admit_batch(docs, out, epoch_id=1)
+    k0 = {r.content_key for r in spark.read.parquet(f"{out}/key_index/epoch=0").collect()}
+    k1 = {r.content_key for r in spark.read.parquet(f"{out}/key_index/epoch=1").collect()}
+    assert len(k0) == legacy_rows and not (k0 & k1)
+
+    # compaction folds the mixed layouts and preserves the full key set
+    n = compact_key_index(spark, out)
+    assert n == len(k0 | k1)

@@ -417,11 +417,14 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # layered assignments nest in the final plan — without the persist the
     # fact scan+agg would re-run once per job per layer. The anchor date
     # comes from the persisted frame (tiny agg), not a second fact scan.
+    from vat_etl_spark.functions.caching import cache_latest
+
     per_user = p.groupBy("user_id").agg(
         F.max("d").alias("last_d"),
         F.count("*").alias("frequency"),
         F.sum("cents").alias("monetary_cents"),
-    ).persist()
+    )
+    (per_user,) = cache_latest("events_rfm_segmentation", per_user)
     d1 = per_user.agg(F.max("last_d")).first()[0]
     base = per_user.select(
         "user_id",
@@ -564,11 +567,14 @@ def events_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. Scale shape: one fact agg to the (day,hour) grain, a
     dow×hour (≤168-row) baseline re-agg, broadcast back."""
     e = _t(spark, sf_dir, "events")
+    from vat_etl_spark.functions.caching import cache_latest
+
     hourly = e.groupBy(
         F.to_date("ts").alias("day"),
         F.hour("ts").alias("hr"),
         F.dayofweek(F.to_date("ts")).alias("dow"),
-    ).agg(F.count("*").alias("n")).persist()
+    ).agg(F.count("*").alias("n"))
+    (hourly,) = cache_latest("events_seasonal_anomaly", hourly)
     baseline = hourly.groupBy(
         F.col("dow").alias("b_dow"), F.col("hr").alias("b_hr")
     ).agg(F.sum("n").alias("tot"), F.count("*").alias("n_slots"))

@@ -1550,8 +1550,17 @@ def text_bpe_merges(
             )
             if checkpoint_every and rank % checkpoint_every == 0:
                 # truncate the K-deep fuse-lambda plan chain; eager, so the
-                # data is materialized before the old frame is released
+                # data is materialized before the old frame is released.
+                # Once THIS checkpoint exists, the previous one has no live
+                # dependents (everything between was unpersisted and the
+                # new frame is materialized with truncated lineage) — drop
+                # our reference so the ContextCleaner can free its blocks
+                # (DataFrame.unpersist is a cache-manager no-op for
+                # localCheckpoint storage; GC is the release path). At
+                # production K~30k this caps live copies at one, not K/N.
                 nxt = nxt.localCheckpoint(eager=True)
+                cached = [df for df in cached if id(df) not in checkpointed]
+                checkpointed.clear()
                 cached.append(nxt)
                 checkpointed.add(id(nxt))
             else:
@@ -1559,9 +1568,9 @@ def text_bpe_merges(
                 cached.append(nxt)
                 nxt.count()
             if sym in cached and id(sym) not in checkpointed:
-                # keep checkpointed frames cached until the loop ends —
-                # persisted descendants recompute through them on eviction,
-                # and a truncated lineage cannot be replayed
+                # the CURRENT checkpoint stays cached — persisted
+                # descendants recompute through it on eviction, and a
+                # truncated lineage cannot be replayed
                 sym.unpersist()
                 cached.remove(sym)
             sym = nxt

@@ -672,8 +672,12 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist size, exact-rerank hits against the full-corpus L2 truth,
     recall@10. tests/test_graph.py pins mean recall at/above the
     standalone-PQ floor (the exact re-rank repairs ADC quantization-error
-    misrankings inside the candidate set; the IVF cut is the only recall
-    loss left). SCALE.md records the candidate-reduction factor."""
+    misrankings inside the candidate set; the remaining recall loss is the
+    IVF cut itself plus the assignment/search metric mix — cells are
+    cosine-Voronoi while ADC/truth are L2; on this corpus the mix costs
+    nothing measurable, and a production store would build the coarse
+    quantizer in the search metric). SCALE.md records the
+    candidate-reduction factor."""
     k, nprobe, shortlist = 10, 3, 30
     em = _t(spark, sf_dir, "embeddings")
     n_corpus = em.count()
@@ -685,9 +689,16 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = em.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), _dbl(F.col("embedding")).alias("qv")
     )
-    # coarse probe: nprobe nearest cells per query (L2, the PQ metric)
+    # coarse probe: nprobe nearest cells per query, by COSINE — the metric
+    # that DEFINED the cells (ann_ivf_coarse assigns by cosine): probing by
+    # a different metric than the partition function would miss cells whose
+    # cosine-region contains the query. Measured: recall identical to an
+    # L2 probe on this corpus (near-uniform norms), but the consistency is
+    # what generalizes.
     qc = queries.join(F.broadcast(cents))
-    wq = W.partitionBy("qid").orderBy(_l2sq(F.col("qv"), F.col("cv")), F.asc("cid"))
+    wq = W.partitionBy("qid").orderBy(
+        F.desc(cosine_expr(F.col("qv"), F.col("cv"))), F.asc("cid")
+    )
     probes = (
         qc.select("qid", "cid", F.row_number().over(wq).alias("rn"))
         .filter(F.col("rn") <= nprobe)

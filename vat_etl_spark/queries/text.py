@@ -566,7 +566,11 @@ def _bm25_postings(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFra
     """The (doc_id, w, tf) query-term postings and map-only doc-length
     frames text_bm25_ranking scores — shared with retrieval_hybrid_rrf so
     its lexical branch can filter candidates BEFORE the top-k."""
-    d = _t(spark, sf_dir, "documents")
+    # NULL-text docs must vanish from dl exactly as they do from the
+    # explode path (explode of a NULL array emits nothing) and from the
+    # oracle's unnest — size(NULL) would instead keep the doc and shift
+    # n_docs/avgdl between engines
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = tokens_expr(F.col("text"))
     dl = d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
     tok = d.select("doc_id", F.explode(toks).alias("w"))
@@ -647,9 +651,11 @@ def text_chisq_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
     over exact integer counts, whereas the scalar χ² statistic would sum
     float cells in engine-specific order — the caller can sum the tiny
     result exactly if a single statistic is wanted."""
+    from vat_etl_spark.functions.caching import cache_latest
+
     d = _t(spark, sf_dir, "documents")
     cell = d.groupBy("lang", "source").agg(F.count("*").alias("observed"))
-    cell = cell.persist()
+    (cell,) = cache_latest("text_chisq_contingency", cell)
     rowt = cell.groupBy("lang").agg(F.sum("observed").alias("r"))
     colt = cell.groupBy("source").agg(F.sum("observed").alias("c"))
     tot = cell.agg(F.sum("observed").alias("t"))
@@ -1068,20 +1074,22 @@ def retrieval_prf_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
     round 2 adds only the expansion-term postings scan and the 10
     feedback docs' term counting (two BM25 rounds are inherent to PRF, a
     third full postings build is not)."""
+    from vat_etl_spark.functions.caching import cache_latest
+
     lam = _PRF_LAMBDA
-    d = _t(spark, sf_dir, "documents")
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = tokens_expr(F.col("text"))
-    dl = d.select("doc_id", F.size(toks).cast("bigint").alias("dl")).persist()
+    dl = d.select("doc_id", F.size(toks).cast("bigint").alias("dl"))
     tok = d.select("doc_id", F.explode(toks).alias("w"))
-    stats = dl.agg(
-        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
-        F.count("*").alias("n_docs"),
-    )
     tf3 = (
         tok.filter(F.col("w").isin(_BM25_TERMS))
         .groupBy("doc_id", "w")
         .agg(F.count("*").alias("tf"))
-        .persist()
+    )
+    dl, tf3 = cache_latest("retrieval_prf_rm3", dl, tf3)
+    stats = dl.agg(
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        F.count("*").alias("n_docs"),
     )
     # the feedback state is model-sized (10 doc ids, then 2 expansion
     # terms) — collect it and re-inject as literals, so the final plan is

@@ -51,11 +51,22 @@ def admit_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
         # this epoch's keys into a consolidated partition, and a replay
         # must still be able to exclude its own keys or it would block
         # itself and clobber its output with an empty admit.
-        existing = (
+        idx = (
             spark.read.option("basePath", idx_path)
             .option("ignoreMissingFiles", "true")
             .parquet(idx_path)
-            .filter(F.col("src_epoch") != epoch_id)
+        )
+        if "src_epoch" not in idx.columns:
+            # index written before the provenance column existed: the
+            # partition directory IS the provenance (nothing was compacted
+            # by the old code path after this code runs, so epoch == src)
+            idx = idx.withColumn("src_epoch", F.col("epoch"))
+        else:
+            idx = idx.withColumn(
+                "src_epoch", F.coalesce(F.col("src_epoch"), F.col("epoch"))
+            )
+        existing = (
+            idx.filter(F.col("src_epoch") != epoch_id)
             .select("content_key")
             .distinct()
         )
@@ -94,7 +105,9 @@ def corpus_ingest_stream(
 _SUPERSEDED_MARKER = "_SUPERSEDED"
 
 
-def compact_key_index(spark: SparkSession, out_dir: str) -> int:
+def compact_key_index(
+    spark: SparkSession, out_dir: str, grace_seconds: float = 0.0
+) -> int:
     """Index maintenance, safe to run WHILE the ingest stream is live: fold
     the key index's accumulated ``epoch=N`` partitions into a single
     consolidated negative-epoch partition (distinct keys, coalesced files).
@@ -122,14 +135,25 @@ def compact_key_index(spark: SparkSession, out_dir: str) -> int:
 
     Returns the distinct key count of the consolidated partition."""
     import shutil
+    import time
 
     idx_path = f"{out_dir}/key_index"
     root = pathlib.Path(idx_path)
-    # 1. purge what the previous cycle superseded (grace period elapsed)
+    # 1. purge what a previous cycle superseded — but only if the marker is
+    # older than grace_seconds. The next-cycle rule alone is not enough when
+    # compaction can run twice inside one in-flight admit (its listing may
+    # predate the first cycle's consolidated partition); production sets
+    # grace_seconds above the maximum micro-batch duration so no reader
+    # that listed before a publish can still be running at purge time.
+    now = time.time()
     for p in root.iterdir():
-        if p.is_dir() and p.name.startswith("epoch=") and (
-            p / _SUPERSEDED_MARKER
-        ).exists():
+        marker = p / _SUPERSEDED_MARKER
+        if (
+            p.is_dir()
+            and p.name.startswith("epoch=")
+            and marker.exists()
+            and now - marker.stat().st_mtime >= grace_seconds
+        ):
             shutil.rmtree(p)
     # 2. pin this cycle to a one-shot snapshot of the remaining epoch dirs
     snapshot = [
@@ -138,12 +162,23 @@ def compact_key_index(spark: SparkSession, out_dir: str) -> int:
     if not snapshot:
         return 0
     # src_epoch provenance survives consolidation so a late replay of a
-    # folded epoch can still exclude its own keys (see admit_batch)
-    keys = (
-        spark.read.parquet(*[str(p) for p in snapshot])
-        .select("content_key", "src_epoch")
-        .distinct()
-    )
+    # folded epoch can still exclude its own keys (see admit_batch).
+    # Pre-migration partitions carry no src_epoch column; their directory
+    # name IS the provenance (explicit-path reads lose the partition
+    # column, so it is re-derived per path).
+    frames = []
+    for p in snapshot:
+        df = spark.read.parquet(str(p))
+        if "src_epoch" not in df.columns:
+            src = int(p.name.split("=", 1)[1])
+            df = df.select("content_key", F.lit(src).alias("src_epoch"))
+        else:
+            df = df.select("content_key", "src_epoch")
+        frames.append(df)
+    keys = frames[0]
+    for df in frames[1:]:
+        keys = keys.unionByName(df)
+    keys = keys.distinct()
     staging = f"{out_dir}/key_index_compacting"
     keys.coalesce(1).write.mode("overwrite").parquet(staging)
     n = spark.read.parquet(staging).count()
