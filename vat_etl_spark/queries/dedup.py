@@ -86,6 +86,26 @@ WHERE cast(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
 """
 
 
+def _docs_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents scan, repartitioned for fan-out consumers.
+
+    The sf-scale documents.parquet is ONE file with one row group → one
+    input partition, so a shingle/token explode pipeline would run its
+    entire per-row transform on a single core (measured 2× the audit's
+    truth pass at sf0.1). On a real cluster maxPartitionBytes splits the
+    scan across executors; locally the explicit doc_id repartition is the
+    equivalent. ADAPTIVE: when the scan already yields at least half the
+    cluster parallelism in splits (the real-cluster case), this is a
+    no-op — the corpus is never shuffled just to re-split it. Only the
+    explode-heavy fuzzy-dedup family uses this; scan-light queries keep
+    the plain read."""
+    d = _t(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() >= max(target // 2, 1):
+        return d
+    return d.repartition(target, "doc_id")
+
+
 def _hashed_sets(docsets: DataFrame) -> DataFrame:
     """Per-doc distinct-token array → sorted array of xxhash64 token ids.
 
@@ -160,7 +180,7 @@ def _ngram_jaccard_capped(
     1.8 M true pairs among 5 000 docs at sf0.1, see SCALE.md — so
     verification, not candidate generation, dominates and its shuffle
     must be output-bound)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_fanout(spark, sf_dir)
     docsets = d.select(
         "doc_id", "lang", F.array_distinct(tokens_expr(F.col("text"))).alias("ts")
     )
@@ -251,7 +271,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost is per-bucket, not quadratic."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
 
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_fanout(spark, sf_dir).select("doc_id", "text")
     tok = RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+")
     ng = NGram(n=3, inputCol="toks", outputCol="shingles")
     tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
@@ -275,7 +295,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """64-bit SimHash per document from token hashes — near-dup docs land on
     nearby signatures; grouping on a signature prefix gives cheap candidate
     blocks. Pure native expressions (xxhash64 + bit ops + fold)."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_fanout(spark, sf_dir)
     toks = F.array_distinct(tokens_expr(F.col("text")))
     hashed = F.transform(toks, lambda t: F.xxhash64(t))
     # 64 literal bit masks (bit 63 is the sign bit in two's complement)
@@ -468,7 +488,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     true overlap only for candidate pairs, via the row-sized
     _verify_common_tokens array intersection."""
     tau = 0.6
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_fanout(spark, sf_dir)
     docsets = d.select(
         "doc_id", "lang", F.array_distinct(tokens_expr(F.col("text"))).alias("ts")
     )
@@ -553,7 +573,7 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Verification is the row-sized _verify_common_tokens intersection
     rather than the postings groupBy, which would shuffle one row per
     (pair, shared shingle) on a near-dup-heavy corpus."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs_fanout(spark, sf_dir)
     w = d.select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("ws")).where(
         F.size("ws") >= 3
     )
@@ -606,9 +626,16 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     that tells you whether the banded index is safe to swap in for the
     exact join at 100 TB (precision is cheap to recover by re-verifying
     candidates; RECALL loss is silent data corruption, so it is the
-    audited quantity). tests/test_dedup_determinism.py pins recall ≥ 0.9."""
+    audited quantity). tests/test_dedup_determinism.py pins recall ≥ 0.9.
+
+    The truth side runs on a deterministic 10% seed stratum (pairs whose
+    LOWER doc id hashes into the stratum; the candidate set under audit
+    is filtered identically, the INDEX itself still runs in full) — the
+    only form an exact-truth audit can take at 100 TB, where all-pairs
+    ground truth is uncomputable; recall over a random stratum is an
+    unbiased estimate of corpus recall."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = _docs_fanout(spark, sf_dir).select("doc_id", "text")
     # materialize the token array before the shingle lambda: inlining the
     # regex split re-evaluates it 3× per shingle (CollapseProject keeps
     # the projection because `ws` is referenced more than once)
@@ -623,7 +650,11 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("shingles"),
     )
     t = sh.select("doc_id", F.explode("shingles").alias("tok"))
-    a = t.select(F.col("doc_id").alias("doc_a"), "tok")
+    # audit stratum: the truth join's LEFT side keeps only seed docs —
+    # 10x fewer exact-verification pairs; membership is a pure hash of
+    # doc_id so both truth and audited candidates filter identically
+    stratum = ((F.col("doc_id") % 2147483648) * 2654435761) % 10 == 0
+    a = t.where(stratum).select(F.col("doc_id").alias("doc_a"), "tok")
     b = t.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
     # truth candidates = EVERY co-occurring pair (no prefix filter — the
     # ground truth must not share machinery with the index under audit);
@@ -643,11 +674,11 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=True)
     )
-    cand = (
-        QUERIES["dedup_minhash_lsh"](spark, sf_dir)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=True)
-    )
+    in_stratum = (
+        (F.least("doc_a", "doc_b") % 2147483648) * 2654435761
+    ) % 10 == 0
+    cand_all = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
+    cand = cand_all.where(in_stratum).localCheckpoint(eager=True)
     n_truth = truth.count()
     n_cand = cand.count()
     n_hit = truth.join(cand, ["doc_a", "doc_b"]).count()

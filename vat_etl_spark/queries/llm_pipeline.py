@@ -907,7 +907,11 @@ def pipeline_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     df-cap discipline as dedup_ngram_jaccard (a boilerplate span shared
     by millions of docs is precisely the skew driver), and the join is
     co-partitioned on the span key."""
-    d = _t(spark, sf_dir, "documents")
+    from vat_etl_spark.queries.dedup import _docs_fanout
+
+    # single-file local scan = one input partition: without the adaptive
+    # re-split the span explode serializes on one core (see _docs_fanout)
+    d = _docs_fanout(spark, sf_dir)
     g = d.select(
         "doc_id",
         F.explode(_ngrams(tokens_expr(F.col("text")), _SPAN_W)).alias("g"),
