@@ -81,10 +81,23 @@ def _gt_boundary(order: OrderSpec, boundary: tuple) -> Column:
 def _boundaries(
     df: DataFrame, order: OrderSpec, buckets: int, sample_per_bucket: int, seed: int
 ) -> list[tuple]:
+    """Boundary sample, entirely JVM-side: a deterministic xxhash64 filter
+    keeps ~1% of rows and a LIMIT caps the collect — one short-circuiting
+    job, no count pass, and (unlike ``rdd.takeSample``) no Python
+    serialization of the full input just to sample it. Correctness never
+    depends on the sample (any boundary set respects the order by
+    construction; quality only affects balance), so the small-input
+    fallback to a plain LIMIT — a biased sample — is safe."""
     cols = [c for c, _ in order]
-    sample = df.select(*cols).rdd.takeSample(
-        False, buckets * sample_per_bucket, seed=seed
+    cap = buckets * sample_per_bucket
+    keyed = df.select(*cols)
+    sample = (
+        keyed.where(F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(97)) == 0)
+        .limit(cap)
+        .collect()
     )
+    if len(sample) < buckets:
+        sample = keyed.limit(cap).collect()
     if not sample:
         return []
     keys = sorted((tuple(r) for r in sample), key=functools.cmp_to_key(_cmp_rows(order)))
