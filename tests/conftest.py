@@ -17,6 +17,9 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 def spark():
     s = get_spark("pytest", shuffle_partitions=8)
     yield s
+    from vat_etl_spark.functions.caching import clear_cache
+
+    clear_cache()  # drop pinned DataFrame handles before the session dies
 
 
 @pytest.fixture(scope="session")

@@ -537,7 +537,7 @@ def test_corpus_key_index_compaction_preserves_dedup(spark, sf_smoke, tmp_path):
     corpus_ingest_stream(spark, src, out).awaitTermination()
 
     before = {r.content_key for r in spark.read.parquet(f"{out}/key_index").collect()}
-    n = compact_key_index(spark, out)
+    n = compact_key_index(spark, out, grace_seconds=0.0)
     idx_dirs = {p.name for p in pathlib.Path(f"{out}/key_index").iterdir() if p.is_dir()}
     # grace protocol: consolidated partition published, folded dirs only
     # MARKED (still readable by an in-flight admit), purged next cycle
@@ -546,7 +546,7 @@ def test_corpus_key_index_compaction_preserves_dedup(spark, sf_smoke, tmp_path):
     assert after == before and n == len(before)
 
     # second cycle purges the marked dirs and re-consolidates
-    n2 = compact_key_index(spark, out)
+    n2 = compact_key_index(spark, out, grace_seconds=0.0)
     idx_dirs2 = {
         p.name for p in pathlib.Path(f"{out}/key_index").iterdir() if p.is_dir()
     }
@@ -577,12 +577,12 @@ def test_corpus_compaction_interleaved_with_live_admits(spark, sf_smoke, tmp_pat
     b = [docs.filter(F.col("doc_id") % 4 == i) for i in range(4)]
     admit_batch(b[0], out, epoch_id=0)
     admit_batch(b[1], out, epoch_id=1)
-    compact_key_index(spark, out)          # folds 0,1 → -1; marks 0,1
+    compact_key_index(spark, out, grace_seconds=0.0)          # folds 0,1 → -1; marks 0,1
     admit_batch(b[2], out, epoch_id=2)     # index = marked 0,1 + -1 + dupes OK
-    compact_key_index(spark, out)          # purges 0,1; folds -1,2 → -2
+    compact_key_index(spark, out, grace_seconds=0.0)          # purges 0,1; folds -1,2 → -2
     admit_batch(b[3], out, epoch_id=3)
     # replay epoch 3 after yet another cycle: still blocked, still idempotent
-    compact_key_index(spark, out)
+    compact_key_index(spark, out, grace_seconds=0.0)
     admit_batch(b[3], out, epoch_id=3)
 
     got = spark.read.parquet(f"{out}/docs")
@@ -635,5 +635,5 @@ def test_corpus_index_migrates_from_pre_provenance_layout(spark, sf_smoke, tmp_p
     assert len(k0) == legacy_rows and not (k0 & k1)
 
     # compaction folds the mixed layouts and preserves the full key set
-    n = compact_key_index(spark, out)
+    n = compact_key_index(spark, out, grace_seconds=0.0)
     assert n == len(k0 | k1)

@@ -16,17 +16,36 @@ purely as an intra-invocation optimization, never for correctness)."""
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
 _LATEST: dict[str, list[DataFrame]] = {}
+_LOCK = threading.Lock()
 
 
 def cache_latest(key: str, *dfs: DataFrame) -> tuple[DataFrame, ...]:
-    for old in _LATEST.get(key, []):
+    with _LOCK:
+        old_dfs = _LATEST.pop(key, [])
+        out = [df.persist() for df in dfs]
+        _LATEST[key] = out
+    for old in old_dfs:
         try:
             old.unpersist()
         except Exception:
             pass  # a stopped/replaced session invalidates old handles
-    out = [df.persist() for df in dfs]
-    _LATEST[key] = out
     return tuple(out)
+
+
+def clear_cache(key: str | None = None) -> None:
+    """Drop cached handles (all keys, or one) — call on session stop so the
+    registry does not pin DataFrames (and their SparkSession) for the
+    process lifetime."""
+    with _LOCK:
+        keys = [key] if key is not None else list(_LATEST)
+        old_dfs = [df for k in keys for df in _LATEST.pop(k, [])]
+    for old in old_dfs:
+        try:
+            old.unpersist()
+        except Exception:
+            pass

@@ -652,8 +652,12 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = sh.select("doc_id", F.explode("shingles").alias("tok"))
     # audit stratum: the truth join's LEFT side keeps only seed docs —
     # 10x fewer exact-verification pairs; membership is a pure hash of
-    # doc_id so both truth and audited candidates filter identically
-    stratum = ((F.col("doc_id") % 2147483648) * 2654435761) % 10 == 0
+    # doc_id so both truth and audited candidates filter identically.
+    # xxhash64, not multiplicative-mod-10: 2654435761 % 10 == 1, so the
+    # old ((id % 2^31) * 2654435761) % 10 collapsed to id % 10 — a
+    # systematic id sample whose bias would correlate with any id-linked
+    # near-dup structure (round-6 ADVICE).
+    stratum = F.pmod(F.xxhash64(F.col("doc_id"), F.lit(0x5EED)), F.lit(10)) == 0
     a = t.where(stratum).select(F.col("doc_id").alias("doc_a"), "tok")
     b = t.select(F.col("doc_id").alias("doc_b"), F.col("tok").alias("tok_b"))
     # truth candidates = EVERY co-occurring pair (no prefix filter — the
@@ -675,8 +679,8 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     in_stratum = (
-        (F.least("doc_a", "doc_b") % 2147483648) * 2654435761
-    ) % 10 == 0
+        F.pmod(F.xxhash64(F.least("doc_a", "doc_b"), F.lit(0x5EED)), F.lit(10)) == 0
+    )
     cand_all = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
     cand = cand_all.where(in_stratum).localCheckpoint(eager=True)
     n_truth = truth.count()

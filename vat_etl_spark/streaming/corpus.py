@@ -51,9 +51,14 @@ def admit_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
         # this epoch's keys into a consolidated partition, and a replay
         # must still be able to exclude its own keys or it would block
         # itself and clobber its output with an empty admit.
+        # mergeSchema: in a mixed pre/post-migration layout, schema
+        # inference sampling a legacy (content_key-only) file would
+        # silently drop the src_epoch DATA column and a replayed folded
+        # epoch could fail to exclude its own keys (round-6 ADVICE)
         idx = (
             spark.read.option("basePath", idx_path)
             .option("ignoreMissingFiles", "true")
+            .option("mergeSchema", "true")
             .parquet(idx_path)
         )
         if "src_epoch" not in idx.columns:
@@ -106,7 +111,7 @@ _SUPERSEDED_MARKER = "_SUPERSEDED"
 
 
 def compact_key_index(
-    spark: SparkSession, out_dir: str, grace_seconds: float = 0.0
+    spark: SparkSession, out_dir: str, grace_seconds: float = 300.0
 ) -> int:
     """Index maintenance, safe to run WHILE the ingest stream is live: fold
     the key index's accumulated ``epoch=N`` partitions into a single
@@ -142,9 +147,11 @@ def compact_key_index(
     # 1. purge what a previous cycle superseded — but only if the marker is
     # older than grace_seconds. The next-cycle rule alone is not enough when
     # compaction can run twice inside one in-flight admit (its listing may
-    # predate the first cycle's consolidated partition); production sets
-    # grace_seconds above the maximum micro-batch duration so no reader
-    # that listed before a publish can still be running at purge time.
+    # predate the first cycle's consolidated partition); the default (300 s)
+    # is conservative — set it above the deployment's maximum micro-batch
+    # duration so no reader that listed before a publish can still be
+    # running at purge time. Tests that quiesce the stream between cycles
+    # pass 0.0 explicitly.
     now = time.time()
     for p in root.iterdir():
         marker = p / _SUPERSEDED_MARKER
