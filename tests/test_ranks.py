@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from vat_etl_spark.functions.ranks import (
     two_pass_ntile,
+    two_pass_ntile_multi,
     two_pass_prefix_sum,
     two_pass_rank,
 )
@@ -74,6 +75,57 @@ def test_empty_input(spark):
         two_pass_prefix_sum(df, [("v", "asc"), ("uid", "asc")], "delta", out_col="cs").count()
         == 0
     )
+
+
+def test_ntile_multi_matches_per_metric_global_windows(spark):
+    """Fused multi-metric ntile == three independent global ntiles, and the
+    piggybacked extra aggregate comes back correct."""
+    df = _df(spark)
+    exp = df.select(
+        "uid",
+        F.ntile(5).over(W.orderBy("v", "uid")).alias("a"),
+        F.ntile(5).over(W.orderBy(F.desc("delta"), "uid")).alias("b"),
+        F.ntile(5).over(W.orderBy(F.desc("uid"))).alias("c"),
+    )
+    got, extras = two_pass_ntile_multi(
+        df,
+        [
+            ([("v", "asc"), ("uid", "asc")], "a"),
+            ([("delta", "desc"), ("uid", "asc")], "b"),
+            ([("uid", "desc")], "c"),
+        ],
+        5,
+        extra_aggs={"n": F.count("*"), "mx": F.max("uid")},
+    )
+    assert extras["n"] == 5000 and extras["mx"] == 4999
+    assert exp.exceptAll(got.select("uid", "a", "b", "c")).count() == 0
+    assert unpartitioned_window_count(got) == 0
+
+
+def test_ntile_multi_runs_two_driver_jobs(spark):
+    """The fusion contract: ONE boundary-sample job + ONE fused count query
+    for any number of metrics (the whole point vs per-metric two_pass_ntile,
+    which costs two driver round-trips EACH). AQE materializes the count
+    query's shuffle stage as a job of its own, so the ceiling is 3 jobs —
+    constant in the number of metrics."""
+    sc = spark.sparkContext
+    df = _df(spark).localCheckpoint(eager=True)  # pin input outside the count
+    sc.setJobGroup("ntile-multi-jobcount", "fusion contract")
+    try:
+        two_pass_ntile_multi(
+            df,
+            [
+                ([("v", "asc"), ("uid", "asc")], "a"),
+                ([("delta", "desc"), ("uid", "asc")], "b"),
+                ([("uid", "desc")], "c"),
+            ],
+            5,
+            extra_aggs={"n": F.count("*")},
+        )
+    finally:
+        sc.setJobGroup("", "")
+    jobs = sc.statusTracker().getJobIdsForGroup("ntile-multi-jobcount")
+    assert len(jobs) <= 3, jobs
 
 
 def test_rank_invariant_to_bucket_count(spark):

@@ -78,35 +78,52 @@ def _gt_boundary(order: OrderSpec, boundary: tuple) -> Column:
     return expr
 
 
-def _boundaries(
-    df: DataFrame, order: OrderSpec, buckets: int, sample_per_bucket: int, seed: int
+def _sample_keys(
+    df: DataFrame, cols: Sequence[str], buckets: int, sample_per_bucket: int, seed: int
 ) -> list[tuple]:
-    """Boundary sample, entirely JVM-side: a deterministic xxhash64 filter
-    keeps ~1% of rows and a LIMIT caps the collect — one short-circuiting
-    job, no count pass, and (unlike ``rdd.takeSample``) no Python
-    serialization of the full input just to sample it. Correctness never
-    depends on the sample (any boundary set respects the order by
-    construction; quality only affects balance), so the small-input
-    fallback to a plain LIMIT — a biased sample — is safe."""
-    cols = [c for c, _ in order]
+    """Boundary sample, entirely JVM-side and exactly ONE driver job: take
+    the ``cap`` rows with the smallest ``xxhash64(keys, seed)`` — a
+    hash-ordered top-k that compiles to TakeOrderedAndProject (per-partition
+    heap of ``cap`` rows, single pass, driver merge). Unlike a
+    filter+LIMIT spelling this is not incremental (CollectLimit's
+    scale-up retries cost several jobs when the filter passes few rows),
+    needs no small-input fallback (it returns min(n, cap) rows by
+    construction), and is an unbiased uniform sample (hash order is
+    independent of key order). Correctness never depends on the sample —
+    any boundary set respects the total order by construction; quality
+    only affects bucket balance — and (unlike ``rdd.takeSample``) nothing
+    detours through Python serialization."""
     cap = buckets * sample_per_bucket
-    keyed = df.select(*cols)
     sample = (
-        keyed.where(F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(97)) == 0)
+        df.select(*cols)
+        .orderBy(F.xxhash64(*[F.col(c) for c in cols], F.lit(seed)).asc())
         .limit(cap)
         .collect()
     )
-    if len(sample) < buckets:
-        sample = keyed.limit(cap).collect()
+    return [tuple(r) for r in sample]
+
+
+def _pick_bounds(sample: list[tuple], order: OrderSpec, buckets: int) -> list[tuple]:
+    """Pick ``<= buckets-1`` strictly-increasing boundary tuples from a
+    collected sample (tuples in ``order``-column positions)."""
     if not sample:
         return []
-    keys = sorted((tuple(r) for r in sample), key=functools.cmp_to_key(_cmp_rows(order)))
+    keys = sorted(sample, key=functools.cmp_to_key(_cmp_rows(order)))
     bounds: list[tuple] = []
     for i in range(1, buckets):
         cand = keys[(i * len(keys)) // buckets]
         if not bounds or _cmp_rows(order)(bounds[-1], cand) < 0:
             bounds.append(cand)
     return bounds
+
+
+def _boundaries(
+    df: DataFrame, order: OrderSpec, buckets: int, sample_per_bucket: int, seed: int
+) -> list[tuple]:
+    cols = [c for c, _ in order]
+    return _pick_bounds(
+        _sample_keys(df, cols, buckets, sample_per_bucket, seed), order, buckets
+    )
 
 
 def _bucketize(
@@ -205,6 +222,106 @@ def two_pass_ntile(
     rc = "__tpr_rank"
     ranked, n = _rank_with_total(df, order, rc, buckets, sample_per_bucket, seed)
     return ranked.withColumn(tile_col, ntile_from_rank(F.col(rc), n, k)).drop(rc)
+
+
+def two_pass_ntile_multi(
+    df: DataFrame,
+    specs: Sequence[tuple[OrderSpec, str]],
+    k: int,
+    *,
+    buckets: int = 32,
+    sample_per_bucket: int = 64,
+    seed: int = 7,
+    extra_aggs: dict[str, Column] | None = None,
+) -> tuple[DataFrame, dict]:
+    """Several independent global ``ntile(k)`` columns over the SAME input
+    in a fused two-pass plan — the multi-metric scorer primitive (RFM
+    quintiles, multi-dimension ABC classes, percentile dashboards).
+
+    ``specs`` is ``[(order, tile_col), ...]``. Versus calling
+    :func:`two_pass_ntile` once per metric (which costs one boundary-sample
+    job plus one bucket-count job EACH), this runs exactly TWO driver jobs
+    total regardless of the number of metrics:
+
+    1. ONE sample pass collecting the union of every spec's key columns;
+       per-spec boundaries are carved driver-side from the same sample
+       (boundary quality only affects balance, never correctness).
+    2. ONE fused aggregate producing per-bucket counts for ALL specs as
+       conditional sums (``B x len(specs)`` values in a single row) —
+       callers can piggyback scalar aggregates they need anyway via
+       ``extra_aggs`` (e.g. an anchor ``max(date)``), eliminating their own
+       separate driver job.
+
+    The per-spec local windows then apply in one projection chain — one
+    final job with ``len(specs)`` B-way-parallel WindowExecs, never a
+    single-partition window. Results are bit-identical to the global
+    ``ntile(k).over(Window.orderBy(...))`` per spec (rank arithmetic is
+    layout-free) provided each order is a total order (unique tie-break
+    column, as ever).
+
+    Returns ``(df + tile columns, {name: value for extra_aggs})``.
+    """
+    all_cols: list[str] = []
+    for order, _ in specs:
+        for c, _d in order:
+            if c not in all_cols:
+                all_cols.append(c)
+    sample = _sample_keys(df, all_cols, buckets, sample_per_bucket, seed)
+    idx = {c: i for i, c in enumerate(all_cols)}
+
+    b = df
+    bcols: list[str] = []
+    nbuckets: list[int] = []
+    for i, (order, _tile) in enumerate(specs):
+        proj = [tuple(row[idx[c]] for c, _d in order) for row in sample]
+        bounds = _pick_bounds(proj, order, buckets)
+        bcol = f"{_BUCKET}_{i}"
+        if bounds:
+            expr = functools.reduce(
+                Column.__add__,
+                (_gt_boundary(order, bd).cast("int") for bd in bounds),
+            )
+        else:
+            expr = F.lit(0)
+        b = b.withColumn(bcol, expr)
+        bcols.append(bcol)
+        nbuckets.append(len(bounds) + 1)
+
+    aggs: list[Column] = []
+    for i, bcol in enumerate(bcols):
+        for j in range(nbuckets[i]):
+            aggs.append(
+                F.count(F.when(F.col(bcol) == j, 1)).alias(f"__c_{i}_{j}")
+            )
+    extra_names = list(extra_aggs) if extra_aggs else []
+    for xi, name in enumerate(extra_names):
+        aggs.append(extra_aggs[name].alias(f"__x_{xi}"))
+    row = b.agg(*aggs).first()
+
+    out = b
+    n_total = 0
+    for i, (order, tile_col) in enumerate(specs):
+        offsets: dict[int, int] = {}
+        acc = 0
+        for j in range(nbuckets[i]):
+            offsets[j] = acc
+            acc += row[f"__c_{i}_{j}"]
+        n_total = acc
+        local = F.row_number().over(
+            W.partitionBy(bcols[i]).orderBy(*_sort_exprs(order))
+        )
+        rank = (_offset_expr_for(bcols[i], offsets) + local).cast("bigint")
+        out = out.withColumn(tile_col, ntile_from_rank(rank, n_total, k))
+    out = out.drop(*bcols)
+    extras = {name: row[f"__x_{xi}"] for xi, name in enumerate(extra_names)}
+    return out, extras
+
+
+def _offset_expr_for(bucket_col: str, offsets: dict[int, int]) -> Column:
+    pairs: list[Column] = []
+    for kk, v in offsets.items():
+        pairs += [F.lit(kk), F.lit(v)]
+    return F.element_at(F.create_map(*pairs), F.col(bucket_col))
 
 
 def two_pass_prefix_sum(

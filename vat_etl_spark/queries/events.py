@@ -10,7 +10,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from vat_etl_spark.functions.numeric import dsum, dsum_sql
-from vat_etl_spark.functions.ranks import two_pass_ntile
+from vat_etl_spark.functions.ranks import two_pass_ntile_multi
 from vat_etl_spark.queries import query
 from vat_etl_spark.sources.catalog import read_table as _t
 
@@ -403,20 +403,26 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile orders by (metric, user_id) — the tie-break key that makes
     quintile assignment a total order (the verified-safe ntile contract,
     scores 1 = best). Scale shape: one filtered fact agg to user grain;
-    the three quintile assignments run over USER-grain rows as two-pass
-    range-partitioned rank arithmetic (functions/ranks.py — layout-free,
-    same results as global ntile, no single-partition WindowExec;
-    asserted in tests/test_plans.py)."""
+    the three quintile assignments are FUSED two-pass range-partitioned
+    ranks (functions/ranks.py two_pass_ntile_multi — layout-free, same
+    results as global ntile, no single-partition WindowExec; asserted in
+    tests/test_plans.py). Exactly TWO driver-coordinated jobs for all
+    three metrics — one shared boundary sample + one fused bucket-count
+    aggregate that also carries the recency anchor max(last_d) — down
+    from nine (3x sample + 3x count + anchor + ...) when each ntile ran
+    its own passes. The recency quintile orders by (last_d DESC,
+    user_id): recency_days = datediff(anchor, last_d) is strictly
+    decreasing in last_d, so this is the same total order as
+    (recency_days ASC, user_id) without needing the anchor before
+    bucketizing."""
     p = _t(spark, sf_dir, "events").where(F.col("event_type") == "purchase").select(
         "user_id",
         F.to_date("ts").alias("d"),
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
-    # user-grain metric table, persisted: each two-pass ntile runs its own
-    # boundary-sample and bucket-count jobs against it, and the three
-    # layered assignments nest in the final plan — without the persist the
-    # fact scan+agg would re-run once per job per layer. The anchor date
-    # comes from the persisted frame (tiny agg), not a second fact scan.
+    # user-grain metric table, persisted: the shared boundary-sample job,
+    # the fused count job and the final plan each consume it — without the
+    # persist the fact scan+agg would re-run per job.
     from vat_etl_spark.functions.caching import cache_latest
 
     per_user = p.groupBy("user_id").agg(
@@ -425,24 +431,19 @@ def events_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").alias("monetary_cents"),
     )
     (per_user,) = cache_latest("events_rfm_segmentation", per_user)
-    d1 = per_user.agg(F.max("last_d")).first()[0]
-    base = per_user.select(
-        "user_id",
-        F.datediff(F.lit(d1), F.col("last_d")).cast("bigint").alias("recency_days"),
-        "frequency",
-        "monetary_cents",
-    )
-    scored = two_pass_ntile(
-        base, [("recency_days", "asc"), ("user_id", "asc")], 5, tile_col="r_score"
-    )
-    scored = two_pass_ntile(
-        scored, [("frequency", "desc"), ("user_id", "asc")], 5, tile_col="f_score"
-    )
-    scored = two_pass_ntile(
-        scored,
-        [("monetary_cents", "desc"), ("user_id", "asc")],
+    scored, extras = two_pass_ntile_multi(
+        per_user,
+        [
+            ([("last_d", "desc"), ("user_id", "asc")], "r_score"),
+            ([("frequency", "desc"), ("user_id", "asc")], "f_score"),
+            ([("monetary_cents", "desc"), ("user_id", "asc")], "m_score"),
+        ],
         5,
-        tile_col="m_score",
+        extra_aggs={"d1": F.max("last_d")},
+    )
+    d1 = extras["d1"]
+    scored = scored.withColumn(
+        "recency_days", F.datediff(F.lit(d1), F.col("last_d")).cast("bigint")
     )
     seg = (
         F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2), "champion")
