@@ -224,6 +224,47 @@ def test_phash_matches_pure_python_and_blocking_is_lossless(spark, sf_smoke):
     assert pairs == brute
 
 
+def test_phash_planted_family_detected_exactly(spark, sf_smoke):
+    """`multimodal_dedup_phash_planted` must detect EXACTLY the planted
+    pairs the pure-Python phash reference predicts sit within tau=3 — a
+    positive-path audit of the detection machinery on real corpus bytes
+    (the production query's corpus answer is honestly zero)."""
+    from vat_etl_spark.operators.multimodal import PHASH_BITS
+    from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.sources.catalog import read_table
+
+    def ref_phash(b: bytes) -> int:
+        n, sig = len(b), 0
+        if not n:
+            return 0
+        total = sum(b)
+        for i in range(PHASH_BITS):
+            lo, hi = i * n // PHASH_BITS, (i + 1) * n // PHASH_BITS
+            if hi > lo and sum(b[lo:hi]) * n >= total * (hi - lo):
+                sig |= 1 << i
+        return sig
+
+    texts = {
+        r.doc_id: r.text
+        for r in read_table(spark, sf_smoke, "documents").collect()
+        if r.text
+    }
+    want = {}
+    for doc_id, t in texts.items():
+        if doc_id % 20 != 0:
+            continue
+        v = chr(ord(t[0]) ^ 64) + t[1:]
+        h = bin(ref_phash(t.encode()) ^ ref_phash(v.encode())).count("1")
+        if h <= 3:
+            want[(doc_id, doc_id)] = h
+    got = {
+        (r.doc_id, r.variant_of): r.hamming
+        for r in QUERIES["multimodal_dedup_phash_planted"](spark, sf_smoke).collect()
+    }
+    assert want and got == want
+    assert max(got.values()) >= 1  # a real spread, not only exact dups
+
+
 def test_phash_dedup_finds_synthetic_near_dups(spark, tmp_path):
     """The real corpus has no byte-level near-dups (min pairwise hamming
     8 — measured; its near-dups are token-SHUFFLES, which restructure the

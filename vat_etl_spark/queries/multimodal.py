@@ -197,7 +197,18 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    sigs = perceptual_hash(attach_payload(docs)).select("doc_id", "phash")
+    return _phash_near_dup_pairs(attach_payload(docs))
+
+
+def _phash_near_dup_pairs(mm: DataFrame, tau: int = 3) -> DataFrame:
+    """Shared detection core: signature extraction → band-keyed equi-join →
+    exact Hamming verification. (doc_a, doc_b, hamming), doc_a < doc_b."""
+    from vat_etl_spark.operators.multimodal import (
+        PHASH_BANDS,
+        perceptual_hash,
+    )
+
+    sigs = perceptual_hash(mm).select("doc_id", "phash")
     # carry the signature THROUGH the band explode so the band join yields
     # sig_a/sig_b directly: re-deriving them via two extra joins back to
     # sigs re-ran the corpus-sized mapInPandas byte pass up to 4x (only
@@ -233,6 +244,59 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_a", "doc_b",
             F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
         )
-        .filter(F.col("hamming") <= 3)
+        .filter(F.col("hamming") <= tau)
         .distinct()
+    )
+
+
+@query("multimodal_dedup_phash_planted")  # rows-only: positive-path audit
+def multimodal_dedup_phash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITIVE-path audit of the phash near-dup detector on real corpus
+    bytes: the honest corpus answer for `multimodal_dedup_phash` is zero
+    rows (testdata near-dups are token shuffles, min pairwise hamming 8),
+    so this companion derives a deterministic near-dup family IN-QUERY —
+    for every 20th document a variant payload with bit 6 of its first
+    byte flipped (variant doc_id = -doc_id - 1, collision-free) — and
+    runs the exact same banded detection over originals + variants.
+    Detection, not construction, is under audit: a one-byte payload
+    perturbation moves one block mean, so variants land within tau of
+    their original (hamming 0-3 measured on this corpus) and the band
+    join must FIND them (pigeonhole-lossless for hamming <= 7).
+    Output: one row per detected (original, variant) pair, plus
+    summary-friendly hamming. Pytest (tests/test_multimodal.py) pins the
+    detected set exactly equal to the pure-Python-reference prediction of
+    which planted pairs sit within tau. Scale shape identical to the
+    production query — the planted family only adds 5% synthetic rows."""
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.length("text") >= 1)
+    )
+    planted_src = docs.where(F.col("doc_id") % 20 == 0)
+    # flip bit 6 of the first character (ASCII corpus: one payload byte
+    # moves by 64 — enough to perturb a block mean so variants land at a
+    # REAL spread of hammings, measured 0-3 on this corpus, all within
+    # tau; flipping only the low bit left every pair at hamming 0)
+    flipped_text = F.concat(
+        F.expr("chr(ascii(substring(text, 1, 1)) ^ 64)"),
+        F.expr("substring(text, 2)"),
+    )
+    variants = planted_src.select(
+        (-F.col("doc_id") - 1).alias("doc_id"), flipped_text.alias("text")
+    )
+    fam = docs.select("doc_id", "text").unionByName(variants)
+    pairs = _phash_near_dup_pairs(attach_payload(fam))
+    # report only pairs touching a planted variant, mapped back to the
+    # original id: (orig_id, variant_of) — detections among real docs
+    # stay the production query's business
+    return (
+        pairs.where((F.col("doc_a") < 0) != (F.col("doc_b") < 0))
+        .select(
+            F.when(F.col("doc_a") < 0, F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("doc_id"),
+            F.when(F.col("doc_a") < 0, -F.col("doc_a") - 1)
+            .otherwise(-F.col("doc_b") - 1)
+            .alias("variant_of"),
+            "hamming",
+        )
+        .orderBy("doc_id", "variant_of")
     )
