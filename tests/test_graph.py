@@ -52,20 +52,23 @@ def test_embed_normalize_arrow_matches_numpy(spark, sf_smoke):
     from vat_etl_spark.queries import QUERIES
     from vat_etl_spark.sources.catalog import read_table
 
-    got = {r.vec_id: (r.l2_norm, r.first_component_normed)
+    got = {r.vec_id: (r.l2_norm_micros, r.first_component_nanos)
            for r in QUERIES["embed_normalize_arrow"](spark, sf_smoke).collect()}
     src = {r.vec_id: np.array(r.embedding, dtype=np.float64)
            for r in read_table(spark, sf_smoke, "embeddings").collect()}
     assert set(got) == set(src)
     # reference uses the 2D-axis norm code path (sqrt(sum(x*x))) — numpy's
-    # 1D norm goes through BLAS nrm2 and rounds differently in the last ulp
+    # 1D norm goes through BLAS nrm2 and rounds differently in the last ulp.
+    # Query output is integer-scaled (the cross-engine-exact form); the
+    # numpy reference applies the same scaling.
     ids = sorted(src)
     mat = np.stack([src[i] for i in ids])
     norms = np.linalg.norm(mat, axis=1)
     for i, vid in enumerate(ids):
         n = float(norms[i])
-        assert got[vid][0] == n
-        assert got[vid][1] == float(mat[i, 0] / (n if n else 1.0))
+        f = float(mat[i, 0] / (n if n else 1.0))
+        assert abs(got[vid][0] - n * 1e6) <= 0.501
+        assert abs(got[vid][1] - f * 1e9) <= 0.501
 
 
 def test_pq_recall_beats_random_by_wide_margin(spark, sf_smoke):

@@ -32,7 +32,7 @@ def test_udaf_geomean_matches_native_identity(spark, sf_smoke):
 
     from vat_etl_spark.queries import QUERIES
 
-    got = {r.o_orderstatus: r.geomean_price
+    got = {r.o_orderstatus: r.geomean_micros
            for r in QUERIES["udaf_geomean"](spark, sf_smoke).collect()}
     import math
     o = spark.read.parquet(f"{sf_smoke}/orders.parquet")
@@ -45,7 +45,9 @@ def test_udaf_geomean_matches_native_identity(spark, sf_smoke):
     }
     assert set(got) == set(exact)
     for k in got:
-        assert abs(got[k] - exact[k]) / exact[k] < 1e-9
+        # query output is integer micros (the cross-engine-exact form);
+        # compare against the native identity at micros resolution
+        assert abs(got[k] / 1e6 - exact[k]) / exact[k] < 1e-9
 
 
 def test_hierarchical_sum_equals_dsum(spark):

@@ -62,55 +62,59 @@ from vat_etl_spark.queries import llm_pipeline  # noqa: E402,F401
 _FIRST = [
     # vat flagship (= entry())
     "vat_summary",
-    # --- the 24 carried-over never-checked (aggregates / function surface) ---
-    "embed_normalize_arrow",
-    "multimodal_audio_frames",
-    "multimodal_keyframes",
-    "fin_allocate_proration",
-    "basket_association_rules",
-    "agg_weighted_median",
-    "feature_zscore_normalize",
-    "agg_gini_concentration",
-    "agg_simpson_diversity",
-    "agg_lorenz_deciles",
-    "agg_winsorized_mean",
-    "sql_lateral_topn_per_nation",
-    "agg_bitmap_exact_distinct",
-    "window_moving_avg",
-    "agg_median_abs_deviation",
+    # --- round-7 changes: new registration + rows-only→hash graduations ---
+    "multimodal_dedup_phash_planted",
     "pandas_udf_currency",
-    "map_struct_functions",
     "udaf_geomean",
-    "variant_functions",
-    "null_scalar_functions",
-    "agg_histogram_buckets",
-    "agg_equidepth_histogram",
-    "agg_argmax_bitwise",
-    "agg_hll_intersection",
-    # --- the 19 round-5 registrations (never driver-checked) ---
-    "pipeline_duplicate_spans",
-    "pipeline_pii_scrub",
+    "embed_normalize_arrow",
+    # --- round-7 rewrites: fused multi-metric ntile + shared sampler ---
+    "events_rfm_segmentation",
+    "multimodal_shard_packing",
+    "window_abc_classification",
+    "text_zipf_rank_freq",
+    "dq_key_skew_profile",
+    "events_max_concurrency",
+    "ts_cusum_drift",
+    "ids_assign_stable",
+    "agg_gini_concentration",
+    "agg_lorenz_deciles",
+    # stratum-hash fix + corpus mergeSchema change
+    "dedup_lsh_recall_eval",
     "corpus_ingest_admit_twin",
-    "dedup_phonetic_recall_eval",
-    "pipeline_temperature_mix",
-    "pipeline_global_shuffle",
-    "pipeline_epoch_upsample",
-    "text_bigram_fluency",
-    "dedup_semantic_clustered",
-    "text_bpe_pair_counts",
-    "text_bpe_merges",
-    "pipeline_leakage_safe_split",
-    "multimodal_dedup_phash",
-    "ann_pq_encode",
-    "ann_pq_recall_eval",
-    "text_bpe_apply",
-    "retrieval_hybrid_rrf",
-    "retrieval_chunk_maxp",
-    "retrieval_prf_rm3",
-    # --- round-6 registrations (new this round, inside the window) ---
+    # --- remaining rows-only tier: keep external rows-only evidence fresh ---
+    "agg_approx_distinct",
+    "agg_countmin_heavy_hitters",
+    "agg_hll_intersection",
+    "agg_hll_mergeable",
+    "agg_percentile_approx",
+    "agg_statistics",
+    "ann_ivf_recall_eval",
     "ann_ivfpq_search",
-    "pipeline_contamination_containment",
+    "ann_lsh_bucketed",
+    "ann_pq_recall_eval",
+    "dedup_minhash_lsh",
+    "dedup_phonetic_blocking",
+    "dedup_phonetic_recall_eval",
+    "dedup_simhash",
+    "graph_pagerank",
+    "kmeans_lloyd",
+    "multimodal_audio_frames",
+    "multimodal_dedup_phash",
+    "multimodal_features",
+    "multimodal_keyframes",
+    "sample_stratified_orders",
+    "text_bpe_apply",
+    "text_bpe_merges",
+    "ts_rolling_distinct_hll",
+    # --- headliner hash rotation across subsystems ---
+    "retrieval_prf_rm3",
+    "retrieval_hybrid_rrf",
     "retrieval_eval_metrics",
+    "text_bm25_ranking",
+    "text_bigram_fluency",
+    "pipeline_contamination_containment",
+    "ann_pq_encode",
+    "dedup_semantic_clustered",
 ]
 
 

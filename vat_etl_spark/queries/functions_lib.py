@@ -321,10 +321,27 @@ def make_currency_pandas_udf():
     return currency_aed
 
 
-@query("pandas_udf_currency")  # rows-only: Python-side rounding semantics
+def _pandas_udf_currency_sql() -> str:
+    from vat_etl_spark.functions.currency import currency_to_aed_exact_sql
+
+    raw = "'USD ' || printf('%.2f', s_acctbal)"
+    return (
+        f"SELECT s_suppkey, {raw} AS raw, "
+        f"{currency_to_aed_exact_sql(raw)} AS aed FROM supplier"
+    )
+
+
+@query("pandas_udf_currency", oracle=_pandas_udf_currency_sql())
 def pandas_udf_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched pandas_udf running the reference UDF verbatim-semantics;
-    pytest asserts agreement with the native expression on golden cases."""
+    """Arrow-batched pandas_udf running the reference UDF verbatim-semantics.
+    Hash-verified against the exact-decimal SQL rendering (the same
+    contract the oracle-green `currency_parse` uses): on the 'USD %.2f'
+    domain Python's float round(x, 2) is the identity on an
+    already-2-decimal double, so the Arrow path must bit-match the
+    DECIMAL(18,4) oracle — graduating this from the rows-only tier proves
+    the escape hatch, not just the native expression, computes the
+    reference semantics. pytest additionally pins golden-case agreement
+    with the native expression (tests/test_currency.py)."""
     supplier = _t(spark, sf_dir, "supplier")
     udf = make_currency_pandas_udf()
     raw = F.concat(F.lit("USD "), F.format_string("%.2f", F.col("s_acctbal")))
@@ -364,12 +381,26 @@ def map_struct_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("udaf_geomean")  # rows-only: libm exp/log ulps are engine-specific
+_GEOMEAN_SQL = """
+SELECT o_orderstatus,
+       cast(round(exp(avg(ln(o_totalprice))) * 1e6) AS BIGINT) AS geomean_micros
+FROM orders WHERE o_totalprice > 0
+GROUP BY o_orderstatus
+"""
+
+
+@query("udaf_geomean", oracle=_GEOMEAN_SQL)
 def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom aggregate (UDAF surface) via a GROUPED_AGG pandas_udf:
-    geometric mean of order totals per status. Arrow-batched, partial-agg
-    capable; the engine's path for aggregates the builtin set lacks.
-    pytest asserts agreement with the native exp(avg(ln)) identity."""
+    geometric mean of order totals per status. Arrow-batched; the engine's
+    path for aggregates the builtin set lacks. Hash-verified via the
+    shared integer-micros trick: libm exp/log and summation order differ
+    between numpy and DuckDB only at ~1e-16 relative, so rounding the
+    geomean to integer micros (~1e-11 relative slack at these magnitudes)
+    makes the cross-engine compare exact — same discipline as the
+    retrieval-eval metrics. pytest additionally pins agreement with the
+    native exp(avg(ln)) identity at full double precision
+    (tests/test_app.py)."""
     import numpy as np
     from pyspark.sql.functions import PandasUDFType, pandas_udf
 
@@ -381,11 +412,13 @@ def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         a = a[a > 0]
         return float(np.exp(np.log(a).mean())) if a.size else 0.0
 
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
     # note: grouped-agg pandas UDFs can't mix with builtin aggregates in one
     # agg() — counts etc. go in a separate aggregation joined on the key
     return o.groupBy("o_orderstatus").agg(
-        geomean(F.col("o_totalprice")).alias("geomean_price")
+        F.round(geomean(F.col("o_totalprice")) * 1e6)
+        .cast("bigint")
+        .alias("geomean_micros")
     )
 
 

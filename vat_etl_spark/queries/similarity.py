@@ -426,16 +426,35 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("embed_normalize_arrow")  # rows-only: float accumulation is engine-specific
+_EMBED_NORM_SQL = """
+WITH n AS (
+  SELECT vec_id,
+         sqrt(list_sum(list_transform(cast(embedding AS DOUBLE[]), x -> x * x))) AS l2,
+         cast(embedding[1] AS DOUBLE) AS e0
+  FROM embeddings
+)
+SELECT vec_id,
+       cast(round(l2 * 1e6) AS BIGINT) AS l2_norm_micros,
+       cast(round(e0 / (CASE WHEN l2 = 0 THEN 1.0 ELSE l2 END) * 1e9) AS BIGINT)
+         AS first_component_nanos
+FROM n
+"""
+
+
+@query("embed_normalize_arrow", oracle=_EMBED_NORM_SQL)
 def embed_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2-normalization of the embedding column via ``mapInArrow`` — the
     lowest-overhead Python escape hatch (raw pyarrow RecordBatches, no
     pandas conversion on either side; cf. mapInPandas in
     knn_vectorized_numpy). Zero-copy into numpy, one vectorized
-    batch-level normalize, zero-copy out. Map-only at any scale. Output
-    carries the norm and a normalized-first-component so the row content
-    is small; parity with a pure-numpy reference is pinned in
-    tests/test_graph.py (float path ⇒ rows-only for the oracle gate)."""
+    batch-level normalize, zero-copy out. Map-only at any scale.
+    Hash-verified via the shared integer-scaling trick: numpy's pairwise
+    summation and DuckDB's sequential list_sum differ only at ~1e-16
+    relative, so rounding the norm to micros and the normalized first
+    component to nanos makes the cross-engine compare exact (the rounding
+    happens JVM-side on the UDF's raw doubles, same round-half-up on both
+    engines). Full-double-precision parity with a driver-side numpy
+    reference stays pinned in tests/test_graph.py."""
     import numpy as np
     import pyarrow as pa
 
@@ -454,8 +473,15 @@ def embed_normalize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
                 names=["vec_id", "l2_norm", "first_component_normed"],
             )
 
-    return em.mapInArrow(
+    raw = em.mapInArrow(
         norm_batches, "vec_id long, l2_norm double, first_component_normed double"
+    )
+    return raw.select(
+        "vec_id",
+        F.round(F.col("l2_norm") * 1e6).cast("bigint").alias("l2_norm_micros"),
+        F.round(F.col("first_component_normed") * 1e9)
+        .cast("bigint")
+        .alias("first_component_nanos"),
     )
 
 
