@@ -637,3 +637,82 @@ def test_corpus_index_migrates_from_pre_provenance_layout(spark, sf_smoke, tmp_p
     # compaction folds the mixed layouts and preserves the full key set
     n = compact_key_index(spark, out, grace_seconds=0.0)
     assert n == len(k0 | k1)
+
+
+def test_corpus_checkpoint_restart_is_exactly_once(spark, sf_smoke, tmp_path):
+    """The weekly 100 TB failure mode: a streaming job is STOPPED (deploy,
+    crash, preemption) and restarted from the SAME checkpoint directory
+    with more input waiting. Structured Streaming must resume from the
+    committed offsets — no micro-batch skipped, none double-admitted —
+    and the idempotent per-epoch overwrite in admit_batch must absorb any
+    replay of the in-flight epoch. Final output must equal what one
+    uninterrupted drain admits, at key granularity, each key exactly
+    once."""
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.llm_pipeline import corpus_admit_plan
+    from vat_etl_spark.sources.catalog import read_table
+    from vat_etl_spark.streaming.corpus import corpus_ingest_stream
+
+    docs = read_table(spark, sf_smoke, "documents")
+    src = str(tmp_path / "src")
+    # four files -> four micro-batches (maxFilesPerTrigger=1)
+    for i in range(4):
+        docs.filter(F.col("doc_id") % 4 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    out = str(tmp_path / "corpus")
+    # run 1: drain the first wave completely, then STOP (availableNow
+    # terminates after committing every available file to the checkpoint)
+    corpus_ingest_stream(spark, src, out).awaitTermination()
+    epochs_run1 = {
+        p.name for p in pathlib.Path(f"{out}/docs").iterdir() if p.is_dir()
+    }
+    assert len(epochs_run1) == 4  # one epoch per file, all committed
+
+    # more input arrives while the job is down
+    extra = docs.filter(F.col("doc_id") % 4 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000
+    )
+    extra.coalesce(1).write.mode("append").parquet(src)
+
+    # run 2: restart from the SAME checkpoint dir — must process ONLY the
+    # new file (offsets resume), not reprocess the four committed ones
+    corpus_ingest_stream(spark, src, out).awaitTermination()
+    epochs_run2 = {
+        p.name for p in pathlib.Path(f"{out}/docs").iterdir() if p.is_dir()
+    }
+    assert len(epochs_run2) == 5 and epochs_run1 < epochs_run2
+
+    # crash simulation: a stop between the epoch's WRITE and its offset
+    # COMMIT (the at-least-once window). Deleting the newest commit marker
+    # reproduces it exactly — on restart the engine must REPLAY that
+    # micro-batch, and admit_batch's per-epoch overwrite must absorb the
+    # replay without double-admitting.
+    commits = sorted(
+        (
+            p
+            for p in pathlib.Path(f"{out}/_checkpoint/commits").iterdir()
+            if p.name.isdigit()
+        ),
+        key=lambda p: int(p.name),
+    )
+    last = commits[-1]
+    last.unlink()
+    crc = last.parent / f".{last.name}.crc"  # ChecksumFileSystem sidecar
+    if crc.exists():
+        crc.unlink()
+    corpus_ingest_stream(spark, src, out).awaitTermination()
+
+    got = spark.read.parquet(f"{out}/docs")
+    got_keys = [r.content_key for r in got.select("content_key").collect()]
+    # exactly-once at key granularity: same admitted key set as one
+    # uninterrupted run over the full input, each key admitted once
+    want = corpus_admit_plan(docs.unionByName(extra), None)
+    assert sorted(set(got_keys)) == sorted(
+        r.content_key for r in want.select("content_key").collect()
+    )
+    assert len(got_keys) == len(set(got_keys))  # no double-admit across runs
