@@ -20,7 +20,11 @@ import sys
 # wide agg, broadcast dim join, two-pass rank family (cross-executor
 # boundary/offset broadcasts), sessionization window, Arrow/pandas UDF
 # exchange, postings-shuffle text ranking, hash-coin sampling, and the
-# broadcast-eval decontamination join.
+# broadcast-eval decontamination join. The heavy-shuffle tier
+# (shingle-explode LSH, iterative BPE with mid-lineage checkpoints,
+# two-round PRF retrieval, composed IVF+PQ+rerank) exercises
+# cross-executor broadcast of models/boundaries and multi-round jobs —
+# exactly what single-JVM local[32] can hide.
 CLUSTER_SET = [
     "vat_summary",
     "q1_pricing_summary",
@@ -32,6 +36,10 @@ CLUSTER_SET = [
     "text_bm25_ranking",
     "pipeline_domain_mix",
     "pipeline_contamination_containment",
+    "dedup_minhash_lsh",
+    "text_bpe_merges",
+    "retrieval_prf_rm3",
+    "ann_ivfpq_search",
 ]
 
 _SCRIPT = """
