@@ -464,37 +464,54 @@ def test_rank_family_has_no_single_partition_windows(spark, sf_smoke):
 def test_no_unbounded_single_partition_windows_anywhere(spark, sf_smoke):
     """Repo-wide structural guarantee: NO registered query may compile to a
     single-partition WindowExec over an unbounded grain. The whitelist
-    names every justified global window, each with a boundedness argument:
+    maps every justified global window to a CHECKED boundedness predicate
+    (vat_etl_spark/plans/inspect.py:unpartitioned_window_bound_kinds) —
+    a future edit that unbounds one fails here, a comment can't rot:
 
-    - text_zipf_rank_freq / dq_key_skew_profile: the window input is a
-      TakeOrderedAndProject LIMIT (30 / 5 rows) — rank-of-top-k, bounded.
-    - retrieval_hybrid_rrf: rank windows over the two top-50 branches
-      (plan-asserted top-k upstream), bounded at 2×50 rows.
-    - ts_gapfill_interpolate / ts_rolling_median / ts_yoy_growth:
-      calendar-grain series (days/months) — input cardinality is the
-      calendar, not the data volume.
-    - agg_equidepth_histogram: documented demo of the ntile spelling whose
-      scalable twin (agg_percentiles + width_bucket) ships alongside; its
-      docstring redirects 100 TB use there.
+    - "limit": the window input subtree contains a LIMIT-family node
+      (TakeOrderedAndProject / Global/Local/CollectLimit) — rank-of-top-k
+      (zipf/skew ranks over top-30/5; RRF over two top-50 branches; eval
+      metrics over LIMIT-50/LIMIT-10 run files).
+    - "calendar": an aggregate below the window groups on a
+      date/timestamp key — the window walks the calendar, not the data.
 
-    Anything else with an empty-partition WindowExec is a regression —
-    route it through functions/ranks.py (two_pass_rank/ntile/prefix_sum)
-    or bound its input with a top-k."""
-    from vat_etl_spark.plans import unpartitioned_window_count
+    agg_equidepth_histogram left the whitelist in r7: it routes through
+    two_pass_ntile now. Anything else with an empty-partition WindowExec
+    is a regression — route it through functions/ranks.py
+    (two_pass_rank/ntile/prefix_sum) or bound its input with a top-k."""
+    from vat_etl_spark.plans import (
+        unpartitioned_window_bound_kinds,
+        unpartitioned_window_count,
+    )
 
     JUSTIFIED_BOUNDED = {
-        "retrieval_eval_metrics",  # rank windows over LIMIT-50/LIMIT-10 inputs
-        "text_zipf_rank_freq",
-        "dq_key_skew_profile",
-        "retrieval_hybrid_rrf",
-        "ts_gapfill_interpolate",
-        "ts_rolling_median",
-        "ts_yoy_growth",
-        "agg_equidepth_histogram",
+        "retrieval_eval_metrics": {"limit"},
+        "text_zipf_rank_freq": {"limit"},
+        "dq_key_skew_profile": {"limit"},
+        "retrieval_hybrid_rrf": {"limit"},
+        "ts_gapfill_interpolate": {"calendar"},
+        "ts_rolling_median": {"calendar"},
+        "ts_yoy_growth": {"calendar"},
+        # day-grain CUSUM walk; its windows are usually hidden behind the
+        # intra-query cache_latest substitution, but when visible they
+        # must carry the calendar bound
+        "ts_cusum_drift": {"calendar"},
     }
     offenders = {}
+    seen_whitelisted = 0
     for name, fn in QUERIES.items():
-        c = unpartitioned_window_count(fn(spark, sf_smoke))
-        if c and name not in JUSTIFIED_BOUNDED:
-            offenders[name] = c
+        df = fn(spark, sf_smoke)
+        if name in JUSTIFIED_BOUNDED:
+            # every VISIBLE global window must carry the DECLARED bound
+            # (cache substitution can hide windows — vacuous pass is fine,
+            # the bound is re-checked whenever the plan shows them)
+            kinds = unpartitioned_window_bound_kinds(df)
+            if not set(kinds) <= JUSTIFIED_BOUNDED[name]:
+                offenders[name] = kinds
+            seen_whitelisted += len(kinds)
+        elif unpartitioned_window_count(df):
+            offenders[name] = ["not whitelisted"]
     assert not offenders, offenders
+    # the whitelist is not stale: at least some global windows were seen
+    # and classified this run
+    assert seen_whitelisted >= 5, seen_whitelisted

@@ -10,6 +10,7 @@ from vat_etl_spark.plans.inspect import (
     pushed_filters,
     read_schema_columns,
     shuffle_count,
+    unpartitioned_window_bound_kinds,
     unpartitioned_window_count,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "read_schema_columns",
     "has_broadcast_join",
     "shuffle_count",
+    "unpartitioned_window_bound_kinds",
     "unpartitioned_window_count",
 ]

@@ -62,6 +62,80 @@ def _iter_plan_nodes(node):
         yield from _iter_plan_nodes(children.apply(i))
 
 
+_LIMIT_NODE_CLASSES = {
+    "TakeOrderedAndProjectExec",
+    "GlobalLimitExec",
+    "LocalLimitExec",
+    "CollectLimitExec",
+}
+
+_AGG_NODE_CLASSES = {
+    "HashAggregateExec",
+    "SortAggregateExec",
+    "ObjectHashAggregateExec",
+}
+
+
+def _grouping_has_temporal_key(node) -> bool:
+    """True when an aggregate node groups on a date/timestamp expression —
+    the calendar-grain signature (output cardinality is the calendar, not
+    the data volume)."""
+    try:
+        groups = node.groupingExpressions()
+    except Exception:
+        return False
+    for i in range(groups.size()):
+        if groups.apply(i).dataType().typeName() in (
+            "date",
+            "timestamp",
+            "timestamp_ntz",
+        ):
+            return True
+    return False
+
+
+def unpartitioned_window_bound_kinds(df: DataFrame) -> list[str]:
+    """For every empty-partition WindowExec in the physical plan, classify
+    how its INPUT subtree is bounded — the structural form of the
+    whitelist's boundedness arguments (a comment can silently rot; this
+    predicate fails the build instead):
+
+    - ``"limit"``   — a LIMIT-family node (TakeOrderedAndProject /
+      Global/Local/CollectLimit) sits below the window: rank-of-top-k.
+    - ``"calendar"``— an aggregate below the window groups on a
+      date/timestamp key: the window walks a calendar grain whose
+      cardinality is the calendar, not the data volume.
+    - ``"unbounded"`` — neither: a genuine single-partition scale risk.
+    """
+    root = df._jdf.queryExecution().executedPlan()  # type: ignore[attr-defined]
+    kinds: list[str] = []
+    for node in _iter_plan_nodes(root):
+        cls = node.getClass().getSimpleName()
+        if cls in ("WindowExec", "WindowInPandasExec") and node.partitionSpec().isEmpty():
+            kinds.append(_classify_window_input(node))
+    return kinds
+
+
+def _classify_window_input(node) -> str:
+    for child in _iter_plan_nodes(node):
+        ccls = child.getClass().getSimpleName()
+        if ccls in _LIMIT_NODE_CLASSES:
+            return "limit"
+        if ccls in _AGG_NODE_CLASSES and _grouping_has_temporal_key(child):
+            return "calendar"
+        if ccls == "InMemoryTableScanExec":
+            # a cache substitution hides the subtree that justifies the
+            # bound (e.g. the calendar-grain aggregate) — classify the
+            # plan that BUILT the cached relation
+            try:
+                sub = _classify_window_input(child.relation().cachedPlan())
+            except Exception:
+                continue
+            if sub != "unbounded":
+                return sub
+    return "unbounded"
+
+
 def unpartitioned_window_count(df: DataFrame) -> int:
     """Number of WindowExec-family nodes with an EMPTY partition spec —
     the single-partition global windows that serialize at scale.

@@ -565,23 +565,27 @@ def agg_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``width_bucket`` binning above, and the optimizer-statistics shape
     (bucket boundaries = value quantiles).
 
-    ntile is a global total order, so the window input is projected to the
-    two needed columns first; at 100 TB the exact total order is the wrong
-    tool — compute boundary quantiles (approx_percentile or the exact
-    decimal percentiles in agg_percentiles) and width_bucket against those
-    instead, which this repo also ships. Both engines assign larger buckets
-    first with identical tie-handling under the total order, so the result
-    is oracle-exact."""
+    ntile is a global total order; the scalable spelling is the two-pass
+    range-partitioned ntile (functions/ranks.py — bit-identical to the
+    global window, B-way parallel), which this query routes through since
+    r7 — no single-partition WindowExec, no whitelist entry. For pure
+    boundary estimation at 100 TB, approx_percentile + width_bucket
+    (agg_percentiles / agg_histogram_buckets) stays the cheaper tool.
+    Both engines assign larger buckets first with identical tie-handling
+    under the total order, so the result is oracle-exact."""
+    from vat_etl_spark.functions.ranks import two_pass_ntile
+
     o = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    decile = F.ntile(10).over(W.orderBy("o_totalprice", "o_orderkey"))
-    return (
-        o.select("o_totalprice", decile.alias("decile"))
-        .groupBy("decile")
-        .agg(
-            F.count("*").alias("n_orders"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-        )
+    tiled = two_pass_ntile(
+        o,
+        [("o_totalprice", "asc"), ("o_orderkey", "asc")],
+        10,
+        tile_col="decile",
+    )
+    return tiled.groupBy("decile").agg(
+        F.count("*").alias("n_orders"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
     )
 
 
