@@ -201,3 +201,32 @@ def test_phonetic_blocking_catches_shifted_word_pairs(spark):
     assert pairs.get((2, 3)) == 1, pairs
     assert pairs.get((2, 4)) == 0, pairs
     assert not any(5 in k for k in pairs), pairs
+
+
+def test_docs_fanout_noops_on_parallel_scan(spark, sf_smoke, tmp_path):
+    """_docs_fanout exists because a single-file parquet scan yields ONE
+    input partition; on a corpus whose scan already has real row-group
+    parallelism (the real-cluster case) it must be a NO-OP — the corpus
+    is never shuffled just to re-split it. Built with the realistic-
+    vocabulary generator (tools/gen_fuzzy_corpus.py) at 32 files."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent.parent))
+    from tools.gen_fuzzy_corpus import generate
+
+    from vat_etl_spark.plans import formatted_plan
+    from vat_etl_spark.queries.dedup import _docs_fanout
+    from vat_etl_spark.sources.catalog import read_table
+
+    d = str(tmp_path / "many")
+    generate(d, 2000, seed=11, n_files=32)
+    raw = read_table(spark, d, "documents")
+    fanned = _docs_fanout(spark, d)
+    assert fanned.rdd.getNumPartitions() == raw.rdd.getNumPartitions()
+    assert "Exchange" not in formatted_plan(fanned)
+
+    # and the adaptive opposite: a single-file scan MUST be re-split
+    single = str(tmp_path / "one")
+    generate(single, 2000, seed=11, n_files=1)
+    fanned1 = _docs_fanout(spark, single)
+    assert fanned1.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism

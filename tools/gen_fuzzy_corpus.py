@@ -1,0 +1,127 @@
+"""Seeded synthetic corpus with a REALISTIC (Zipfian, large) vocabulary
+for fuzzy-dedup scale measurements.
+
+The driver testdata's documents draw from a ~31-word vocabulary, which
+makes near-dup density quadratic (15% of ALL pairs exceed Jaccard 0.6 —
+SCALE.md finding 7) and turns every candidate scheme output-bound. Real
+web corpora are the opposite regime: Zipfian 10^5-10^6 vocabularies,
+near-dup density orders of magnitude below all-pairs. This generator
+produces that regime deterministically so the LSH / shingle-containment
+/ Jaccard-prefix exponents can be measured one decade further than the
+driver data allows (SCALE.md "Fuzzy-dedup realistic-vocabulary decade").
+
+Shape: `n_docs` documents, token counts lognormal (~40-250), tokens
+drawn Zipf(alpha) over `vocab` pseudo-words; a `dup_frac` fraction of
+docs get a near-dup twin (token-substitution rate `edit_rate`, giving
+Jaccard ~ (1-edit_rate)/(1+edit_rate) ~ 0.82 at the default 0.1 — above
+every family's threshold). Output matches the testdata documents schema
+(doc_id, text, lang, source, n_chars) and is written as `n_files`
+parquet files so the scan has real row-group parallelism (the
+`_docs_fanout` no-op case).
+
+Usage: python tools/gen_fuzzy_corpus.py OUT_DIR N_DOCS [SEED]
+writes OUT_DIR/documents.parquet/part-*.parquet
+"""
+
+from __future__ import annotations
+
+import pathlib
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_CONS = "bcdfghjklmnpqrstvwz"
+_VOW = "aeiou"
+
+
+def _vocab(size: int, rng: np.random.Generator) -> list[str]:
+    """Deterministic pseudo-words: 2-4 CV syllables, de-duplicated by
+    suffixing a rank on collision — rank order IS frequency order."""
+    words: list[str] = []
+    seen: set[str] = set()
+    for rank in range(size):
+        n_syll = 2 + int(rng.integers(0, 3))
+        w = "".join(
+            _CONS[int(rng.integers(0, len(_CONS)))]
+            + _VOW[int(rng.integers(0, len(_VOW)))]
+            for _ in range(n_syll)
+        )
+        if w in seen:
+            w = f"{w}{rank}"
+        seen.add(w)
+        words.append(w)
+    return words
+
+
+def generate(
+    out_dir: str,
+    n_docs: int,
+    seed: int = 7,
+    vocab_size: int = 30_000,
+    alpha: float = 1.15,
+    dup_frac: float = 0.03,
+    edit_rate: float = 0.1,
+    n_files: int = 8,
+) -> pathlib.Path:
+    rng = np.random.default_rng(seed)
+    vocab = np.array(_vocab(vocab_size, rng))
+    n_base = int(n_docs / (1 + dup_frac))
+    lengths = np.clip(
+        rng.lognormal(mean=4.4, sigma=0.5, size=n_base).astype(int), 40, 250
+    )
+    # Zipf token draws: bounded rejection-free via truncated zipf ranks
+    docs: list[str] = []
+    for n in lengths:
+        ranks = rng.zipf(alpha, size=int(n * 2))
+        ranks = ranks[ranks <= vocab_size][:n]
+        while len(ranks) < n:
+            more = rng.zipf(alpha, size=int(n))
+            ranks = np.concatenate([ranks, more[more <= vocab_size]])[:n]
+        docs.append(" ".join(vocab[ranks - 1]))
+    # planted near-dup twins: token substitution at edit_rate
+    n_dups = n_docs - n_base
+    twin_of = rng.choice(n_base, size=n_dups, replace=False)
+    for src in twin_of:
+        toks = docs[int(src)].split()
+        flips = rng.random(len(toks)) < edit_rate
+        repl = rng.zipf(alpha, size=len(toks))
+        repl = np.clip(repl, 1, vocab_size)
+        toks = [
+            vocab[repl[i] - 1] if flips[i] else t for i, t in enumerate(toks)
+        ]
+        docs.append(" ".join(toks))
+
+    out = pathlib.Path(out_dir) / "documents.parquet"
+    out.mkdir(parents=True, exist_ok=True)
+    ids = np.arange(len(docs), dtype=np.int64)
+    per = (len(docs) + n_files - 1) // n_files
+    for f in range(n_files):
+        sl = slice(f * per, min((f + 1) * per, len(docs)))
+        if sl.start >= len(docs):
+            break
+        chunk = docs[sl]
+        table = pa.table(
+            {
+                "doc_id": pa.array(ids[sl], pa.int64()),
+                "text": pa.array(chunk, pa.string()),
+                "lang": pa.array(["en"] * len(chunk), pa.string()),
+                "source": pa.array(
+                    [f"shard{f}"] * len(chunk), pa.string()
+                ),
+                "n_chars": pa.array(
+                    [len(t) for t in chunk], pa.int64()
+                ),
+            }
+        )
+        pq.write_table(table, out / f"part-{f:03d}.parquet")
+    return out
+
+
+if __name__ == "__main__":
+    out_dir = sys.argv[1]
+    n_docs = int(sys.argv[2])
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 7
+    p = generate(out_dir, n_docs, seed=seed)
+    print(f"wrote {p} ({n_docs} docs, seed {seed})")
