@@ -66,8 +66,9 @@ MULTI_JOB_BENCH = [
     # round-1 postings persist + feedback collect + round-2 re-rank (r5
     # ask: 2.8 s -> ~1.7 s after postings reuse)
     "retrieval_prf_rm3",
-    # three two-pass range-partitioned ntiles (functions/ranks.py) — the
-    # round-6 replacement for the single-partition global-window family
+    # fused multi-metric two-pass ntile (functions/ranks.py
+    # two_pass_ntile_multi since r7: one shared boundary sample + one
+    # fused count/anchor aggregate = 3 driver jobs, down from 9)
     "events_rfm_segmentation",
 ]
 

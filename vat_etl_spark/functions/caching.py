@@ -25,15 +25,19 @@ _LOCK = threading.Lock()
 
 
 def cache_latest(key: str, *dfs: DataFrame) -> tuple[DataFrame, ...]:
+    # ORDER MATTERS: unpersist the previous invocation's handles BEFORE
+    # persisting the new ones. A repeat invocation produces the same
+    # analyzed plan, so persist-then-unpersist would no-op the persist
+    # ("already cached") and then drop the SHARED cache entry — leaving
+    # the frame uncached.
     with _LOCK:
-        old_dfs = _LATEST.pop(key, [])
+        for old in _LATEST.pop(key, []):
+            try:
+                old.unpersist()
+            except Exception:
+                pass  # a stopped/replaced session invalidates old handles
         out = [df.persist() for df in dfs]
         _LATEST[key] = out
-    for old in old_dfs:
-        try:
-            old.unpersist()
-        except Exception:
-            pass  # a stopped/replaced session invalidates old handles
     return tuple(out)
 
 
