@@ -128,6 +128,29 @@ def test_ntile_multi_runs_two_driver_jobs(spark):
     assert len(jobs) <= 3, jobs
 
 
+def test_rank_matches_global_window_on_string_double_decimal_keys(spark):
+    """The SQL-text boundary literals (_sql_lit) must compare exactly like
+    F.lit across key types: strings with quotes/backslashes/unicode,
+    round-trip doubles, exact decimals."""
+    rows = []
+    for i in range(800):
+        s = ["alpha", "it's", 'back\\slash', "ünïcode", "", "  pad  ", "zz'z"][i % 7]
+        rows.append((f"{s}#{i % 13}", (i * 73 % 997) / 7.0, i))
+    df = spark.createDataFrame(rows, "s string, x double, uid long").withColumn(
+        "d", F.col("x").cast("decimal(12,4)")
+    )
+    for order, wspec in [
+        ([("s", "asc"), ("uid", "asc")], W.orderBy("s", "uid")),
+        ([("x", "desc"), ("uid", "asc")], W.orderBy(F.desc("x"), "uid")),
+        ([("d", "asc"), ("uid", "asc")], W.orderBy("d", "uid")),
+    ]:
+        exp = df.select("uid", F.row_number().over(wspec).alias("rk"))
+        got = two_pass_rank(df, order, rank_col="rk", buckets=16).select(
+            "uid", F.col("rk").cast("int").alias("rk")
+        )
+        assert exp.exceptAll(got).count() == 0, order
+
+
 def test_rank_invariant_to_bucket_count(spark):
     """Layout-freeness, pinned: the same total order must produce the same
     ranks for ANY bucket count (1, 7, 64) and any boundary sample size —
