@@ -592,3 +592,32 @@ def test_dsir_weights_discriminate_target_language(spark, sf_smoke):
     n_de = langs.where(F.col("lang") == "de").count()
     n_all = langs.count()
     assert top / 50 >= 2 * n_de / n_all, (top, n_de, n_all)
+
+
+def test_kneser_ney_continuation_beats_raw_frequency(spark, tmp_path):
+    """The property that makes KN smoothing KN (and not just discounted
+    MLE): a token's backoff weight comes from how many DISTINCT histories
+    it follows, not how often it occurs. 'francisco' occurs 20x but only
+    ever after 'san'; 'cat' occurs 6x after 6 different histories. For
+    two equally-unseen-ish bigrams with the same head ('zz francisco' vs
+    'zz cat', both count 1), KN must score 'zz cat' HIGHER — raw MLE
+    (text_bigram_fluency) scores them identically."""
+    from vat_etl_spark.queries import QUERIES
+
+    texts = [" ".join(["san francisco"] * 20)]
+    texts += [f"{h} cat" for h in ("the", "a", "my", "one", "his", "her")]
+    texts += ["zz francisco", "zz cat"]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+
+    kn = {r.doc_id: r.kn_mean
+          for r in QUERIES["text_kneser_ney_bigram"](spark, d).collect()}
+    fl = {r.doc_id: r.fluency_mean
+          for r in QUERIES["text_bigram_fluency"](spark, d).collect()}
+    id_fran, id_cat = len(texts) - 2, len(texts) - 1
+    assert kn[id_cat] > kn[id_fran], kn
+    assert fl[id_cat] == fl[id_fran], fl  # MLE can't tell them apart

@@ -100,8 +100,9 @@ _FIRST = [
     "text_bpe_apply",
     "text_bpe_merges",
     "ts_rolling_distinct_hll",
-    # round-7 late registration
+    # round-7 late registrations
     "pipeline_dsir_weights",
+    "text_kneser_ney_bigram",
     # --- headliner hash rotation across subsystems ---
     "retrieval_prf_rm3",
     "retrieval_hybrid_rrf",

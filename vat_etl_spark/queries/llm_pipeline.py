@@ -1802,3 +1802,100 @@ def pipeline_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipeline_dsir_weights.__doc__ = pipeline_dsir_weights.__doc__.format(
     target=_DSIR_TARGET_LANG, b=_DSIR_B
 )
+
+
+# --- interpolated Kneser-Ney bigram scoring (integer-exact) -------------------
+
+_KN_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+),
+bi AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+),
+c2 AS (
+  SELECT g, split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2,
+         count(*) AS cg
+  FROM bi GROUP BY 1, 2, 3
+),
+heads AS (
+  SELECT w1, sum(cg) AS cw, count(*) AS n1f FROM c2 GROUP BY w1
+),
+tails AS (
+  SELECT w2, count(*) AS n1b FROM c2 GROUP BY w2
+),
+nd AS (SELECT count(*) AS nd FROM c2),
+feats AS (
+  SELECT c2.g,
+         (1000000 * (greatest(4 * c2.cg - 3, 0) * nd.nd + 3 * heads.n1f * tails.n1b))
+           // (4 * heads.cw * nd.nd) AS pts
+  FROM c2 JOIN heads USING (w1) JOIN tails USING (w2), nd
+)
+SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(pts) AS BIGINT) AS kn_sum,
+       CAST(sum(pts) // count(*) AS BIGINT) AS kn_mean
+FROM bi b JOIN feats USING (g)
+GROUP BY b.doc_id
+"""
+
+
+@query("text_kneser_ney_bigram", oracle=_KN_SQL)
+def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
+    Goodman 1999) — the real LM-quality scorer behind KenLM-style corpus
+    filters, one smoothing step past text_bigram_fluency's raw MLE:
+
+        P_KN(w2|w1) = max(c(w1,w2) - D, 0)/c(w1,.)
+                      + D . N1+(w1,.)/c(w1,.) . N1+(.,w2)/N_types
+
+    with absolute discount D = 3/4, continuation probability from
+    distinct-HISTORY counts (the insight that makes 'Francisco' unlikely
+    outside 'San'). Integer-exact on purpose: with D = 3/4 every term is
+    a ratio of integers, so each bigram occurrence scores
+
+        1e6 . (max(4c-3,0).ND + 3.N1f.N1b) div (4.cw.ND)
+
+    — pure int64 arithmetic, bit-identical across engines and partition
+    layouts (the log-prob spelling would hash-flake). Int64 headroom:
+    1e6.4c.ND needs c.ND < 2.3e12 — fine to ~millions of docs; at web
+    scale switch the numerator to DECIMAL(38,0) (same formula) or drop
+    the 1e6 scale to per-mille.
+
+    Scale shape (inherits text_bigram_fluency's discipline): the bigram
+    TYPE table c2 is aggregated once; head stats (cw, N1f) and tail
+    stats (N1b) are re-aggregations of c2, never extra corpus scans; ND
+    is a 1-row broadcast; all features attach through ONE stream-sized
+    join on g with no forced broadcasts (AQE decides — a web-scale
+    bigram table outgrows the vocab)."""
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+    bi = toked.select("doc_id", F.explode(_ngrams(F.col("t"), 2)).alias("g"))
+    c2 = bi.groupBy(
+        "g",
+        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
+    ).agg(F.count("*").alias("cg"))
+    heads = c2.groupBy("w1").agg(
+        F.sum("cg").alias("cw"), F.count("*").alias("n1f")
+    )
+    tails = c2.groupBy("w2").agg(F.count("*").alias("n1b"))
+    nd = c2.agg(F.count("*").alias("nd"))
+    feats = (
+        c2.join(heads, "w1")
+        .join(tails, "w2")
+        .crossJoin(F.broadcast(nd))
+        .select(
+            "g",
+            F.expr(
+                "(1000000 * (greatest(4 * cg - 3, 0L) * nd + 3 * n1f * n1b))"
+                " div (4 * cw * nd)"
+            ).alias("pts"),
+        )
+    )
+    scored = bi.join(feats, "g")
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("pts").alias("kn_sum"),
+        F.expr("sum(pts) div count(*)").alias("kn_mean"),
+    )
