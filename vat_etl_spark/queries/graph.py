@@ -18,7 +18,34 @@ from vat_etl_spark.queries import query
 from vat_etl_spark.sources.catalog import read_table as _t
 
 
-@query("graph_pagerank")  # rows-only: iterative fixpoint is not one SQL query
+_PAGERANK_SQL = """
+WITH RECURSIVE
+pairs AS (
+  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey + 1000000000 AS s
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+edges AS (
+  SELECT c AS src, s AS dst FROM pairs UNION ALL SELECT s, c FROM pairs
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+r(iter, node, rank) AS (
+  SELECT 0, src, CAST(1000000 AS BIGINT) FROM (SELECT DISTINCT src FROM edges)
+  UNION ALL
+  SELECT r.iter + 1, e.dst, 150000 + (17 * sum(r.rank // deg.d)) // 20
+  FROM r JOIN edges e ON e.src = r.node JOIN deg ON deg.src = r.node
+  WHERE r.iter < 5
+  GROUP BY r.iter, e.dst
+)
+SELECT CASE WHEN node >= 1000000000 THEN node - 1000000000 ELSE node END
+         AS node_id,
+       CASE WHEN node >= 1000000000 THEN 'supplier' ELSE 'customer' END
+         AS node_type,
+       rank AS rank_micros
+FROM r WHERE iter = 5
+"""
+
+
+@query("graph_pagerank", oracle=_PAGERANK_SQL)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank (5 Jacobi iterations, damping 0.85) on the customer-supplier
     trade graph: an undirected edge per distinct (custkey, suppkey) pair
@@ -30,10 +57,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     not embed iterations 1..N-1 (the standard Spark iterative-algorithm
     discipline, same as dedup_connected_components). No dangling-node term
     is needed because the symmetric edge set gives every node out-degree
-    ≥ 1. Determinism, rank positivity, and mass conservation are pinned in
-    tests/test_graph.py; the op is rows-only because a bounded-iteration
-    fixpoint is not expressible as one DuckDB query (the recursive-CTE
-    escape is demonstrated by dedup_connected_components instead)."""
+    ≥ 1.
+
+    Integer-exact on purpose (same policy as text_kneser_ney_bigram):
+    ranks are int64 MICROS, each edge contributes ``rank div deg`` and the
+    damping update is ``150000 + (17*inflow) div 20`` — pure int64, so the
+    result is bit-identical across engines, partition layouts, and
+    accumulation orders, and the op graduates from rows-only to a full
+    hash-verified oracle (a DuckDB recursive CTE with an aggregate in the
+    recursive term runs the same 5 Jacobi steps). Truncation loses < 1
+    micro per edge per step — irrelevant for ranking, invaluable for the
+    cross-engine gate. Headroom: 17·inflow needs total mass < 5e17 micros
+    ≈ 5e11 nodes. Determinism, rank positivity, and mass conservation
+    remain pinned in tests/test_graph.py."""
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     pairs = (
@@ -49,13 +85,13 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=False)
     degree = edges.groupBy("src").agg(F.count("*").alias("deg"))
     nodes = edges.select("src").distinct()
-    ranks = nodes.select("src", F.lit(1.0).alias("rank"))
+    ranks = nodes.select("src", F.lit(1_000_000).cast("long").alias("rank"))
 
     for _ in range(5):
         contribs = (
             edges.join(ranks, "src")
             .join(degree, "src")
-            .select(F.col("dst").alias("src"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(F.col("dst").alias("src"), F.expr("rank div deg").alias("c"))
         )
         ranks = (
             nodes.join(
@@ -63,9 +99,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(
                 "src",
-                (F.lit(0.15) + F.lit(0.85) * F.coalesce("inflow", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                F.expr("150000 + (17 * coalesce(inflow, 0L)) div 20").alias("rank"),
             )
             .localCheckpoint(eager=False)
         )
@@ -75,7 +109,7 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         node_id.alias("node_id"),
         F.when(is_supplier, "supplier").otherwise("customer").alias("node_type"),
-        F.col("rank"),
+        F.col("rank").alias("rank_micros"),
     )
 
 

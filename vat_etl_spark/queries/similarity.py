@@ -287,15 +287,17 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         return go
 
     schema = "vec_id long, cid int, cos double, ev array<double>"
+    # one SQL-text parse for all 64 per-dimension means: building 64
+    # F.avg(col[i]).alias(...) Columns is ~200 py4j round-trips per
+    # iteration of pure driver latency (see functions/ranks.py for the
+    # same lesson at RFM scale); array(avg(ev[0]), ...) is ONE call
+    mean_vec = F.expr(
+        "array(" + ", ".join(f"avg(ev[{i}])" for i in range(dim)) + ")"
+    ).alias("ds")
     for _ in range(3):
         assigned = em.mapInPandas(assign_fn(centroids), schema=schema)
-        new_rows = (
-            assigned.groupBy("cid")
-            .agg(*[F.avg(F.col("ev")[i]).alias(f"d{i}") for i in range(dim)])
-            .collect()
-        )
-        for r in new_rows:
-            centroids[r.cid] = [r[f"d{i}"] for i in range(dim)]
+        for r in assigned.groupBy("cid").agg(mean_vec).collect():
+            centroids[r.cid] = r.ds
     final = em.mapInPandas(assign_fn(centroids), schema=schema)
     return final.groupBy("cid").agg(
         F.count("*").alias("n_members"),
