@@ -621,3 +621,60 @@ def test_kneser_ney_continuation_beats_raw_frequency(spark, tmp_path):
     id_fran, id_cat = len(texts) - 2, len(texts) - 1
     assert kn[id_cat] > kn[id_fran], kn
     assert fl[id_cat] == fl[id_fran], fl  # MLE can't tell them apart
+
+
+def _span_removal_ref(texts: list[str], w: int) -> dict[int, tuple]:
+    """Pure-Python reference for pipeline_span_removal's semantics."""
+    toks = {i: t.strip().split() for i, t in enumerate(texts)}
+    grams: dict[str, set[int]] = {}
+    for i, t in toks.items():
+        for p in range(len(t) - w + 1):
+            grams.setdefault(" ".join(t[p : p + w]), set()).add(i)
+    out = {}
+    for i, t in toks.items():
+        hits = sorted(
+            p for p in range(len(t) - w + 1)
+            if len(grams[" ".join(t[p : p + w])]) >= 2
+        )
+        islands: list[list[int]] = []
+        for p in hits:
+            if islands and p <= islands[-1][1] + 1:
+                islands[-1][1] = max(islands[-1][1], p + w - 1)
+            else:
+                islands.append([p, p + w - 1])
+        covered = {q for s, e in islands for q in range(s, e + 1)}
+        kept = [tok for q, tok in enumerate(t) if q not in covered]
+        out[i] = (len(t), len(covered), len(islands), " ".join(kept))
+    return out
+
+
+def test_span_removal_merges_islands_and_reconstructs(spark, tmp_path):
+    """Planted-duplicate audit: overlapping dup 5-grams must merge into ONE
+    island (positions 3 and 4 overlap -> tokens 3..9 cut), two far-apart
+    dup regions stay TWO islands, and a clean doc survives verbatim —
+    each checked exactly against a pure-Python reference."""
+    shared1 = "q r s t u v"          # 6 tokens -> two overlapping 5-grams
+    shared2 = "k l m n o"            # 5 tokens -> one 5-gram
+    texts = [
+        f"a1 a2 {shared1} a3 a4",                       # one merged island
+        f"b1 {shared1} b2",                             # the dup partner
+        f"c1 c2 {shared2} c3 c4 c5 c6 c7 {shared2} c8", # two islands
+        f"d1 {shared2} d2",                             # partner for shared2
+        "e1 e2 e3 e4 e5 e6 e7 e8",                      # clean: no dup spans
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+
+    got = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.n_islands, r.cleaned_text)
+        for r in QUERIES["pipeline_span_removal"](spark, d).collect()
+    }
+    assert got == _span_removal_ref(texts, 5)
+    # the structural claims the reference itself must exhibit:
+    assert got[0][2] == 1 and got[0][1] == 6      # overlap merged, 6 cut
+    assert got[2][2] == 2                          # far regions stay apart
+    assert got[4] == (8, 0, 0, texts[4])           # clean doc verbatim

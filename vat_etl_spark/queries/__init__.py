@@ -103,6 +103,7 @@ _FIRST = [
     # round-7 late registrations
     "pipeline_dsir_weights",
     "text_kneser_ney_bigram",
+    "pipeline_span_removal",
     # --- headliner hash rotation across subsystems ---
     "retrieval_prf_rm3",
     "retrieval_hybrid_rrf",

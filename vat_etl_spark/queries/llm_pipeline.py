@@ -931,6 +931,150 @@ def pipeline_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- substring-granular span REMOVAL (the Lee et al. 2021 operation itself) ---
+
+_SPAN_RM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+g AS (
+  SELECT doc_id, i, array_to_string(list_slice(t, i, i + {_SPAN_W - 1}), ' ') AS g
+  FROM toks, UNNEST(generate_series(1, len(t) - {_SPAN_W - 1})) AS s(i)
+),
+dup AS (SELECT g FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+hits AS (SELECT doc_id, i FROM g JOIN dup USING (g)),
+brk AS (
+  SELECT doc_id, i,
+         CASE WHEN i > coalesce(lag(i) OVER w, -{_SPAN_W}) + {_SPAN_W}
+              THEN 1 ELSE 0 END AS b
+  FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+),
+isl AS (
+  SELECT doc_id, i,
+         sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS island
+  FROM brk
+),
+iv AS (
+  SELECT doc_id, island, min(i) AS s, max(i) + {_SPAN_W - 1} AS e
+  FROM isl GROUP BY doc_id, island
+),
+ivstats AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+         CAST(sum(e - s + 1) AS BIGINT) AS n_removed
+  FROM iv GROUP BY doc_id
+),
+pos AS (
+  SELECT doc_id, i, t[i] AS w
+  FROM toks, UNNEST(generate_series(1, len(t))) AS s(i)
+),
+cov AS (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM iv),
+kept AS (
+  SELECT pos.doc_id, string_agg(pos.w, ' ' ORDER BY pos.i) AS cleaned_text
+  FROM pos LEFT JOIN cov ON pos.doc_id = cov.doc_id AND pos.i = cov.p
+  WHERE cov.p IS NULL
+  GROUP BY pos.doc_id
+)
+SELECT toks.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+       coalesce(ivstats.n_removed, 0) AS n_removed,
+       coalesce(ivstats.n_islands, 0) AS n_islands,
+       coalesce(kept.cleaned_text, '') AS cleaned_text
+FROM toks
+LEFT JOIN ivstats ON toks.doc_id = ivstats.doc_id
+LEFT JOIN kept ON toks.doc_id = kept.doc_id
+"""
+
+
+@query("pipeline_span_removal", oracle=_SPAN_RM_SQL)
+def pipeline_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-granular dedup — the operation itself, not just the
+    signal (Lee et al. 2021, arXiv:2107.06499: cut the REPEATED SPANS out
+    of each document and keep the rest). pipeline_duplicate_spans reports
+    how duplicated a document is; this emits the cleaned document:
+
+    1. every {W}-token span occurring in ≥ 2 distinct docs marks its
+       start position as duplicated;
+    2. per doc, duplicated positions merge into maximal covered token
+       intervals (overlap OR adjacency — equal-length spans sorted by
+       start need only ``lag``: new island iff i > lag(i) + {W});
+    3. covered tokens are cut; the survivors re-join into cleaned_text.
+
+    Plan shape at 100 TB: the span-index join is the one big shuffle
+    (co-partitioned on the span key, same skew discipline as
+    pipeline_duplicate_spans); the interval-merge windows partition by
+    doc_id, so state is bounded by ONE document's dup positions, never a
+    corpus-scale sort; islands then collapse to a doc-grain array (a few
+    (start,end) structs per doc) and reconstruction is a MAP-ONLY native
+    higher-order filter over the token array — no token-grain anti-join
+    shuffle (the oracle spells that slow-but-obvious form in SQL; the
+    Spark plan deliberately does not). Everything is ints + strings —
+    hash-exact across engines."""
+    from vat_etl_spark.queries.dedup import _docs_fanout
+
+    w = _SPAN_W
+    d = _docs_fanout(spark, sf_dir)
+    toked = d.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+    g = toked.select(
+        "doc_id",
+        F.posexplode(_ngrams(F.col("t"), w)).alias("i0", "g"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+    dup = (
+        g.groupBy("g")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g")
+    )
+    hits = g.join(dup, "g").select("doc_id", "i")
+    win = W.partitionBy("doc_id").orderBy("i")
+    brk = hits.select(
+        "doc_id", "i",
+        (F.col("i") > F.coalesce(F.lag("i").over(win), F.lit(-w)) + w)
+        .cast("long")
+        .alias("b"),
+    )
+    isl = brk.select(
+        "doc_id", "i",
+        F.sum("b").over(win.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("island"),
+    )
+    iv = isl.groupBy("doc_id", "island").agg(
+        F.min("i").alias("s"), (F.max("i") + (w - 1)).alias("e")
+    )
+    per_doc = iv.groupBy("doc_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("n_removed"),
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("islands"),
+    )
+    empty_iv = F.array().cast("array<struct<s:bigint,e:bigint>>")
+    joined = toked.join(per_doc, "doc_id", "left").select(
+        "doc_id", "t",
+        F.coalesce("n_islands", F.lit(0)).alias("n_islands"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+        F.coalesce("islands", empty_iv).alias("islands"),
+    )
+    pairs = F.transform(
+        "t", lambda tok, idx: F.struct((idx + 1).alias("p"), tok.alias("w"))
+    )
+    kept = F.filter(
+        pairs,
+        lambda s: ~F.exists(
+            F.col("islands"),
+            lambda r: (s["p"] >= r["s"]) & (s["p"] <= r["e"]),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("t").cast("long").alias("n_tokens"),
+        "n_removed",
+        "n_islands",
+        F.array_join(F.transform(kept, lambda s: s["w"]), " ").alias(
+            "cleaned_text"
+        ),
+    )
+
+
+pipeline_span_removal.__doc__ = pipeline_span_removal.__doc__.format(W=_SPAN_W)
+
+
 # --- PII scrubbing -------------------------------------------------------------
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
