@@ -230,3 +230,33 @@ def test_docs_fanout_noops_on_parallel_scan(spark, sf_smoke, tmp_path):
     generate(single, 2000, seed=11, n_files=1)
     fanned1 = _docs_fanout(spark, single)
     assert fanned1.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+
+
+def test_soundex_sql_twin_matches_spark_soundex(spark):
+    """The portable-SQL soundex the phonetic oracle inlines must equal
+    F.soundex EXACTLY — fuzzed over random words plus the classic
+    H/W-rule pathologies (ashcraft: s,c straddle an h and collapse;
+    wwwa: leading W keeps its letter but codes nothing) and
+    non-letter-leading strings (Spark returns them unchanged)."""
+    import random
+    import string
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.dedup import _soundex_sql
+
+    rng = random.Random(0xC0DE)
+    words = ["".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 12)))
+             for _ in range(800)]
+    words += ["smith", "smyth", "pfister", "tymczak", "ashcraft", "honeyman",
+              "wwwa", "hhh", "aeiou", "y", "h", "w", "bob", "robert",
+              "rupert", "burroughs", "burrows", "0abc", "9", "zzz"]
+    words = sorted(set(words))
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got_spark = {r.w: r.s for r in df.select("w", F.soundex("w").alias("s")).collect()}
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(w VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(w,) for w in words])
+    got_duck = dict(con.execute(f"SELECT w, {_soundex_sql('w')} FROM t").fetchall())
+    assert got_spark == got_duck
