@@ -55,6 +55,10 @@ BENCH_QUERIES = [
     # vector cosine) each ending in a top-k, fused by a k-row outer join —
     # guards the retrieval family end-to-end.
     "retrieval_hybrid_rrf",
+    # span-index join + doc-partitioned interval-merge windows + map-only
+    # higher-order-lambda text reconstruction — the substring-dedup shape
+    # (corpus scanned 3x by design: index build, probe, reconstruct).
+    "pipeline_span_removal",
 ]
 
 # Queries whose REAL cost includes driver-coordinated phases (model-sized

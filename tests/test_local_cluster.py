@@ -40,6 +40,13 @@ CLUSTER_SET = [
     "text_bpe_merges",
     "retrieval_prf_rm3",
     "ann_ivfpq_search",
+    # round-7 additions: the span-index join + doc-partitioned interval
+    # merge + map-only reconstruct (cross-executor span shuffle), the
+    # bigram-type re-aggregation stack (KN), and the int64 Jacobi
+    # iterations with per-round localCheckpoint lineage cuts
+    "pipeline_span_removal",
+    "text_kneser_ney_bigram",
+    "graph_pagerank",
 ]
 
 _SCRIPT = """
