@@ -678,3 +678,36 @@ def test_span_removal_merges_islands_and_reconstructs(spark, tmp_path):
     assert got[0][2] == 1 and got[0][1] == 6      # overlap merged, 6 cut
     assert got[2][2] == 2                          # far regions stay apart
     assert got[4] == (8, 0, 0, texts[4])           # clean doc verbatim
+
+
+def test_perplexity_buckets_equidepth_and_tie_safe(spark, sf_smoke):
+    """Per-language thirds must be equi-depth up to tie classes, a score
+    value must never straddle two buckets within a language (the property
+    row-ntile lacks), and `kept` must drop exactly the lowest-fluency
+    bucket 1."""
+    rows = QUERIES["pipeline_perplexity_buckets"](spark, sf_smoke).collect()
+    assert rows
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        buckets = {}
+        score_to_bucket = {}
+        for r in rs:
+            assert r.kept == (r.ppl_bucket < 3)
+            buckets[r.ppl_bucket] = buckets.get(r.ppl_bucket, 0) + 1
+            prev = score_to_bucket.setdefault(r.kn_mean, r.ppl_bucket)
+            assert prev == r.ppl_bucket, (lang, r.kn_mean)
+        assert set(buckets) == {1, 2, 3}, (lang, buckets)
+        # equi-depth up to the largest tie class
+        ties = {}
+        for r in rs:
+            ties[r.kn_mean] = ties.get(r.kn_mean, 0) + 1
+        slack = max(ties.values())
+        assert max(buckets.values()) - min(buckets.values()) <= slack, (
+            lang, buckets, slack)
+        # buckets are ordered by score: every bucket-1 score < every
+        # bucket-3 score
+        b1 = [r.kn_mean for r in rs if r.ppl_bucket == 1]
+        b3 = [r.kn_mean for r in rs if r.ppl_bucket == 3]
+        assert max(b1) < min(b3), lang

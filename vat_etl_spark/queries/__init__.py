@@ -104,6 +104,7 @@ _FIRST = [
     "pipeline_dsir_weights",
     "text_kneser_ney_bigram",
     "pipeline_span_removal",
+    "pipeline_perplexity_buckets",
     # --- headliner hash rotation across subsystems ---
     "retrieval_prf_rm3",
     "retrieval_hybrid_rrf",

@@ -2043,3 +2043,83 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pts").alias("kn_sum"),
         F.expr("sum(pts) div count(*)").alias("kn_mean"),
     )
+
+
+# --- CCNet-style per-language perplexity buckets -------------------------------
+
+_PPL_B = 3  # head / middle / tail
+
+_PPL_BUCKETS_SQL = f"""
+WITH kn AS ({_KN_SQL}),
+scored AS (
+  SELECT d.doc_id, d.lang, kn.kn_mean
+  FROM documents d JOIN kn ON d.doc_id = kn.doc_id
+),
+hist AS (
+  SELECT lang, kn_mean, count(*) AS c
+  FROM scored GROUP BY lang, kn_mean
+),
+cum AS (
+  SELECT lang, kn_mean, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY kn_mean) AS cc,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+buck AS (
+  SELECT lang, kn_mean,
+         CAST(({_PPL_B} * cc + n - 1) // n AS BIGINT) AS ppl_bucket
+  FROM cum
+)
+SELECT s.doc_id, s.lang, s.kn_mean, b.ppl_bucket,
+       CAST(b.ppl_bucket < {_PPL_B} AS BOOLEAN) AS kept
+FROM scored s JOIN buck b ON s.lang = b.lang AND s.kn_mean = b.kn_mean
+"""
+
+
+@query("pipeline_perplexity_buckets", oracle=_PPL_BUCKETS_SQL)
+def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359: split each language's corpus into head/middle/tail
+    by LM perplexity; keep head+middle, drop tail). The LM is the
+    registered integer-exact Kneser-Ney scorer; note kn_mean is a
+    PROBABILITY scale, so the head (bucket {B}) is the HIGH end — ``kept``
+    drops bucket 1, the lowest-fluency third.
+
+    The scale problem this solves: per-language equi-depth thirds are
+    usually spelled ``ntile({B}) OVER (PARTITION BY lang ORDER BY ppl)``
+    — at 100 TB one language IS most of the corpus, so that window sorts
+    nearly everything through one partition chain. Instead the buckets
+    come from the per-(lang, score) HISTOGRAM: one corpus-grain agg
+    builds it, a window over the HISTOGRAM GRAIN (bounded by distinct
+    integer-micros scores per language, orders of magnitude below doc
+    count — and further compressible by coarsening the score grid)
+    produces cumulative counts, and ``ceil({B}·cum/n)`` assigns the
+    bucket, which joins back to documents by (lang, score). Tie policy
+    falls out exactly: equal scores share a bucket (row-ntile splits ties
+    arbitrarily — engine-dependent and hash-unstable); bucket boundaries
+    shift by at most one tie-class vs true ntile. Pure int64 arithmetic —
+    bit-identical engines."""
+    kn = QUERIES["text_kneser_ney_bigram"](spark, sf_dir).select(
+        "doc_id", "kn_mean"
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = docs.join(kn, "doc_id")
+    hist = scored.groupBy("lang", "kn_mean").agg(F.count("*").alias("c"))
+    buck = hist.select(
+        "lang", "kn_mean",
+        F.expr(
+            f"({_PPL_B} * sum(c) OVER (PARTITION BY lang ORDER BY kn_mean"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            f" + sum(c) OVER (PARTITION BY lang) - 1)"
+            f" div sum(c) OVER (PARTITION BY lang)"
+        ).alias("ppl_bucket"),
+    )
+    return scored.join(buck, ["lang", "kn_mean"]).select(
+        "doc_id", "lang", "kn_mean", "ppl_bucket",
+        (F.col("ppl_bucket") < _PPL_B).alias("kept"),
+    )
+
+
+pipeline_perplexity_buckets.__doc__ = pipeline_perplexity_buckets.__doc__.format(
+    B=_PPL_B
+)
