@@ -937,7 +937,57 @@ def _phonetic_block_pairs_impl(c: DataFrame) -> DataFrame:
     return cross.unionByName(same)
 
 
-@query("dedup_phonetic_recall_eval")  # rows-only: audits the soundex-specific path
+_PHONETIC_RECALL_SQL = f"""
+WITH parts AS (SELECT p_partkey, p_name FROM part),
+classes AS (
+  SELECT p_name AS name, count(*) AS cnt, length(p_name) AS len
+  FROM parts GROUP BY p_name
+),
+a AS (
+  SELECT name AS name_a, cnt AS cnt_a, len AS len_a,
+         unnest([len // 4 - 1, len // 4, len // 4 + 1]) AS band
+  FROM classes
+),
+b AS (
+  SELECT name AS name_b, cnt AS cnt_b, len AS len_b, len // 4 AS band_b
+  FROM classes
+),
+truth_cross AS (
+  SELECT name_a, name_b, cnt_a * cnt_b AS w
+  FROM a JOIN b ON band = band_b AND name_a < name_b
+     AND abs(len_a - len_b) <= 3
+  WHERE levenshtein(name_a, name_b) <= 3
+),
+tc AS (SELECT coalesce(sum(w), 0) AS n FROM truth_cross),
+ts AS (SELECT coalesce(sum(cnt * (cnt - 1) // 2), 0) AS n FROM classes),
+blocking AS ({_PHONETIC_SQL}),
+nc AS (SELECT count(*) AS n FROM blocking),
+pairs_cls AS (
+  SELECT DISTINCT least(name_a, name_b) AS name_a,
+                  greatest(name_a, name_b) AS name_b
+  FROM blocking
+),
+hc AS (
+  SELECT coalesce(sum(w), 0) AS n
+  FROM truth_cross JOIN pairs_cls USING (name_a, name_b)
+  WHERE name_a != name_b
+),
+hs AS (
+  SELECT coalesce(sum(cnt * (cnt - 1) // 2), 0) AS n
+  FROM classes
+  JOIN (SELECT name_a AS name FROM pairs_cls WHERE name_a = name_b)
+    USING (name)
+)
+SELECT CAST(tc.n + ts.n AS BIGINT) AS n_truth_pairs,
+       CAST(nc.n AS BIGINT) AS n_candidates,
+       CAST(hc.n + hs.n AS BIGINT) AS n_hits,
+       CASE WHEN tc.n + ts.n = 0 THEN 1.0
+            ELSE CAST(hc.n + hs.n AS DOUBLE) / (tc.n + ts.n) END AS recall
+FROM tc, ts, nc, hc, hs
+"""
+
+
+@query("dedup_phonetic_recall_eval", oracle=_PHONETIC_RECALL_SQL)
 def dedup_phonetic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall audit of the phonetic blocking key against exact ground
     truth — the mirror of dedup_lsh_recall_eval for the soundex path.
@@ -962,7 +1012,13 @@ def dedup_phonetic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     off the all-pairs cliff; at 100 TB the audit runs over a fixed-size
     sample regardless. One row out: truth size, candidate size, hits,
     recall; tests/test_dedup_determinism.py pins the floor so a future
-    key change cannot silently lose true pairs."""
+    key change cannot silently lose true pairs.
+
+    Hash-verified since the soundex twin landed: the oracle re-derives
+    BOTH sides — banded exact truth via DuckDB's levenshtein and the
+    full blocking pipeline (nested as a CTE) — and the multiplicity
+    arithmetic is pure int64; `recall` is one exact-int division, so the
+    double is bit-identical too."""
     c = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
     classes = (
         c.groupBy(F.col("p_name").alias("name"))
