@@ -711,3 +711,32 @@ def test_perplexity_buckets_equidepth_and_tie_safe(spark, sf_smoke):
         b1 = [r.kn_mean for r in rs if r.ppl_bucket == 1]
         b3 = [r.kn_mean for r in rs if r.ppl_bucket == 3]
         assert max(b1) < min(b3), lang
+
+
+def test_line_dedup_keeps_first_occurrence_only(spark, tmp_path):
+    """C4 keep-one semantics: a line duplicated across documents survives
+    in its FIRST document (lowest doc_id, then lowest position) and is
+    removed everywhere else — including later repeats inside the same
+    document — while unique lines pass through untouched."""
+    dup = " ".join(f"d{i}" for i in range(10))          # one exact pseudo-line
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(10))
+    texts = [
+        f"{uniq('a')} {dup}",          # doc 0: dup at line 2 -> FIRST, kept
+        f"{dup} {uniq('b')}",          # doc 1: dup at line 1 -> removed
+        f"{uniq('c')} {dup} {dup}",    # doc 2: two copies -> both removed
+        uniq("e"),                     # doc 3: clean
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.parquet(d + "/documents.parquet")
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.cleaned_text)
+        for r in QUERIES["pipeline_line_dedup"](spark, d).collect()
+    }
+    assert got[0] == (2, 0, texts[0])
+    assert got[1] == (2, 1, uniq("b"))
+    assert got[2] == (3, 2, uniq("c"))
+    assert got[3] == (1, 0, texts[3])

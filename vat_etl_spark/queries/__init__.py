@@ -105,6 +105,7 @@ _FIRST = [
     "text_kneser_ney_bigram",
     "pipeline_span_removal",
     "pipeline_perplexity_buckets",
+    "pipeline_line_dedup",
     # --- headliner hash rotation across subsystems ---
     "retrieval_prf_rm3",
     "retrieval_hybrid_rrf",

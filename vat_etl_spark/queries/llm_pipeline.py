@@ -1075,6 +1075,93 @@ def pipeline_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipeline_span_removal.__doc__ = pipeline_span_removal.__doc__.format(W=_SPAN_W)
 
 
+# --- C4-style global line dedup (keep-first survivor) --------------------------
+
+_LINE_W = 10  # tokens per pseudo-line (testdata text has no newlines)
+
+_LINE_DEDUP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+lines AS (
+  SELECT doc_id, i AS line_idx,
+         array_to_string(list_slice(t, (i - 1) * {_LINE_W} + 1, i * {_LINE_W}), ' ') AS line
+  FROM toks, UNNEST(generate_series(1, (len(t) + {_LINE_W - 1}) // {_LINE_W})) AS s(i)
+),
+surv AS (
+  SELECT line, min(doc_id * 1000000 + line_idx) AS keep_key
+  FROM lines GROUP BY line
+),
+occ AS (
+  SELECT l.doc_id, l.line_idx, l.line,
+         (l.doc_id * 1000000 + l.line_idx = s.keep_key) AS kept
+  FROM lines l JOIN surv s USING (line)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+       coalesce(string_agg(CASE WHEN kept THEN line END, ' ' ORDER BY line_idx),
+                '') AS cleaned_text
+FROM occ GROUP BY doc_id
+"""
+
+
+@query("pipeline_line_dedup", oracle=_LINE_DEDUP_SQL)
+def pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line deduplication (Raffel et al. 2020,
+    arXiv:1910.10683: any line occurring more than once in the corpus is
+    kept ONCE — in its first document — and removed everywhere else).
+    The keep-one survivor rule is what distinguishes this from
+    pipeline_span_removal's cut-all-copies rule; together they are the
+    two standard substring-granular dedup policies. The testdata has no
+    newlines, so a 'line' is a fixed {W}-token pseudo-line — the Spark
+    machinery (global line index, keep-first survivorship, reassembly)
+    is byte-identical to what real newline splitting would feed.
+
+    Survivorship needs NO window: the first occurrence of a line is
+    ``min(doc_id·10^6 + line_idx)`` — one composite-int64 MIN per
+    distinct line (map-side partial agg), then one co-partitioned join
+    back to the occurrence stream tags keepers (headroom: docs to 10^7
+    tokens, doc_ids to 9·10^12). Reassembly is a doc-grain aggregate
+    (sorted collect of a doc's kept lines — state bounded by ONE
+    document). Plan at 100 TB: two shuffles (line index, doc regroup),
+    both key-partitioned, no broadcast of anything corpus-derived."""
+    d = _t(spark, sf_dir, "documents")
+    w = _LINE_W
+    toked = d.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+    lines = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, (size(t) + {w - 1}) div {w}),"
+                f" i -> concat_ws(' ', slice(t, (i - 1) * {w} + 1, {w})))"
+            )
+        ).alias("i0", "line"),
+    ).select("doc_id", (F.col("i0") + 1).alias("line_idx"), "line")
+    surv = lines.groupBy("line").agg(
+        F.min(F.col("doc_id") * 1_000_000 + F.col("line_idx")).alias("keep_key")
+    )
+    occ = lines.join(surv, "line").select(
+        "doc_id", "line_idx", "line",
+        (F.col("doc_id") * 1_000_000 + F.col("line_idx") == F.col("keep_key"))
+        .alias("kept"),
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("line_idx", "line"))
+    return occ.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
+pipeline_line_dedup.__doc__ = pipeline_line_dedup.__doc__.format(W=_LINE_W)
+
+
 # --- PII scrubbing -------------------------------------------------------------
 
 _PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
