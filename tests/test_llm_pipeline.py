@@ -740,3 +740,56 @@ def test_line_dedup_keeps_first_occurrence_only(spark, tmp_path):
     assert got[1] == (2, 1, uniq("b"))
     assert got[2] == (3, 2, uniq("c"))
     assert got[3] == (1, 0, texts[3])
+
+
+def test_span_and_line_dedup_on_random_corpora(spark, tmp_path):
+    """Seeded random-corpus audit: on three corpora drawn from a 12-token
+    vocabulary (dense accidental overlap — the hostile regime for
+    interval merging and survivor picking), both substring-dedup policies
+    must match their pure-Python references on EVERY output cell."""
+    import random
+
+    def line_ref(texts, w):
+        toks = {i: t.strip().split() for i, t in enumerate(texts)}
+        first = {}
+        for i in sorted(toks):
+            t = toks[i]
+            for li in range(1, (len(t) + w - 1) // w + 1):
+                line = " ".join(t[(li - 1) * w : li * w])
+                first.setdefault(line, i * 1_000_000 + li)
+        out = {}
+        for i, t in toks.items():
+            kept, removed, n = [], 0, (len(t) + w - 1) // w
+            for li in range(1, n + 1):
+                line = " ".join(t[(li - 1) * w : li * w])
+                if first[line] == i * 1_000_000 + li:
+                    kept.append(line)
+                else:
+                    removed += 1
+            out[i] = (n, removed, " ".join(kept))
+        return out
+
+    for seed in (11, 22, 33):
+        rng = random.Random(seed)
+        vocab = [f"w{k}" for k in range(12)]
+        texts = [
+            " ".join(rng.choices(vocab, k=rng.randint(8, 60)))
+            for _ in range(40)
+        ]
+        d = str(tmp_path / f"docs{seed}")
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(d + "/documents.parquet")
+
+        got_span = {
+            r.doc_id: (r.n_tokens, r.n_removed, r.n_islands, r.cleaned_text)
+            for r in QUERIES["pipeline_span_removal"](spark, d).collect()
+        }
+        assert got_span == _span_removal_ref(texts, 5), seed
+
+        got_line = {
+            r.doc_id: (r.n_lines, r.n_removed, r.cleaned_text)
+            for r in QUERIES["pipeline_line_dedup"](spark, d).collect()
+        }
+        assert got_line == line_ref(texts, 10), seed
