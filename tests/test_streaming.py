@@ -716,3 +716,45 @@ def test_corpus_checkpoint_restart_is_exactly_once(spark, sf_smoke, tmp_path):
         r.content_key for r in want.select("content_key").collect()
     )
     assert len(got_keys) == len(set(got_keys))  # no double-admit across runs
+
+
+def test_streaming_line_dedup_matches_batch_query(spark, sf_smoke, tmp_path):
+    """Line-grain continuous dedup: with epochs arriving in ascending
+    doc_id order, the streamed keep-first survivor must equal the batch
+    pipeline_line_dedup on every output cell, and replaying an epoch
+    (foreachBatch is at-least-once) must change nothing."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.sources.catalog import read_table
+    from vat_etl_spark.streaming.corpus import admit_lines_batch, corpus_lines_stream
+
+    docs = read_table(spark, sf_smoke, "documents")
+    cut = 250
+    src = str(tmp_path / "src")
+    # ascending-doc_id epochs: batch keep-first == streamed keep-first
+    docs.filter(F.col("doc_id") < cut).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(F.col("doc_id") >= cut).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "lines")
+    corpus_lines_stream(spark, src, out).awaitTermination()
+
+    got = {
+        r.doc_id: (r.n_lines, r.n_removed, r.cleaned_text)
+        for r in spark.read.parquet(f"{out}/docs").collect()
+    }
+    want = {
+        r.doc_id: (r.n_lines, r.n_removed, r.cleaned_text)
+        for r in QUERIES["pipeline_line_dedup"](spark, sf_smoke).collect()
+    }
+    assert got == want
+    assert any(v[1] > 0 for v in got.values()), "no cross-epoch removals — vacuous"
+
+    # replay epoch 1: must exclude its own index rows (not self-block) and
+    # overwrite its own partitions, reproducing the identical corpus
+    admit_lines_batch(docs.filter(F.col("doc_id") >= cut), out, epoch_id=1)
+    replayed = {
+        r.doc_id: (r.n_lines, r.n_removed, r.cleaned_text)
+        for r in spark.read.parquet(f"{out}/docs").collect()
+    }
+    assert replayed == want

@@ -202,3 +202,109 @@ def compact_key_index(
     for p in snapshot:
         (p / _SUPERSEDED_MARKER).touch()
     return n
+
+
+def admit_lines_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
+    """Line-grain continuous dedup — the streaming form of
+    ``pipeline_line_dedup`` (C4 keep-first, arXiv:1910.10683) for a crawl
+    that never stops: every arriving document sheds any line the corpus
+    has already admitted, keeps its own first copy of lines that repeat
+    WITHIN the micro-batch, and the surviving lines join the persistent
+    line index for all future epochs.
+
+    Same exactly-once recipe as :func:`admit_batch`: the admit is a
+    deterministic function of (batch, index-minus-own-epoch), and both
+    outputs overwrite their own ``epoch=N`` partition — a replayed epoch
+    excludes its own prior index rows (or its lines would remove
+    themselves) and clobbers its own partial output. Equivalence to the
+    batch query: when epochs arrive in ascending doc_id order, the
+    streamed keep-first survivor equals pipeline_line_dedup's global
+    ``min(doc_id·10^6 + line_idx)`` — pinned in tests/test_streaming.py.
+
+    At 100 TB the line index is the big relation: bucket it on the line
+    key (or a 16-byte hash of it — collision bound documented at the
+    exact twin) so the per-batch anti-join co-locates, and fold old
+    epochs with the same grace protocol as :func:`compact_key_index`
+    (epoch partitioning and the replay-exclusion rule carry over
+    unchanged)."""
+    from vat_etl_spark.queries.llm_pipeline import _LINE_W as w
+
+    spark = batch.sparkSession
+    idx_path = f"{out_dir}/line_index"
+    toked = batch.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("t")
+    )
+    lines = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, (size(t) + {w - 1}) div {w}),"
+                f" i -> concat_ws(' ', slice(t, (i - 1) * {w} + 1, {w})))"
+            )
+        ).alias("i0", "line"),
+    ).select("doc_id", (F.col("i0") + 1).alias("line_idx"), "line")
+    if pathlib.Path(idx_path).exists():
+        seen = (
+            spark.read.option("basePath", idx_path)
+            .option("ignoreMissingFiles", "true")
+            .option("mergeSchema", "true")
+            .parquet(idx_path)
+            .filter(F.col("epoch") != epoch_id)
+            .select("line")
+            .distinct()
+        )
+        fresh = lines.join(seen, "line", "left_anti")
+    else:
+        fresh = lines
+    surv = fresh.groupBy("line").agg(
+        F.min(F.col("doc_id") * 1_000_000 + F.col("line_idx")).alias("keep_key")
+    )
+    occ = lines.join(surv, "line", "left").select(
+        "doc_id", "line_idx", "line",
+        (
+            F.col("doc_id") * 1_000_000 + F.col("line_idx") == F.col("keep_key")
+        ).alias("kept"),
+    )
+    kept_struct = F.when(F.col("kept"), F.struct("line_idx", "line"))
+    cleaned = occ.groupBy("doc_id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)), lambda s: s["line"]
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    # stable snapshot: the docs write and the index write both execute the
+    # admit subtree; the index must record exactly the lines the docs kept
+    cleaned = cleaned.localCheckpoint(eager=True)
+    kept_lines = (
+        occ.filter(F.col("kept")).select("line").distinct()
+        .localCheckpoint(eager=True)
+    )
+    cleaned.write.mode("overwrite").parquet(f"{out_dir}/docs/epoch={epoch_id}")
+    kept_lines.write.mode("overwrite").parquet(f"{idx_path}/epoch={epoch_id}")
+
+
+def corpus_lines_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, schema=None
+):
+    """Wire :func:`admit_lines_batch` into a file-source stream (one file
+    per trigger, availableNow-drainable — same harness as
+    :func:`corpus_ingest_stream`)."""
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch_id: admit_lines_batch(df, out_dir, epoch_id)
+        )
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
