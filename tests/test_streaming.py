@@ -758,3 +758,25 @@ def test_streaming_line_dedup_matches_batch_query(spark, sf_smoke, tmp_path):
         for r in spark.read.parquet(f"{out}/docs").collect()
     }
     assert replayed == want
+
+    # fold the index, then replay epoch 1 AGAIN: its lines now live in the
+    # consolidated negative-epoch partition, and the src_epoch provenance
+    # must still exclude them (a partition-only exclusion would self-block
+    # and clobber epoch 1 with over-removed documents)
+    from vat_etl_spark.streaming.corpus import compact_line_index
+
+    n_folded = compact_line_index(spark, out, grace_seconds=0.0)
+    assert n_folded > 0
+    admit_lines_batch(docs.filter(F.col("doc_id") >= cut), out, epoch_id=1)
+    refolded = {
+        r.doc_id: (r.n_lines, r.n_removed, r.cleaned_text)
+        for r in spark.read.parquet(f"{out}/docs").collect()
+    }
+    assert refolded == want
+    # and a NEW epoch re-sending already-admitted documents is fully
+    # stripped by the folded index: every line already has a survivor
+    third = docs.filter(F.col("doc_id") < cut)
+    admit_lines_batch(third, out, epoch_id=2)
+    ep2 = spark.read.parquet(f"{out}/docs/epoch=2")
+    assert ep2.filter("n_removed != n_lines").count() == 0
+    assert ep2.filter("cleaned_text != ''").count() == 0

@@ -139,10 +139,28 @@ def compact_key_index(
        then only MARKED superseded, never removed in the same cycle.
 
     Returns the distinct key count of the consolidated partition."""
+    return _compact_index(spark, f"{out_dir}/key_index", "content_key",
+                          grace_seconds)
+
+
+def compact_line_index(
+    spark: SparkSession, out_dir: str, grace_seconds: float = 300.0
+) -> int:
+    """The line index's maintenance twin of :func:`compact_key_index` —
+    identical grace/snapshot/publish-then-mark protocol over
+    ``line_index/epoch=N`` partitions, folding on the ``line`` column.
+    src_epoch provenance survives the fold so a replay of a folded epoch
+    still excludes its own lines (see :func:`admit_lines_batch`)."""
+    return _compact_index(spark, f"{out_dir}/line_index", "line",
+                          grace_seconds)
+
+
+def _compact_index(
+    spark: SparkSession, idx_path: str, key_col: str, grace_seconds: float
+) -> int:
     import shutil
     import time
 
-    idx_path = f"{out_dir}/key_index"
     root = pathlib.Path(idx_path)
     # 1. purge what a previous cycle superseded — but only if the marker is
     # older than grace_seconds. The next-cycle rule alone is not enough when
@@ -178,15 +196,15 @@ def compact_key_index(
         df = spark.read.parquet(str(p))
         if "src_epoch" not in df.columns:
             src = int(p.name.split("=", 1)[1])
-            df = df.select("content_key", F.lit(src).alias("src_epoch"))
+            df = df.select(key_col, F.lit(src).alias("src_epoch"))
         else:
-            df = df.select("content_key", "src_epoch")
+            df = df.select(key_col, "src_epoch")
         frames.append(df)
     keys = frames[0]
     for df in frames[1:]:
         keys = keys.unionByName(df)
     keys = keys.distinct()
-    staging = f"{out_dir}/key_index_compacting"
+    staging = f"{idx_path}_compacting"
     keys.coalesce(1).write.mode("overwrite").parquet(staging)
     n = spark.read.parquet(staging).count()
     taken = {
@@ -224,9 +242,9 @@ def admit_lines_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
     At 100 TB the line index is the big relation: bucket it on the line
     key (or a 16-byte hash of it — collision bound documented at the
     exact twin) so the per-batch anti-join co-locates, and fold old
-    epochs with the same grace protocol as :func:`compact_key_index`
-    (epoch partitioning and the replay-exclusion rule carry over
-    unchanged)."""
+    epochs with :func:`compact_line_index` (the key index's grace
+    protocol, shared via ``_compact_index``; src_epoch provenance makes
+    replays of folded epochs safe)."""
     from vat_etl_spark.queries.llm_pipeline import _LINE_W as w
 
     spark = batch.sparkSession
@@ -244,15 +262,22 @@ def admit_lines_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
         ).alias("i0", "line"),
     ).select("doc_id", (F.col("i0") + 1).alias("line_idx"), "line")
     if pathlib.Path(idx_path).exists():
-        seen = (
+        idx = (
             spark.read.option("basePath", idx_path)
             .option("ignoreMissingFiles", "true")
             .option("mergeSchema", "true")
             .parquet(idx_path)
-            .filter(F.col("epoch") != epoch_id)
-            .select("line")
-            .distinct()
         )
+        # replay exclusion on DATA-column provenance (coalesced with the
+        # partition epoch): compact_line_index may have folded this
+        # epoch's lines into a consolidated negative-epoch partition, and
+        # a replay must still exclude its own lines or it would remove
+        # them from its own documents (same rule as admit_batch)
+        if "src_epoch" in idx.columns:
+            prov = F.coalesce(F.col("src_epoch"), F.col("epoch"))
+        else:
+            prov = F.col("epoch")
+        seen = idx.filter(prov != epoch_id).select("line").distinct()
         fresh = lines.join(seen, "line", "left_anti")
     else:
         fresh = lines
@@ -280,7 +305,9 @@ def admit_lines_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
     # admit subtree; the index must record exactly the lines the docs kept
     cleaned = cleaned.localCheckpoint(eager=True)
     kept_lines = (
-        occ.filter(F.col("kept")).select("line").distinct()
+        occ.filter(F.col("kept"))
+        .select("line", F.lit(epoch_id).alias("src_epoch"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
     cleaned.write.mode("overwrite").parquet(f"{out_dir}/docs/epoch={epoch_id}")
