@@ -47,6 +47,8 @@ CLUSTER_SET = [
     "pipeline_span_removal",
     "text_kneser_ney_bigram",
     "graph_pagerank",
+    "pipeline_line_dedup",
+    "pipeline_perplexity_buckets",
 ]
 
 _SCRIPT = """
