@@ -164,3 +164,49 @@ def test_rank_invariant_to_bucket_count(spark):
             sample_per_bucket=spb,
         ).collect()
         assert sorted((r.v, r.uid, r.rk) for r in got) == want, buckets
+
+
+def test_histogram_ntile_grouped_matches_ntile_without_ties(spark):
+    """On tie-free data the histogram bucketing must equal row-ntile
+    exactly, per group; with ties, equal metric values must share a
+    bucket and sizes stay equi-depth up to one tie class."""
+    import random
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.functions.ranks import histogram_ntile_grouped
+
+    rng = random.Random(5)
+    # tie-free: distinct metric per row within each group
+    rows = []
+    for g in ("a", "b", "c"):
+        vals = rng.sample(range(10_000), rng.randint(7, 40))
+        rows += [(g, v) for v in vals]
+    df = spark.createDataFrame(rows, "g string, m long")
+    got = {
+        (r.g, r.m): r.bucket
+        for r in histogram_ntile_grouped(df, ["g"], "m", 4).collect()
+    }
+    want = {
+        (r.g, r.m): r.nt
+        for r in df.withColumn(
+            "nt", F.ntile(4).over(W.partitionBy("g").orderBy("m"))
+        ).collect()
+    }
+    assert got == want
+
+    # ties: every equal value shares a bucket; equi-depth up to tie class
+    tied = spark.createDataFrame(
+        [("g", v) for v in [1, 1, 1, 2, 2, 5, 5, 5, 9, 9, 9, 9]],
+        "g string, m long",
+    )
+    out = histogram_ntile_grouped(tied, ["g"], "m", 3).collect()
+    by_val = {}
+    for r in out:
+        by_val.setdefault(r.m, set()).add(r.bucket)
+    assert all(len(s) == 1 for s in by_val.values()), by_val
+    sizes = {}
+    for r in out:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    assert max(sizes.values()) - min(sizes.values()) <= 4, sizes

@@ -391,3 +391,60 @@ def two_pass_prefix_sum(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     return b.withColumn(out_col, _offset_expr(offsets) + local).drop(_BUCKET)
+
+
+def histogram_ntile_grouped(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    metric_col: str,
+    buckets: int,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Exact per-GROUP equi-depth buckets without a per-group global
+    window — the grouped complement of :func:`two_pass_ntile`.
+
+    ``ntile(B) OVER (PARTITION BY g ORDER BY m)`` sorts each group
+    through one window chain; when one group is most of the corpus
+    (languages, domains) that is the same scale-killer as the global
+    window. This helper instead buckets from the per-(group, metric)
+    HISTOGRAM: one aggregation builds it, the cumulative window runs on
+    histogram grain (bounded by DISTINCT metric values per group — for
+    integer-scaled metrics orders of magnitude below row count, and
+    coarsenable by gridding the metric), and ``ceil(B·cum/n)`` assigns
+    the bucket, joined back on (group, metric).
+
+    The bucket layout is EXACT ntile arithmetic (first ``n mod B``
+    buckets one row larger — same as the window function), evaluated at
+    each tie class's cumulative rank, so on tie-free data the result is
+    bit-identical to ``ntile(B)``. Deviation only at ties, by design:
+    rows with EQUAL metric values always share a bucket (the one ntile
+    would give the class's LAST row; row-ntile splits ties arbitrarily —
+    engine-dependent and hash-unstable), so sizes are equi-depth up to
+    one tie class. Pure int64 arithmetic — cross-engine exact. The
+    metric must be non-null; groups must be non-null."""
+    gl = list(group_cols)
+    b = int(buckets)
+    hist = df.groupBy(*gl, metric_col).agg(F.count("*").alias("__hn_c"))
+    w_cum = (
+        W.partitionBy(*gl)
+        .orderBy(metric_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy(*gl)
+    cum = hist.select(
+        *gl, metric_col,
+        F.sum("__hn_c").over(w_cum).alias("__hn_cum"),
+        F.sum("__hn_c").over(w_all).alias("__hn_n"),
+    )
+    # ntile layout: nbig = n mod B buckets of size n div B + 1 come first
+    buck = cum.select(
+        *gl, metric_col,
+        F.expr(
+            f"CASE WHEN __hn_cum <= (__hn_n % {b}) * (__hn_n div {b} + 1)"
+            f" THEN (__hn_cum - 1) div (__hn_n div {b} + 1) + 1"
+            f" ELSE (__hn_n % {b})"
+            f"  + (__hn_cum - (__hn_n % {b}) * (__hn_n div {b} + 1) - 1)"
+            f"    div (__hn_n div {b}) + 1 END"
+        ).alias(out_col),
+    )
+    return df.join(buck, gl + [metric_col])

@@ -2154,7 +2154,11 @@ cum AS (
 ),
 buck AS (
   SELECT lang, kn_mean,
-         CAST(({_PPL_B} * cc + n - 1) // n AS BIGINT) AS ppl_bucket
+         CAST(CASE WHEN cc <= (n % {_PPL_B}) * (n // {_PPL_B} + 1)
+              THEN (cc - 1) // (n // {_PPL_B} + 1) + 1
+              ELSE (n % {_PPL_B})
+                + (cc - (n % {_PPL_B}) * (n // {_PPL_B} + 1) - 1)
+                  // (n // {_PPL_B}) + 1 END AS BIGINT) AS ppl_bucket
   FROM cum
 )
 SELECT s.doc_id, s.lang, s.kn_mean, b.ppl_bucket,
@@ -2180,28 +2184,25 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     builds it, a window over the HISTOGRAM GRAIN (bounded by distinct
     integer-micros scores per language, orders of magnitude below doc
     count — and further compressible by coarsening the score grid)
-    produces cumulative counts, and ``ceil({B}·cum/n)`` assigns the
-    bucket, which joins back to documents by (lang, score). Tie policy
-    falls out exactly: equal scores share a bucket (row-ntile splits ties
-    arbitrarily — engine-dependent and hash-unstable); bucket boundaries
-    shift by at most one tie-class vs true ntile. Pure int64 arithmetic —
+    produces cumulative counts, and exact ntile arithmetic (via
+    ``functions/ranks.py::histogram_ntile_grouped`` — bit-identical to
+    ``ntile({B})`` on tie-free data) assigns the bucket, which joins back
+    to documents by (lang, score). Tie policy is deterministic: equal
+    scores share a bucket (row-ntile splits ties arbitrarily —
+    engine-dependent and hash-unstable); bucket boundaries shift by at
+    most one tie-class vs row-ntile. Pure int64 arithmetic —
     bit-identical engines."""
+    from vat_etl_spark.functions.ranks import histogram_ntile_grouped
+
     kn = QUERIES["text_kneser_ney_bigram"](spark, sf_dir).select(
         "doc_id", "kn_mean"
     )
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     scored = docs.join(kn, "doc_id")
-    hist = scored.groupBy("lang", "kn_mean").agg(F.count("*").alias("c"))
-    buck = hist.select(
-        "lang", "kn_mean",
-        F.expr(
-            f"({_PPL_B} * sum(c) OVER (PARTITION BY lang ORDER BY kn_mean"
-            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
-            f" + sum(c) OVER (PARTITION BY lang) - 1)"
-            f" div sum(c) OVER (PARTITION BY lang)"
-        ).alias("ppl_bucket"),
+    bucketed = histogram_ntile_grouped(
+        scored, ["lang"], "kn_mean", _PPL_B, out_col="ppl_bucket"
     )
-    return scored.join(buck, ["lang", "kn_mean"]).select(
+    return bucketed.select(
         "doc_id", "lang", "kn_mean", "ppl_bucket",
         (F.col("ppl_bucket") < _PPL_B).alias("kept"),
     )
