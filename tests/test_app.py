@@ -65,6 +65,25 @@ def test_corpus_cli_subcommand(spark, sf_smoke, tmp_path, capsys):
     assert spark.read.parquet(f"{out_dir}/shards").count() == stats["docs_written"]
 
 
+def test_dedupe_cli_subcommand(spark, sf_smoke, tmp_path, capsys):
+    """The dedupe tool writes cleaned docs under both policies, and its
+    Observation metrics (riding the write pass) agree with the written
+    parquet."""
+    for policy in ("line", "span"):
+        out_dir = str(tmp_path / f"dedupe_{policy}")
+        m = main(
+            ["dedupe", "--policy", policy, "--sf-dir", sf_smoke, "--out", out_dir],
+            spark=spark,
+        )
+        back = spark.read.parquet(out_dir)
+        assert back.count() == m["docs"] > 0
+        assert (
+            back.filter("n_removed > 0").count() == m["docs_affected"] > 0
+        ), policy
+        printed = capsys.readouterr().out
+        assert f"policy={policy}" in printed and out_dir in printed
+
+
 def test_every_registered_query_documented_in_parity():
     """PARITY.md is the judge-facing operator inventory — a registered
     query that never lands there is invisible coverage. Exact backticked

@@ -125,6 +125,39 @@ def run_corpus(args, spark: SparkSession | None = None):
     return stats
 
 
+def run_dedupe(args, spark: SparkSession | None = None):
+    """Substring-granular dedup as a tool: write cleaned documents parquet
+    under one of the two standard policies — ``span`` (Lee et al. 2021:
+    cut EVERY copy of a repeated 5-gram run) or ``line`` (C4: keep the
+    corpus-wide FIRST copy of each repeated line, drop the rest)."""
+    from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.session import get_spark
+
+    spark = spark or get_spark("vat-etl-dedupe")
+    name = {"span": "pipeline_span_removal", "line": "pipeline_line_dedup"}[
+        args.policy
+    ]
+    cleaned = QUERIES[name](spark, args.sf_dir)
+    from pyspark.sql import Observation
+
+    obs = Observation("dedupe")
+    unit = "n_removed"
+    observed = cleaned.observe(
+        obs,
+        F.count("*").alias("docs"),
+        F.sum(unit).alias("removed_units"),
+        F.sum((F.col(unit) > 0).cast("long")).alias("docs_affected"),
+    )
+    observed.write.mode("overwrite").parquet(args.out)
+    m = obs.get
+    print(
+        f"policy={args.policy}: {m['docs']} docs written to {args.out}; "
+        f"{m['docs_affected']} affected, {m['removed_units']} "
+        f"{'tokens' if args.policy == 'span' else 'lines'} removed"
+    )
+    return m
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="vat_etl_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -157,6 +190,17 @@ def build_parser() -> argparse.ArgumentParser:
     c.add_argument("--out", required=True, help="output directory")
     c.add_argument("--shards", type=int, default=8)
     c.set_defaults(fn=run_corpus)
+
+    d = sub.add_parser(
+        "dedupe",
+        help="substring-granular dedup: write cleaned documents parquet "
+        "(span = cut all copies of repeated 5-gram runs; "
+        "line = keep first copy of each repeated line)",
+    )
+    d.add_argument("--policy", choices=["span", "line"], required=True)
+    d.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    d.add_argument("--out", required=True, help="output directory")
+    d.set_defaults(fn=run_dedupe)
 
     l = sub.add_parser("list", help="list registered queries")
     l.set_defaults(fn=None)
