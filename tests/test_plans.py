@@ -421,6 +421,22 @@ def test_bigram_fluency_no_forced_broadcast(spark, sf_smoke):
     assert "ResolvedHint" not in analyzed
 
 
+def test_substring_dedup_no_forced_broadcast(spark, sf_smoke):
+    """The span index and the line survivor table are corpus-derived (a
+    web-scale corpus outgrows any driver's broadcast budget) — neither
+    may carry a broadcast HINT; AQE decides from measured sizes. KN's one
+    ResolvedHint is the 1-row type-count aggregate, which is exempt by
+    the same rule that allows stats broadcasts elsewhere."""
+    for name in ("pipeline_span_removal", "pipeline_line_dedup"):
+        analyzed = (
+            QUERIES[name](spark, sf_smoke)
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+        assert "ResolvedHint" not in analyzed, name
+
+
 def test_bpe_apply_is_map_only(spark, sf_smoke):
     # K nested in-row merge folds over the word array: a bare projection
     # over the scan, zero exchanges (the docstring's scale claim)
