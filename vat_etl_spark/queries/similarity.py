@@ -894,3 +894,133 @@ def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), "doc_id").limit(20)
+
+
+# --- graph-based ANN: NN-Descent (Dong et al. 2011) ---------------------------
+
+_NND_K = 10
+_NND_ROUNDS = 3
+
+
+@query("ann_nndescent")  # rows-only: float cosine ordering is Spark-specific
+def ann_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN index construction via NN-Descent (Dong, Moses &
+    Li 2011, WWW: 'a good neighbor of a good neighbor is likely a good
+    neighbor') — the family behind HNSW/NSG, i.e. the index structure
+    production vector search actually runs on, built here as pure
+    DataFrame rounds with no UDF:
+
+    - init: each vector's K={K} neighbor slots start DETERMINISTICALLY
+      poor (the next K ids mod N — no randomness, so runs and engines
+      see the same graph);
+    - each round: candidates = current neighbors ∪ REVERSE neighbors ∪
+      neighbors-of-neighbors (one self-join of the K-NN edge list on the
+      shared endpoint), scored by native zip_with cosine, then top-K per
+      node retained;
+    - lineage cut per round (the iterative-algorithm discipline of
+      graph_pagerank / kmeans_lloyd).
+
+    Output is the built-in recall audit on a deterministic node stratum:
+    per audited node, recall@10 of the INITIAL graph and of the DESCENDED
+    graph vs exact brute-force cosine — the descent's improvement is the
+    returned evidence, and tests/test_graph.py pins it (init ~hash
+    noise ~0.03, descended 0.82 measured at sf0.01; floor 0.5).
+
+    Scale shape: every step is keyed on node id — the candidate self-join
+    is co-partitioned, per-node candidate sets are bounded by K+K+K²
+    (~{K2} rows) so the per-node top-K window partitions are O(K²) never
+    O(N), and the exact audit runs only on the hash stratum (the
+    fixed-size-sample form every recall audit here takes at 100 TB).
+    Total work per round is O(N·K²) similarity evaluations — the
+    NN-Descent bound — vs O(N²) brute force."""
+    k = _NND_K
+    em = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("ev")
+    )
+    n_vec = em.count()
+    src = em.select(F.col("vec_id").alias("v"), F.col("ev").alias("sv"))
+    dst = em.select(F.col("vec_id").alias("n"), F.col("ev").alias("dv"))
+
+    def score(pairs: DataFrame) -> DataFrame:
+        return (
+            pairs.join(src, "v")
+            .join(dst, "n")
+            .select("v", "n", cosine_expr(F.col("sv"), F.col("dv")).alias("sim"))
+        )
+
+    # deterministic SCATTERED init (hash jumps, not a ring: a ring init
+    # mixes in O(diameter) rounds; hash seeds reach every region at once)
+    init = src.select(
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("v"), F.lit(i)), F.lit(n_vec))
+                    for i in range(k)
+                ]
+            )
+        ).alias("n"),
+    ).where(F.col("v") != F.col("n")).distinct()
+    b0 = score(init).localCheckpoint(eager=False)
+    topk = W.partitionBy("v").orderBy(F.desc("sim"), "n")
+    b = b0
+    for _ in range(_NND_ROUNDS):
+        fwd = b.select("v", "n")
+        rev = fwd.select(F.col("n").alias("v"), F.col("v").alias("n"))
+        hop = (
+            fwd.withColumnRenamed("n", "m")
+            .join(fwd.withColumnsRenamed({"v": "m", "n": "n"}), "m")
+            .select("v", "n")
+        )
+        cand = (
+            fwd.unionByName(rev)
+            .unionByName(hop)
+            .where(F.col("v") != F.col("n"))
+            .distinct()
+        )
+        b = (
+            score(cand)
+            .withColumn("rk", F.row_number().over(topk))
+            .where(F.col("rk") <= k)
+            .drop("rk")
+            .localCheckpoint(eager=False)
+        )
+
+    stratum = F.pmod(F.xxhash64(F.col("vec_id"), F.lit(0xA11)), F.lit(25)) == 0
+    qs = em.where(stratum).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qv")
+    )
+    exact = (
+        qs.join(dst, F.col("qid") != F.col("n"))
+        .select("qid", "n", cosine_expr(F.col("qv"), F.col("dv")).alias("sim"))
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("sim"), "n")
+    truth = (
+        exact.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= 10)
+        .select("qid", "n")
+        .localCheckpoint(eager=True)
+    )
+
+    def recall_of(graph: DataFrame, out: str) -> DataFrame:
+        g = graph.select(F.col("v").alias("qid"), "n")
+        hits = (
+            truth.join(g, ["qid", "n"])
+            .groupBy("qid")
+            .agg(F.count("*").alias("h"))
+        )
+        return truth.groupBy("qid").agg(F.count("*").alias("n_truth")).join(
+            hits, "qid", "left"
+        ).select(
+            "qid",
+            (F.coalesce(F.col("h"), F.lit(0)) / F.col("n_truth")).alias(out),
+        )
+
+    return (
+        recall_of(b0, "recall_init")
+        .join(recall_of(b, "recall_final"), "qid")
+        .select(F.col("qid").alias("vec_id"), "recall_init", "recall_final")
+    )
+
+
+ann_nndescent.__doc__ = ann_nndescent.__doc__.format(K=_NND_K, K2=_NND_K * (_NND_K + 2))
