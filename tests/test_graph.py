@@ -212,3 +212,17 @@ def test_nndescent_converges_from_noise(spark, sf_smoke):
     rf = sum(r.recall_final for r in rows) / len(rows)
     assert rf >= 0.5, (ri, rf)
     assert rf - ri >= 0.3, (ri, rf)
+
+
+def test_graph_search_beats_floor_with_bounded_touch(spark, sf_smoke):
+    """Beam search over the descent graph must hold mean recall@10 >= 0.5
+    (measured 0.64 at sf0.01) while touching well under half the corpus —
+    the entire point of a graph index. Per-query work is
+    O(seeds + hops*beam*K), ABSOLUTE not proportional, so the touched
+    fraction only shrinks at larger N."""
+    rows = QUERIES["ann_graph_search"](spark, sf_smoke).collect()
+    assert len(rows) == 5
+    mean = sum(r.recall_at_10 for r in rows) / len(rows)
+    assert mean >= 0.5, [tuple(r) for r in rows]
+    for r in rows:
+        assert r.n_scored < 0.5 * r.n_corpus, tuple(r)

@@ -107,6 +107,7 @@ _FIRST = [
     "pipeline_perplexity_buckets",
     "pipeline_line_dedup",
     "ann_nndescent",
+    "ann_graph_search",
     # --- headliner hash rotation across subsystems ---
     "retrieval_prf_rm3",
     "retrieval_hybrid_rrf",

@@ -902,41 +902,12 @@ _NND_K = 10
 _NND_ROUNDS = 3
 
 
-@query("ann_nndescent")  # rows-only: float cosine ordering is Spark-specific
-def ann_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Graph-based ANN index construction via NN-Descent (Dong, Moses &
-    Li 2011, WWW: 'a good neighbor of a good neighbor is likely a good
-    neighbor') — the family behind HNSW/NSG, i.e. the index structure
-    production vector search actually runs on, built here as pure
-    DataFrame rounds with no UDF:
-
-    - init: each vector's K={K} neighbor slots start DETERMINISTICALLY
-      poor (the next K ids mod N — no randomness, so runs and engines
-      see the same graph);
-    - each round: candidates = current neighbors ∪ REVERSE neighbors ∪
-      neighbors-of-neighbors (one self-join of the K-NN edge list on the
-      shared endpoint), scored by native zip_with cosine, then top-K per
-      node retained;
-    - lineage cut per round (the iterative-algorithm discipline of
-      graph_pagerank / kmeans_lloyd).
-
-    Output is the built-in recall audit on a deterministic node stratum:
-    per audited node, recall@10 of the INITIAL graph and of the DESCENDED
-    graph vs exact brute-force cosine — the descent's improvement is the
-    returned evidence, and tests/test_graph.py pins it (init ~hash
-    noise ~0.03, descended 0.82 measured at sf0.01; floor 0.5).
-
-    Scale shape: every step is keyed on node id — the candidate self-join
-    is co-partitioned, per-node candidate sets are bounded by K+K+K²
-    (~{K2} rows) so the per-node top-K window partitions are O(K²) never
-    O(N), and the exact audit runs only on the hash stratum (the
-    fixed-size-sample form every recall audit here takes at 100 TB).
-    Total work per round is O(N·K²) similarity evaluations — the
-    NN-Descent bound — vs O(N²) brute force."""
+def _nnd_graph(em: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """NN-Descent graph construction (shared by the build audit and the
+    graph search): returns (initial scored graph, descended graph), both
+    as (v, n, sim) edge lists with ≤ K={K} out-edges per node. See
+    ann_nndescent for the algorithm and scale notes."""
     k = _NND_K
-    em = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", _dbl(F.col("embedding")).alias("ev")
-    )
     n_vec = em.count()
     src = em.select(F.col("vec_id").alias("v"), F.col("ev").alias("sv"))
     dst = em.select(F.col("vec_id").alias("n"), F.col("ev").alias("dv"))
@@ -985,6 +956,49 @@ def ann_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
             .drop("rk")
             .localCheckpoint(eager=False)
         )
+    return b0, b
+
+
+_nnd_graph.__doc__ = _nnd_graph.__doc__.format(K=_NND_K)
+
+
+@query("ann_nndescent")  # rows-only: float cosine ordering is Spark-specific
+def ann_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based ANN index construction via NN-Descent (Dong, Moses &
+    Li 2011, WWW: 'a good neighbor of a good neighbor is likely a good
+    neighbor') — the family behind HNSW/NSG, i.e. the index structure
+    production vector search actually runs on, built here as pure
+    DataFrame rounds with no UDF:
+
+    - init: each vector's K={K} neighbor slots start DETERMINISTICALLY
+      poor (the next K ids mod N — no randomness, so runs and engines
+      see the same graph);
+    - each round: candidates = current neighbors ∪ REVERSE neighbors ∪
+      neighbors-of-neighbors (one self-join of the K-NN edge list on the
+      shared endpoint), scored by native zip_with cosine, then top-K per
+      node retained;
+    - lineage cut per round (the iterative-algorithm discipline of
+      graph_pagerank / kmeans_lloyd).
+
+    Output is the built-in recall audit on a deterministic node stratum:
+    per audited node, recall@10 of the INITIAL graph and of the DESCENDED
+    graph vs exact brute-force cosine — the descent's improvement is the
+    returned evidence, and tests/test_graph.py pins it (init ~hash
+    noise ~0.03, descended 0.82 measured at sf0.01; floor 0.5).
+
+    Scale shape: every step is keyed on node id — the candidate self-join
+    is co-partitioned, per-node candidate sets are bounded by K+K+K²
+    (~{K2} rows) so the per-node top-K window partitions are O(K²) never
+    O(N), and the exact audit runs only on the hash stratum (the
+    fixed-size-sample form every recall audit here takes at 100 TB).
+    Total work per round is O(N·K²) similarity evaluations — the
+    NN-Descent bound — vs O(N²) brute force."""
+    k = _NND_K
+    em = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("ev")
+    )
+    b0, b = _nnd_graph(em)
+    dst = em.select(F.col("vec_id").alias("n"), F.col("ev").alias("dv"))
 
     stratum = F.pmod(F.xxhash64(F.col("vec_id"), F.lit(0xA11)), F.lit(25)) == 0
     qs = em.where(stratum).select(
@@ -1024,3 +1038,124 @@ def ann_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ann_nndescent.__doc__ = ann_nndescent.__doc__.format(K=_NND_K, K2=_NND_K * (_NND_K + 2))
+
+
+_GS_SEEDS = 8
+_GS_BEAM = 10
+_GS_HOPS = 3
+
+
+@query("ann_graph_search")  # rows-only: float cosine ordering is Spark-specific
+def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over the NN-Descent graph — the query half of
+    graph-based ANN (what HNSW/NSG do at serve time), batched
+    Spark-shaped: ALL queries advance one hop per round through one
+    edge-list join, instead of one query walking pointer-by-pointer.
+
+    Per query: {S} hash-scattered seed nodes are scored, then {H} hops of
+    [take the current beam (top-{B} scored so far) → expand every beam
+    member's out-edges via one join against the graph → score only
+    never-visited candidates] — monotone by construction (the beam only
+    improves), deterministic (hash seeds + (sim desc, id) tie-break).
+
+    Output is the serving audit: per query, recall@10 of the beam vs
+    exact brute force, plus n_scored — the fraction of the corpus the
+    search actually touched (the entire point of the index; pytest pins
+    recall ≥ 0.5 with n_scored a small fraction of N at sf0.01).
+
+    Scale shape: each hop is one co-partitioned join of a (queries×beam)
+    edge list against the K-out-degree graph — per-query work is
+    O(beam·K) per hop regardless of N; the visited set grows by at most
+    beam·K per hop so the anti-join stays query-bounded; lineage cut per
+    hop. The graph build cost is shared infrastructure (in production it
+    is built once and persisted; here it is rebuilt per call — the audit
+    measures search behavior, not amortization)."""
+    em = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("ev")
+    )
+    n_vec = em.count()
+    _, graph = _nnd_graph(em)
+    g = graph.select("v", "n").localCheckpoint(eager=True)
+    dst = em.select(F.col("vec_id").alias("node"), F.col("ev").alias("dv"))
+    qs = em.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qv")
+    )
+
+    def score(cand: DataFrame) -> DataFrame:
+        return (
+            cand.join(qs, "qid")
+            .join(dst, "node")
+            .where(F.col("qid") != F.col("node"))
+            .select(
+                "qid", "node",
+                cosine_expr(F.col("qv"), F.col("dv")).alias("sim"),
+            )
+        )
+
+    seeds = qs.select(
+        "qid",
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("qid"), F.lit(100 + i)), F.lit(n_vec))
+                    for i in range(_GS_SEEDS)
+                ]
+            )
+        ).alias("node"),
+    ).distinct()
+    visited = score(seeds).localCheckpoint(eager=False)
+    wq = W.partitionBy("qid").orderBy(F.desc("sim"), "node")
+    for _ in range(_GS_HOPS):
+        beam = (
+            visited.withColumn("rk", F.row_number().over(wq))
+            .where(F.col("rk") <= _GS_BEAM)
+            .select("qid", F.col("node").alias("v"))
+        )
+        frontier = (
+            beam.join(g, "v")
+            .select("qid", F.col("n").alias("node"))
+            .distinct()
+            .join(visited.select("qid", "node"), ["qid", "node"], "left_anti")
+        )
+        visited = visited.unionByName(score(frontier)).localCheckpoint(
+            eager=False
+        )
+
+    result = (
+        visited.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= 10)
+        .select("qid", "node")
+    )
+    exact = (
+        qs.join(dst, F.col("qid") != F.col("node"))
+        .select(
+            "qid", "node", cosine_expr(F.col("qv"), F.col("dv")).alias("sim")
+        )
+    )
+    truth = (
+        exact.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= 10)
+        .select("qid", "node")
+    )
+    hits = result.join(truth, ["qid", "node"]).groupBy("qid").agg(
+        F.count("*").alias("h")
+    )
+    n_scored = visited.groupBy("qid").agg(F.count("*").alias("n_scored"))
+    return (
+        truth.groupBy("qid").agg(F.count("*").alias("n_truth"))
+        .join(hits, "qid", "left")
+        .join(n_scored, "qid")
+        .select(
+            F.col("qid").alias("vec_id"),
+            (F.coalesce(F.col("h"), F.lit(0)) / F.col("n_truth")).alias(
+                "recall_at_10"
+            ),
+            "n_scored",
+            F.lit(n_vec).alias("n_corpus"),
+        )
+    )
+
+
+ann_graph_search.__doc__ = ann_graph_search.__doc__.format(
+    S=_GS_SEEDS, B=_GS_BEAM, H=_GS_HOPS
+)
