@@ -793,3 +793,52 @@ def test_span_and_line_dedup_on_random_corpora(spark, tmp_path):
             for r in QUERIES["pipeline_line_dedup"](spark, d).collect()
         }
         assert got_line == line_ref(texts, 10), seed
+
+
+def _py_qc_score(text: str, B: int = 4096) -> tuple[int, int]:
+    """Pure-Python twin of the hashed linear classifier: (n_feat, score_sum)."""
+    import hashlib
+
+    toks = text.strip().split()
+    feats = toks + [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+
+    def w(f: str) -> int:
+        b = int(hashlib.md5(f.encode()).hexdigest()[:4], 16) % B
+        return int(hashlib.md5(str(b).encode()).hexdigest()[:4], 16) % 2001
+
+    return len(feats), sum(w(f) for f in feats)
+
+
+def test_quality_classifier_matches_python_reference(spark, sf_smoke):
+    """The Spark score must equal the hashlib reimplementation feature-for-
+    feature (bucket hash, weight hash, bigram join, milli-mean), and the
+    threshold must actually split the corpus — a classifier that keeps
+    (or drops) everything proves nothing."""
+    rows = QUERIES["pipeline_quality_classifier"](spark, sf_smoke).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_smoke}/documents.parquet")
+        .where("text IS NOT NULL AND trim(text) <> ''")
+        .collect()
+    }
+    assert len(rows) == len(docs)
+    labels = set()
+    for r in rows:
+        n_feat, score = _py_qc_score(docs[r.doc_id])
+        assert (r.n_feat, r.score_sum) == (n_feat, score), r.doc_id
+        assert r.mean_milli == (1000 * score) // n_feat
+        assert r.label == ("keep" if r.mean_milli >= 1_000_000 else "drop")
+        labels.add(r.label)
+    assert labels == {"keep", "drop"}
+
+
+def test_quality_classifier_is_map_only(spark, sf_smoke):
+    """Classifier inference must stay the cheapest 100 TB shape: one
+    whole-stage-codegen projection over the scan — zero Exchange, zero
+    Join, zero BatchEvalPython in the physical plan."""
+    plan = (
+        QUERIES["pipeline_quality_classifier"](spark, sf_smoke)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for op in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
+        assert op not in plan, (op, plan)

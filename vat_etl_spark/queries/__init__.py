@@ -108,6 +108,7 @@ _FIRST = [
     "pipeline_line_dedup",
     "ann_nndescent",
     "ann_graph_search",
+    "pipeline_quality_classifier",
     # --- headliner hash rotation across subsystems ---
     "retrieval_prf_rm3",
     "retrieval_hybrid_rrf",

@@ -2211,3 +2211,116 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipeline_perplexity_buckets.__doc__ = pipeline_perplexity_buckets.__doc__.format(
     B=_PPL_B
 )
+
+
+# --- fastText-style hashed linear quality classifier --------------------------
+
+_QC_B = 4096  # hashed feature buckets (the model's weight-vector length)
+
+
+def _qc_weight_spark(f: str) -> str:
+    """Spark-SQL text for the bucket weight of feature expression ``f``:
+    bucket = first 16 md5 bits mod B, weight = first 16 md5 bits of the
+    bucket's decimal string mod 2001 (a deterministic stand-in for a
+    trained weight vector — see the query docstring)."""
+    b = (
+        f"cast(conv(substr(md5(cast({f} as binary)), 1, 4), 16, 10) as bigint)"
+        f" % {_QC_B}"
+    )
+    return (
+        f"cast(conv(substr(md5(cast(cast(({b}) as string) as binary)), 1, 4),"
+        f" 16, 10) as bigint) % 2001"
+    )
+
+
+def _qc_weight_duck(f: str) -> str:
+    """DuckDB twin of :func:`_qc_weight_spark`."""
+    b = f"CAST(('0x' || substr(md5({f}), 1, 4)) AS INTEGER) % {_QC_B}"
+    return (
+        f"CAST(('0x' || substr(md5(CAST(({b}) AS VARCHAR)), 1, 4)) AS INTEGER)"
+        f" % 2001"
+    )
+
+
+_QC_SQL = rf"""
+WITH feats AS (
+  SELECT doc_id, lang, source,
+         list_concat(t, {_ngrams_sql(2).replace("' '", "'_'")}) AS fs
+  FROM (SELECT doc_id, lang, source,
+               regexp_split_to_array(trim(text), '\s+') AS t
+        FROM documents WHERE text IS NOT NULL AND trim(text) <> '')
+),
+scored AS (
+  SELECT doc_id, lang, source,
+         CAST(len(fs) AS BIGINT) AS n_feat,
+         CAST(list_sum(list_transform(fs, f -> {_qc_weight_duck('f')}))
+              AS BIGINT) AS score_sum
+  FROM feats
+)
+SELECT doc_id, lang, source, n_feat, score_sum,
+       CAST((1000 * score_sum) // n_feat AS BIGINT) AS mean_milli,
+       CASE WHEN (1000 * score_sum) // n_feat >= 1000000
+            THEN 'keep' ELSE 'drop' END AS label
+FROM scored
+"""
+
+
+@query("pipeline_quality_classifier", oracle=_QC_SQL)
+def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed linear quality classifier (Joulin et al.
+    2016, arXiv:1607.01759 — the model class behind the CCNet and
+    RefinedWeb/LLaMA quality filters): each document's bag of unigram +
+    word-bigram features hashes into B={b} weight buckets, the bucket
+    weights are summed and length-normalized, and the mean scores
+    against a threshold to a keep/drop label.
+
+    The weight vector here is derived deterministically from the bucket
+    id (16 md5 bits mod 2001, i.e. uniform on [0, 2000]) — a stand-in
+    for trained parameters so both engines and the pure-Python pytest
+    twin score bit-identically. In production the trained B-float array
+    replaces it as one broadcast literal/array lookup — the plan shape
+    (and this query's point) is unchanged: classifier inference is a
+    MAP-ONLY pass, the cheapest possible 100 TB shape.
+
+    Scale shape: zero shuffles, zero joins, zero UDFs — tokenize,
+    feature-expand (unigrams + '_'-joined bigrams, the fastText n-gram
+    trick), hash, and sum all happen inside one whole-stage-codegen
+    projection per row; the scan is the entire cost, and the label
+    column is exactly what a curation pipeline writes back or filters
+    on. Integer arithmetic end-to-end (bucket, weight, milli-mean) —
+    bit-identical between Spark, DuckDB, and hashlib."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = tokens_expr(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                "_", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    scored = d.select(
+        "doc_id", "lang", "source",
+        F.concat(toks, bigrams).alias("fs"),
+    ).select(
+        "doc_id", "lang", "source",
+        F.size("fs").cast("bigint").alias("n_feat"),
+        F.expr(
+            f"aggregate(fs, 0L, (acc, f) -> acc + ({_qc_weight_spark('f')}))"
+        ).alias("score_sum"),
+    )
+    return scored.select(
+        "doc_id", "lang", "source", "n_feat", "score_sum",
+        F.expr("(1000 * score_sum) div n_feat").alias("mean_milli"),
+        F.when(
+            F.expr("(1000 * score_sum) div n_feat") >= 1_000_000, "keep"
+        ).otherwise("drop").alias("label"),
+    )
+
+
+pipeline_quality_classifier.__doc__ = pipeline_quality_classifier.__doc__.format(
+    b=_QC_B
+)
