@@ -558,3 +558,15 @@ def test_cache_latest_repeat_invocation_stays_cached(spark, sf_smoke):
         assert "InMemoryTableScan" in executed
     finally:
         clear_cache("pytest:cache_latest")
+
+
+def test_collocation_pmi_plan_shape(spark, sf_smoke):
+    """PMI mining must end in TakeOrderedAndProject (never a global sort
+    of the collocation table) and the unigram count tables — corpus-
+    derived — must carry no broadcast hint beyond the two 1-row totals
+    (AQE owns the join strategy)."""
+    df = QUERIES["text_collocation_pmi"](spark, sf_smoke)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert analyzed.count("ResolvedHint") == 2  # n_uni + n_bi 1-row totals

@@ -109,6 +109,7 @@ _FIRST = [
     "ann_nndescent",
     "ann_graph_search",
     "pipeline_quality_classifier",
+    "text_collocation_pmi",
     # --- headliner hash rotation across subsystems ---
     "retrieval_prf_rm3",
     "retrieval_hybrid_rrf",

@@ -1276,3 +1276,114 @@ def retrieval_eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit(0)).alias("mrr_micros"),
         )
     )
+
+
+# --- PMI collocation mining ----------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 50
+
+_PMI_SQL = rf"""
+WITH toks AS (
+  SELECT regexp_split_to_array(trim(text), '\s+') AS t
+  FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+uni AS (SELECT unnest(t) AS w FROM toks),
+uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w),
+nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_uni FROM uc),
+bi AS (
+  SELECT t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+),
+nb AS (SELECT CAST(count(*) AS BIGINT) AS n_bi FROM bi),
+bc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM bi GROUP BY w1, w2 HAVING count(*) >= {_PMI_MIN_COUNT}
+)
+SELECT w1, w2, c_xy,
+       u1.c AS c_x, u2.c AS c_y,
+       CAST(round(1e6 * log2(
+         (CAST(c_xy AS DOUBLE) * n_uni * n_uni)
+         / (CAST(u1.c AS DOUBLE) * u2.c * n_bi))) AS BIGINT) AS pmi_micros
+FROM bc
+JOIN uc u1 ON bc.w1 = u1.w
+JOIN uc u2 ON bc.w2 = u2.w
+CROSS JOIN nu CROSS JOIN nb
+ORDER BY pmi_micros DESC, w1, w2
+LIMIT {_PMI_TOP}
+"""
+
+
+@query("text_collocation_pmi", oracle=_PMI_SQL)
+def text_collocation_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocation mining (Church & Hanks
+    1990, "Word Association Norms, Mutual Information, and Lexicography"
+    — the classic corpus-linguistics measure of which adjacent word
+    pairs co-occur far above chance): PMI(x,y) = log2(p(xy)/(p(x)p(y)))
+    over adjacent-bigram and unigram frequencies, reported for the top
+    {top} pairs with at least {mc} occurrences.
+
+    Engine-exactness: numerator/denominator are built as DOUBLEs in the
+    same left-associated order in both engines, so the log2 argument is
+    bit-identical and micros rounding absorbs the remaining libm-log2
+    ulps (the pipeline_dsir_weights discipline for data-dependent logs;
+    ties at the LIMIT boundary are broken by (w1, w2)).
+
+    Scale shape: the min-count HAVING prunes the bigram table BEFORE the
+    two unigram joins (at web scale that filter drops the long tail —
+    the surviving collocation table is vocabulary-sized, not
+    corpus-sized); corpus totals arrive as 1-row broadcast aggregates,
+    never driver collects; the final order+limit is a
+    TakeOrderedAndProject, never a global sort. Join sizing is left to
+    AQE — both sides are corpus-derived (the no-forced-broadcast rule)."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    toks = tokens_expr(F.col("text"))
+    tdf = d.select(toks.alias("t"))
+    uni = tdf.select(F.explode("t").alias("w"))
+    uc = uni.groupBy("w").agg(F.count("*").alias("c"))
+    nu = uc.agg(F.sum("c").cast("bigint").alias("n_uni"))
+    pairs = F.when(
+        F.size("t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("t"), i).alias("w1"),
+                F.element_at(F.col("t"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    bi = tdf.select(F.explode(pairs).alias("p")).select("p.w1", "p.w2")
+    nb = bi.agg(F.count("*").cast("bigint").alias("n_bi"))
+    bc = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("c_xy"))
+        .where(F.col("c_xy") >= _PMI_MIN_COUNT)
+    )
+    u1 = uc.select(F.col("w").alias("w1"), F.col("c").alias("c_x"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("c").alias("c_y"))
+    scored = (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "w1", "w2", "c_xy", "c_x", "c_y",
+            F.round(
+                1e6
+                * F.log2(
+                    (F.col("c_xy").cast("double") * F.col("n_uni") * F.col("n_uni"))
+                    / (F.col("c_x").cast("double") * F.col("c_y") * F.col("n_bi"))
+                )
+            ).cast("bigint").alias("pmi_micros"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_micros"), "w1", "w2"
+    ).limit(_PMI_TOP)
+
+
+text_collocation_pmi.__doc__ = text_collocation_pmi.__doc__.format(
+    top=_PMI_TOP, mc=_PMI_MIN_COUNT
+)
