@@ -49,6 +49,10 @@ CLUSTER_SET = [
     "graph_pagerank",
     "pipeline_line_dedup",
     "pipeline_perplexity_buckets",
+    # map-only classifier inference (codegen-only plan must survive real
+    # executor separation) and the min-count-pruned collocation joins
+    "pipeline_quality_classifier",
+    "text_collocation_pmi",
 ]
 
 _SCRIPT = """
