@@ -780,3 +780,65 @@ def test_streaming_line_dedup_matches_batch_query(spark, sf_smoke, tmp_path):
     ep2 = spark.read.parquet(f"{out}/docs/epoch=2")
     assert ep2.filter("n_removed != n_lines").count() == 0
     assert ep2.filter("cleaned_text != ''").count() == 0
+
+
+def test_streaming_neardup_admission_matches_batch_twin(spark, sf_smoke, tmp_path):
+    """SimHash near-dup admission gate: epoch 0 (doc_id % 10 < 8) seeds
+    the signature index with what the gate itself admits; epoch 1's
+    arrivals must then equal corpus_neardup_admit_twin cell-for-cell
+    (the registered rows-only query runs the SAME neardup_admit_plan).
+    Replays — before and after index compaction — must be no-ops, and
+    re-sending already-admitted documents must be fully rejected."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.queries.dedup import neardup_admit_plan
+    from vat_etl_spark.sources.catalog import read_table
+    from vat_etl_spark.streaming.corpus import (
+        admit_neardup_batch,
+        compact_simhash_index,
+        corpus_neardup_stream,
+    )
+
+    docs = read_table(spark, sf_smoke, "documents")
+    is_new = F.col("doc_id") % 10 >= 8
+    src = str(tmp_path / "src")
+    docs.filter(~is_new).coalesce(1).write.mode("append").parquet(src)
+    docs.filter(is_new).coalesce(1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "neardup")
+    corpus_neardup_stream(spark, src, out).awaitTermination()
+
+    def _epoch_ids(n):
+        return {r.doc_id for r in spark.read.parquet(f"{out}/docs/epoch={n}").collect()}
+
+    ep0, ep1 = _epoch_ids(0), _epoch_ids(1)
+    want0 = {r.doc_id for r in neardup_admit_plan(docs.filter(~is_new)).collect()}
+    twin = {
+        r.doc_id
+        for r in QUERIES["corpus_neardup_admit_twin"](spark, sf_smoke).collect()
+    }
+    assert ep0 == want0 and len(ep0) > 0
+    assert ep1 == twin and len(ep1) > 0
+    # the gate must actually reject near-dups in BOTH positions or the
+    # test is vacuous (the corpus's token-shuffle twins are hamming-0)
+    n_arrived = docs.filter(is_new).count()
+    assert len(ep0) < docs.filter(~is_new).count()
+    assert len(ep1) < n_arrived
+
+    # replay epoch 1: must exclude its own signatures (not self-block)
+    # and overwrite its own partition — identical output
+    admit_neardup_batch(docs.filter(is_new), out, epoch_id=1)
+    assert _epoch_ids(1) == twin
+
+    # fold the index, then replay epoch 1 again: src_epoch provenance in
+    # the consolidated partition must still exclude its own signatures
+    assert compact_simhash_index(spark, out, grace_seconds=0.0) > 0
+    admit_neardup_batch(docs.filter(is_new), out, epoch_id=1)
+    assert _epoch_ids(1) == twin
+
+    # a NEW epoch re-sending epoch 0's documents is fully rejected: every
+    # admitted doc's signature is in the index (hamming 0), and every
+    # epoch-0 reject was hamming-0-near an admitted one (shuffle twins)
+    admit_neardup_batch(docs.filter(~is_new), out, epoch_id=2)
+    assert _epoch_ids(2) == set()

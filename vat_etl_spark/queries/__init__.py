@@ -110,6 +110,7 @@ _FIRST = [
     "ann_graph_search",
     "pipeline_quality_classifier",
     "text_collocation_pmi",
+    "corpus_neardup_admit_twin",
     # --- headliner hash rotation across subsystems ---
     "retrieval_prf_rm3",
     "retrieval_hybrid_rrf",

@@ -290,13 +290,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 is Spark-specific
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document from token hashes — near-dup docs land on
-    nearby signatures; grouping on a signature prefix gives cheap candidate
-    blocks. Pure native expressions (xxhash64 + bit ops + fold)."""
-    d = _docs_fanout(spark, sf_dir)
-    toks = F.array_distinct(tokens_expr(F.col("text")))
+def simhash_expr(text_col):
+    """64-bit SimHash of a text column as one native expression (xxhash64 +
+    bit ops + fold) — shared by ``dedup_simhash`` and the streaming
+    near-dup admission gate (streaming/corpus.py)."""
+    toks = F.array_distinct(tokens_expr(text_col))
     hashed = F.transform(toks, lambda t: F.xxhash64(t))
     # 64 literal bit masks (bit 63 is the sign bit in two's complement)
     masks = [1 << i for i in range(63)] + [-(1 << 63)]
@@ -310,7 +308,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, h: acc + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
         ),
     )
-    simhash = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             bit_votes, mask_arr,
             lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
@@ -318,10 +316,134 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("long"),
         lambda acc, x: acc.bitwiseOR(x),
     )
-    sig = d.select("doc_id", simhash.alias("simhash"))
+
+
+@query("dedup_simhash")  # rows-only: xxhash64 is Spark-specific
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document from token hashes — near-dup docs land on
+    nearby signatures; grouping on a signature prefix gives cheap candidate
+    blocks. Pure native expressions (xxhash64 + bit ops + fold)."""
+    d = _docs_fanout(spark, sf_dir)
+    sig = d.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
     return sig.select(
         "doc_id", "simhash", F.shiftrightunsigned("simhash", 48).alias("block16")
     )
+
+
+_NEARDUP_BANDS = 4  # 4 × 16-bit bands: pigeonhole-lossless for hamming <= 3
+_NEARDUP_T = 3
+
+
+def _sim_bands(sig_col):
+    """Explode a 64-bit SimHash into (band_no, band_key) structs — the LSH
+    blocking key. 4 bands of 16 bits: any pair within Hamming distance 3
+    shares at least one full band (pigeonhole), so banded candidate
+    generation is LOSSLESS for the admit threshold."""
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_no"),
+            F.shiftrightunsigned(sig_col, 16 * i)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("band_key"),
+        )
+        for i in range(_NEARDUP_BANDS)
+    ])
+    return F.explode(bands).alias("b")
+
+
+def neardup_admit_plan(
+    batch: DataFrame, existing_sigs: DataFrame | None = None
+) -> DataFrame:
+    """The streaming NEAR-dup admission gate as a pure lazy plan — the
+    fuzzy sibling of ``corpus_admit_plan`` (exact content keys): a doc is
+    admitted only if its 64-bit SimHash is further than Hamming distance
+    {t} from (a) every signature in the persisted corpus index and
+    (b) every EARLIER doc in the same batch (keep-first, the C4/in-batch
+    policy of the exact gate's rank-1). Candidates come from 4×16-bit
+    signature bands — pigeonhole-lossless at this threshold, never
+    all-pairs — and are verified by exact Hamming (xor + bit_count).
+
+    Greedy-keep-first note: an arriving doc is rejected when ANY earlier
+    in-batch doc matches, even one itself rejected against the index —
+    in that case the arrival is within 2·{t} of an already-admitted
+    corpus doc, which the greedy gate treats as rejectable (documented
+    over-rejection of chains; the exact transitive answer is
+    dedup_connected_components, a batch job, not an admission gate).
+
+    Scale shape: the corpus is touched ONLY as its signature index
+    (8 bytes/doc); band join cost is per-bucket, never quadratic; at
+    100 TB the index is bucketed on band_key so the per-batch candidate
+    join co-locates. Empty/NULL-text docs are excluded up front (their
+    signature is degenerately 0 and they would all collide)."""
+    sigd = batch.where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    ).withColumn("simhash", simhash_expr(F.col("text")))
+    arr_bands = sigd.select(
+        "doc_id", "simhash", _sim_bands(F.col("simhash"))
+    ).select(
+        "doc_id", "simhash", "b.band_no", "b.band_key"
+    )
+    rejected = None
+    if existing_sigs is not None:
+        idx_bands = (
+            existing_sigs.select(F.col("simhash").alias("sim_idx"))
+            .distinct()
+            .select("sim_idx", _sim_bands(F.col("sim_idx")))
+            .select("sim_idx", "b.band_no", "b.band_key")
+        )
+        rejected = (
+            arr_bands.join(idx_bands, ["band_no", "band_key"])
+            .where(
+                F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_idx")))
+                <= _NEARDUP_T
+            )
+            .select("doc_id")
+            .distinct()
+        )
+    earlier = arr_bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("sim_a"),
+        "band_no", "band_key",
+    )
+    in_batch = (
+        arr_bands.join(earlier, ["band_no", "band_key"])
+        .where(
+            (F.col("doc_a") < F.col("doc_id"))
+            & (
+                F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_a")))
+                <= _NEARDUP_T
+            )
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    rejected = in_batch if rejected is None else rejected.union(in_batch)
+    return sigd.join(rejected, "doc_id", "left_anti")
+
+
+neardup_admit_plan.__doc__ = neardup_admit_plan.__doc__.format(t=_NEARDUP_T)
+
+
+@query("corpus_neardup_admit_twin")  # rows-only: xxhash64 simhash is Spark-specific
+def corpus_neardup_admit_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming near-dup admission gate: the documents
+    table split by ``doc_id % 10 >= 8`` into an earlier epoch (run
+    through the gate itself — the signature index holds exactly what the
+    gate ADMITS, as the stream's does) and an arriving batch run through
+    :func:`neardup_admit_plan` against that index — exactly the function
+    streaming/corpus.py's ``admit_neardup_batch`` executes per
+    micro-batch, so tests/test_streaming.py pins the stream's per-epoch
+    output equal to this query cell-for-cell. The testdata's planted
+    token-shuffle near-dups hash to IDENTICAL SimHashes
+    (bag-of-distinct-tokens signature), so this gate demonstrably
+    rejects arrivals here."""
+    d = _t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 >= 8
+    prior = neardup_admit_plan(d.where(~is_new))
+    admitted = neardup_admit_plan(
+        d.where(is_new), prior.select("simhash")
+    )
+    return admitted.select("doc_id", "lang", "source", "simhash")
 
 
 _CC_SQL = """

@@ -335,3 +335,85 @@ def corpus_lines_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def admit_neardup_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
+    """SimHash near-dup admission per micro-batch — the FUZZY sibling of
+    :func:`admit_batch`: arriving docs are rejected when their 64-bit
+    SimHash lies within Hamming distance 3 of the persisted signature
+    index (4×16-bit banded candidates, exact xor+bit_count verify) or of
+    an earlier doc in the same batch; survivors' signatures join the
+    index. The selection is ``neardup_admit_plan`` — the same function
+    the registered batch twin ``corpus_neardup_admit_twin`` runs, so its
+    driver row is direct evidence for this path's admit semantics.
+
+    Same exactly-once recipe as the exact gate: the admit is a
+    deterministic function of (batch, index-minus-own-epoch) and both
+    writes overwrite their own ``epoch=N`` partition, so a replayed
+    epoch excludes its own prior signatures (or it would block itself)
+    and clobbers its own partial output. At 100 TB the signature index
+    is 8 bytes per admitted doc — bucket it on a band key so the
+    per-batch candidate join co-locates; fold old epochs with
+    :func:`compact_simhash_index` (the shared grace protocol)."""
+    from vat_etl_spark.queries.dedup import neardup_admit_plan
+
+    spark = batch.sparkSession
+    idx_path = f"{out_dir}/simhash_index"
+    existing = None
+    if pathlib.Path(idx_path).exists():
+        idx = (
+            spark.read.option("basePath", idx_path)
+            .option("ignoreMissingFiles", "true")
+            .option("mergeSchema", "true")
+            .parquet(idx_path)
+        )
+        # replay exclusion on DATA-column provenance, coalesced with the
+        # partition epoch — identical rule to admit_batch/admit_lines_batch
+        if "src_epoch" in idx.columns:
+            prov = F.coalesce(F.col("src_epoch"), F.col("epoch"))
+        else:
+            prov = F.col("epoch")
+        existing = idx.filter(prov != epoch_id).select("simhash").distinct()
+    admitted = neardup_admit_plan(batch, existing)
+    # stable snapshot: both writes re-execute `admitted`; the index must
+    # record exactly the signatures the docs write admitted
+    admitted = admitted.localCheckpoint(eager=True)
+    admitted.drop("simhash").write.mode("overwrite").parquet(
+        f"{out_dir}/docs/epoch={epoch_id}"
+    )
+    admitted.select(
+        "simhash", F.lit(epoch_id).alias("src_epoch")
+    ).distinct().write.mode("overwrite").parquet(f"{idx_path}/epoch={epoch_id}")
+
+
+def compact_simhash_index(
+    spark: SparkSession, out_dir: str, grace_seconds: float = 300.0
+) -> int:
+    """Signature-index maintenance twin of :func:`compact_key_index` —
+    identical grace/snapshot/publish-then-mark protocol (shared via
+    ``_compact_index``) folding on the ``simhash`` column."""
+    return _compact_index(spark, f"{out_dir}/simhash_index", "simhash",
+                          grace_seconds)
+
+
+def corpus_neardup_stream(
+    spark: SparkSession, src_dir: str, out_dir: str, schema=None
+):
+    """Wire :func:`admit_neardup_batch` into a file-source stream (one
+    file per trigger, availableNow-drainable — same harness as
+    :func:`corpus_ingest_stream`)."""
+    if schema is None:
+        schema = spark.read.parquet(src_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch_id: admit_neardup_batch(df, out_dir, epoch_id)
+        )
+        .option("checkpointLocation", f"{out_dir}/_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
