@@ -112,7 +112,20 @@ def run_corpus(args, spark: SparkSession | None = None):
     from vat_etl_spark.session import get_spark
 
     spark = spark or get_spark("vat-etl-corpus")
-    stats = build_corpus(spark, args.sf_dir, args.out, n_shards=args.shards)
+    from vat_etl_spark.queries.llm_pipeline import CORPUS_STAGES
+
+    stages = (
+        tuple(s for s in args.stages.split(",") if s)
+        if args.stages
+        else CORPUS_STAGES
+    )
+    unknown = set(stages) - set(CORPUS_STAGES)
+    if unknown:
+        raise SystemExit(f"unknown corpus stages: {sorted(unknown)}")
+    stats = build_corpus(
+        spark, args.sf_dir, args.out, n_shards=args.shards, stages=stages
+    )
+    print("funnel: " + " -> ".join(f"{s}={n}" for s, n in stats["funnel"].items()))
     print(
         f"wrote {stats['docs_written']} docs across {stats['shards']} "
         f"(split, shard) partitions ({stats['splits']} splits) to {args.out}"
@@ -183,12 +196,19 @@ def build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser(
         "corpus",
-        help="composed training-data build: quality gate -> dedup -> "
-        "split/shard parquet + dataset card",
+        help="composed training-data build: gopher -> classifier -> "
+        "perplexity -> exact dedup -> line dedup -> span removal -> "
+        "simhash near-dup gate -> content-key split/shard parquet + "
+        "dataset card",
     )
     c.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     c.add_argument("--out", required=True, help="output directory")
     c.add_argument("--shards", type=int, default=8)
+    c.add_argument(
+        "--stages",
+        default=None,
+        help="comma-separated subset of funnel stages (default: all)",
+    )
     c.set_defaults(fn=run_corpus)
 
     d = sub.add_parser(

@@ -693,55 +693,132 @@ def sample_fixed_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the full curation funnel, in pipeline order; every stage is flag-gated
+# (pass a subset to build a lighter corpus — e.g. skip the rewrite stages
+# for a quick refresh build)
+CORPUS_STAGES = (
+    "gopher",        # rule-based quality gate (map-only)
+    "classifier",    # fastText-style hashed linear classifier (map-only)
+    "perplexity",    # CCNet head/middle kept, tail dropped (LM corpus-grain)
+    "exact_dedup",   # cross-source exact dedup, trusted-source survivor
+    "line_dedup",    # C4 keep-first global line dedup (rewrites text)
+    "span_removal",  # Lee-et-al repeated-span excision (rewrites text)
+    "neardup",       # SimHash banded keep-first near-dup admission
+)
+
+
 def build_corpus(
     spark: SparkSession,
     sf_dir: str,
     out_dir: str,
     n_shards: int = 8,
-) -> dict[str, int]:
-    """The composed corpus build as ONE write job (the `corpus` CLI
-    subcommand): Gopher quality gate → cross-source dedup survivor →
-    deterministic train/val/test tag → shard assignment, written
-    ``partitionBy(split, shard)`` so training readers get one directory
-    per (split, shard) and eval splits can never mix into train files.
-    Returns the funnel counts (also persisted alongside the shards as the
-    dataset card). Single content-key window + one write; everything else
-    is map-side — the same plan at 100 TB with the md5 fingerprint as the
-    content key.
+    stages: tuple[str, ...] = CORPUS_STAGES,
+) -> dict:
+    """The composed corpus build (the `corpus` CLI subcommand): the FULL
+    curation funnel — Gopher rules → quality classifier → perplexity
+    buckets → exact cross-source dedup → C4 line dedup → repeated-span
+    removal → SimHash near-dup admission — then the CONTENT-KEY
+    leakage-safe train/val/test tag (``with_content_split``: near-identical
+    docs share the content key, so they can never straddle train/eval;
+    the doc_id-hash tag the early builds used is NOT safe once near-dup
+    stages enter the funnel) and shard assignment, written
+    ``partitionBy(split, shard)``.
 
-    Split-leakage note: the doc_id-hash split tag here is safe ONLY
-    because cross-source dedup runs first — each content key survives
-    exactly once, so no key can straddle splits. A build that relaxes or
-    samples the dedup stage must switch the tag to the content-key hash
-    (``pipeline_leakage_safe_split``) to keep that guarantee."""
-    quality = QUERIES["pipeline_quality_gopher"](spark, sf_dir).select(
-        "doc_id", "passes"
-    )
-    survivors = QUERIES["pipeline_cross_source_dedup"](spark, sf_dir).select(
-        "doc_id"
-    )
-    d = _t(spark, sf_dir, "documents")
-    kept = (
-        d.join(quality.filter(F.col("passes")).select("doc_id"), "doc_id")
-        .join(survivors, "doc_id")
-        .withColumn("bucket", ((F.col("doc_id") % 2147483648) * 2654435761) % 100)
-        .withColumn(
-            "split",
-            F.when(F.col("bucket") < 90, "train")
-            .when(F.col("bucket") < 95, "val")
-            .otherwise("test"),
-        )
-        .withColumn(
-            "shard", (((F.col("doc_id") % 2147483648) * 2654435761) % n_shards).cast("long")
-        )
-        .drop("bucket")
-    )
-    # observability rides the write itself (dq_observe_metrics pattern):
-    # the funnel's health counters come from the pass that writes the
-    # shards — zero extra scans — and are persisted next to the card so a
-    # nightly 100 TB build self-reports without a verification re-read
+    Each stage is flag-gated via ``stages`` and carries its own
+    ``Observation`` funnel counter (docs + chars surviving the stage).
+    Stage boundaries are persisted and materialized by the counter's
+    count() action — the rewrite stages (line dedup, span removal) and
+    the SimHash gate fan their input out into self-joins, so an eagerly
+    cached boundary both populates the Observation exactly once and
+    stops the upstream funnel re-executing per branch. At 100 TB the
+    persist() becomes a staged parquet write (exactly how production
+    corpus builds checkpoint between funnel passes); every stage's
+    internal plan is key-partitioned or map-only — nothing here
+    broadcasts corpus-derived data.
+
+    Returns the per-stage funnel counts plus the write metrics; persists
+    the funnel, the per-language dataset card, and per-(lang, split)
+    written stats alongside the shards as the release record."""
     from pyspark.sql import Observation
 
+    from vat_etl_spark.queries.dedup import neardup_admit_plan
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    funnel: list[tuple[str, int, int]] = []
+    cached: list[DataFrame] = []
+
+    def _stage(df: DataFrame, name: str) -> DataFrame:
+        obs = Observation(f"corpus_{name}")
+        out = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("docs"),
+            F.sum(F.length("text").cast("long")).alias("chars"),
+        ).persist()
+        out.count()  # materialize the boundary; populates obs exactly once
+        m = {k: int(v or 0) for k, v in obs.get.items()}
+        funnel.append((name, m["docs"], m["chars"]))
+        cached.append(out)
+        return out
+
+    cur = _stage(d, "raw")
+    if "gopher" in stages:
+        keep = quality_flags(cur).filter(F.col("passes")).select("doc_id")
+        cur = _stage(cur.join(keep, "doc_id"), "gopher")
+    if "classifier" in stages:
+        keep = (
+            classifier_label_plan(cur)
+            .filter(F.col("label") == "keep")
+            .select("doc_id")
+        )
+        cur = _stage(cur.join(keep, "doc_id"), "classifier")
+    if "perplexity" in stages:
+        # CCNet-style: the LM and its bucket thresholds come from the FULL
+        # corpus (the reference distribution), the kept set joins back —
+        # so the stage is one (doc_id)-keyed join against the registered
+        # oracle-backed bucket assignment
+        keep = (
+            QUERIES["pipeline_perplexity_buckets"](spark, sf_dir)
+            .filter(F.col("kept"))
+            .select("doc_id")
+        )
+        cur = _stage(cur.join(keep, "doc_id"), "perplexity")
+    if "exact_dedup" in stages:
+        keep = QUERIES["pipeline_cross_source_dedup"](spark, sf_dir).select(
+            "doc_id"
+        )
+        cur = _stage(cur.join(keep, "doc_id"), "exact_dedup")
+    if "line_dedup" in stages:
+        cleaned = line_dedup_plan(cur).select(
+            "doc_id", F.col("cleaned_text").alias("text")
+        )
+        cur = _stage(
+            cur.drop("text").join(cleaned, "doc_id")
+            .where(F.trim(F.col("text")) != ""),
+            "line_dedup",
+        )
+    if "span_removal" in stages:
+        cleaned = span_removal_plan(cur).select(
+            "doc_id", F.col("cleaned_text").alias("text")
+        )
+        cur = _stage(
+            cur.drop("text").join(cleaned, "doc_id")
+            .where(F.trim(F.col("text")) != ""),
+            "span_removal",
+        )
+    if "neardup" in stages:
+        # keep-first within the surviving corpus (no prior index in a
+        # from-scratch build; an incremental build passes the persisted
+        # signature index, exactly like the streaming gate)
+        cur = _stage(neardup_admit_plan(cur).drop("simhash"), "neardup")
+
+    kept = with_content_split(cur).drop("bucket").withColumn(
+        "shard",
+        (((F.col("doc_id") % 2147483648) * 2654435761) % n_shards).cast("long"),
+    )
+    # observability rides the write itself (dq_observe_metrics pattern):
+    # the final counters come from the pass that writes the shards — zero
+    # extra scans — and are persisted next to the card so a nightly 100 TB
+    # build self-reports without a verification re-read
     obs = Observation("corpus_build")
     observed = kept.observe(
         obs,
@@ -764,15 +841,37 @@ def build_corpus(
         [tuple(m[k] for k in keys)],
         "docs_written long, train_docs long, val_docs long, test_docs long, chars_written long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/build_metrics")
-    written = spark.read.parquet(f"{out_dir}/shards")
+    spark.createDataFrame(
+        [(i, s, docs, chars) for i, (s, docs, chars) in enumerate(funnel)],
+        "stage_no long, stage string, docs long, chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/funnel")
+    splits = shards = 0
+    if m["docs_written"]:
+        written = spark.read.parquet(f"{out_dir}/shards")
+        splits = written.select("split").distinct().count()
+        shards = written.select("split", "shard").distinct().count()
+        # the extended dataset card: what was actually WRITTEN, per
+        # (lang, split) — doc/char/token budget of the release
+        written.groupBy("lang", "split").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("content_key").alias("n_keys"),
+            F.sum(F.size(tokens_expr(F.col("text"))).cast("long")).alias(
+                "n_tokens"
+            ),
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{out_dir}/dataset_card_by_split"
+        )
+    for c in cached:
+        c.unpersist()
     return {
         "docs_written": m["docs_written"],
-        "splits": written.select("split").distinct().count(),
-        "shards": written.select("split", "shard").distinct().count(),
+        "splits": splits,
+        "shards": shards,
         "train_docs": m["train_docs"],
         "val_docs": m["val_docs"],
         "test_docs": m["test_docs"],
         "chars_written": m["chars_written"],
+        "funnel": {s: docs for s, docs, _ in funnel},
     }
 
 
@@ -1010,8 +1109,17 @@ def pipeline_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-exact across engines."""
     from vat_etl_spark.queries.dedup import _docs_fanout
 
+    return span_removal_plan(_docs_fanout(spark, sf_dir))
+
+
+def span_removal_plan(d: DataFrame) -> DataFrame:
+    """The span-removal plan over an arbitrary docs frame (needs
+    ``doc_id``, ``text``) — the shared core of
+    :func:`pipeline_span_removal` and the ``build_corpus`` funnel stage,
+    where it runs over the docs that SURVIVED the upstream filters (span
+    duplication is a property of the current corpus, not the raw feed).
+    Returns one row per input doc with ``cleaned_text``."""
     w = _SPAN_W
-    d = _docs_fanout(spark, sf_dir)
     toked = d.select("doc_id", tokens_expr(F.col("text")).alias("t"))
     g = toked.select(
         "doc_id",
@@ -1126,7 +1234,16 @@ def pipeline_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (sorted collect of a doc's kept lines — state bounded by ONE
     document). Plan at 100 TB: two shuffles (line index, doc regroup),
     both key-partitioned, no broadcast of anything corpus-derived."""
-    d = _t(spark, sf_dir, "documents")
+    return line_dedup_plan(_t(spark, sf_dir, "documents"))
+
+
+def line_dedup_plan(d: DataFrame) -> DataFrame:
+    """The C4 line-dedup plan over an arbitrary docs frame (needs
+    ``doc_id``, ``text``) — the shared core of :func:`pipeline_line_dedup`
+    and the ``build_corpus`` funnel stage (keep-first survivorship is
+    global over whatever corpus is passed in, so the funnel runs it on
+    the docs that survived the upstream filters). One row per input doc
+    with ``cleaned_text``."""
     w = _LINE_W
     toked = d.select("doc_id", tokens_expr(F.col("text")).alias("t"))
     lines = toked.select(
@@ -1843,6 +1960,29 @@ FROM tagged GROUP BY lang, split
 """
 
 
+def with_content_split(d: DataFrame, text_col: str = "text") -> DataFrame:
+    """Tag a docs frame with ``content_key`` (first-2-token fingerprint —
+    the repo's stand-in content key; production: the md5 fingerprint) and
+    the leakage-safe ``split`` derived from md5(content_key) — a pure
+    MAP-SIDE expression, so the tag costs nothing at 100 TB. Shared by
+    :func:`pipeline_leakage_safe_split` and the ``build_corpus`` funnel:
+    docs with the same content key can never straddle train/eval."""
+    keyed = d.withColumn(
+        "content_key",
+        F.concat_ws(" ", F.slice(tokens_expr(F.col(text_col)), 1, 2)),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("content_key").cast("binary")), 1, 4), 16, 10)
+        .cast("long") % 100
+    )
+    return keyed.withColumn("bucket", bucket).withColumn(
+        "split",
+        F.when(F.col("bucket") < 90, "train")
+        .when(F.col("bucket") < 95, "val")
+        .otherwise("test"),
+    )
+
+
 @query("pipeline_leakage_safe_split", oracle=_LEAKAGE_SPLIT_SQL)
 def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: the split is a pure function of
@@ -1861,20 +2001,7 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag is map-side (hash of an in-row key), the report is one aggregate
     with a per-group distinct — same shapes as the plain split."""
     d = _t(spark, sf_dir, "documents")
-    keyed = d.select(
-        "doc_id", "lang",
-        F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 2)).alias("content_key"),
-    )
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("content_key").cast("binary")), 1, 4), 16, 10)
-        .cast("long") % 100
-    )
-    tagged = keyed.withColumn("bucket", bucket).withColumn(
-        "split",
-        F.when(F.col("bucket") < 90, "train")
-        .when(F.col("bucket") < 95, "val")
-        .otherwise("test"),
-    )
+    tagged = with_content_split(d)
     return tagged.groupBy("lang", "split").agg(
         F.count("*").alias("n_docs"),
         F.countDistinct("content_key").alias("n_keys"),
@@ -2289,7 +2416,16 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     column is exactly what a curation pipeline writes back or filters
     on. Integer arithmetic end-to-end (bucket, weight, milli-mean) —
     bit-identical between Spark, DuckDB, and hashlib."""
-    d = _t(spark, sf_dir, "documents").where(
+    return classifier_label_plan(_t(spark, sf_dir, "documents"))
+
+
+def classifier_label_plan(d: DataFrame) -> DataFrame:
+    """The map-only classifier-inference plan over an arbitrary docs frame
+    (needs ``doc_id``, ``lang``, ``source``, ``text``) — the shared core
+    of :func:`pipeline_quality_classifier` and the ``build_corpus``
+    funnel stage. Empty/whitespace-only docs are excluded (no features to
+    score). One row per scorable doc with a keep/drop ``label``."""
+    d = d.where(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     )
     toks = tokens_expr(F.col("text"))
