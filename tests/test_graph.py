@@ -226,3 +226,49 @@ def test_graph_search_beats_floor_with_bounded_touch(spark, sf_smoke):
     assert mean >= 0.5, [tuple(r) for r in rows]
     for r in rows:
         assert r.n_scored < 0.5 * r.n_corpus, tuple(r)
+
+
+def test_ann_index_build_serve_lifecycle(spark, sf_smoke, tmp_path, monkeypatch):
+    """The persisted-index contract: first serve call builds, subsequent
+    calls reuse the artifact untouched (mtime-stable), and a corpus-size
+    change trips the freshness guard into a rebuild. Serve results over
+    the prebuilt graph are identical across calls (the build is
+    deterministic)."""
+    import os
+
+    from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.queries.similarity import (
+        _meta_n_vec,
+        build_graph_index,
+        build_ivfpq_index,
+    )
+
+    monkeypatch.setenv("VAT_ETL_INDEX_DIR", str(tmp_path / "idx"))
+    p = build_graph_index(spark, sf_smoke)
+    edges = f"{p}/edges"
+    assert os.path.isdir(edges) and _meta_n_vec(spark, p) == 500
+    mtime = max(
+        os.path.getmtime(os.path.join(edges, f)) for f in os.listdir(edges)
+    )
+    # serve twice over the SAME prebuilt index: no rebuild, identical rows
+    r1 = QUERIES["ann_graph_search"](spark, sf_smoke).collect()
+    r2 = QUERIES["ann_graph_search"](spark, sf_smoke).collect()
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+    assert (
+        max(os.path.getmtime(os.path.join(edges, f)) for f in os.listdir(edges))
+        == mtime
+    ), "serve call rewrote a fresh index"
+    # staleness: lie about the indexed corpus size -> next build rebuilds
+    spark.createDataFrame([(7, 1, 1)], "n_vec long, k int, rounds int").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{p}/meta")
+    assert _meta_n_vec(spark, p) == 7
+    build_graph_index(spark, sf_smoke)
+    assert _meta_n_vec(spark, p) == 500, "stale index was not rebuilt"
+    # ivfpq index: same lifecycle, artifacts present and cell-partitioned
+    q = build_ivfpq_index(spark, sf_smoke)
+    assert _meta_n_vec(spark, q) == 500
+    cells = [d for d in os.listdir(f"{q}/assign") if d.startswith("centroid_id=")]
+    assert len(cells) == 8, cells
+    again = build_ivfpq_index(spark, sf_smoke)
+    assert again == q

@@ -138,6 +138,24 @@ def run_corpus(args, spark: SparkSession | None = None):
     return stats
 
 
+def run_ann_build(args, spark: SparkSession | None = None):
+    """Build (or refresh) the persisted ANN serve indexes — the batch half
+    of vector search: the NN-Descent graph and the IVF+PQ artifacts.
+    Serve queries (ann_graph_search / ann_ivfpq_search) read these."""
+    from vat_etl_spark.queries.similarity import (
+        build_graph_index,
+        build_ivfpq_index,
+    )
+    from vat_etl_spark.session import get_spark
+
+    spark = spark or get_spark("vat-etl-ann-build")
+    p1 = build_graph_index(spark, args.sf_dir, force=args.force)
+    p2 = build_ivfpq_index(spark, args.sf_dir, force=args.force)
+    print(f"graph index: {p1}")
+    print(f"ivfpq index: {p2}")
+    return p1, p2
+
+
 def run_dedupe(args, spark: SparkSession | None = None):
     """Substring-granular dedup as a tool: write cleaned documents parquet
     under one of the two standard policies — ``span`` (Lee et al. 2021:
@@ -210,6 +228,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="comma-separated subset of funnel stages (default: all)",
     )
     c.set_defaults(fn=run_corpus)
+
+    a = sub.add_parser(
+        "ann-build",
+        help="build/refresh the persisted ANN serve indexes "
+        "(NN-Descent graph + IVF/PQ artifacts)",
+    )
+    a.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    a.add_argument("--force", action="store_true", help="rebuild even if fresh")
+    a.set_defaults(fn=run_ann_build)
 
     d = sub.add_parser(
         "dedupe",

@@ -708,12 +708,14 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-reduction factor."""
     k, nprobe, shortlist = 10, 3, 30
     em = _t(spark, sf_dir, "embeddings")
-    n_corpus = em.count()
-    codes = QUERIES["ann_pq_encode"](spark, sf_dir).withColumnRenamed("subspace", "s")
-    assign = QUERIES["ann_ivf_coarse"](spark, sf_dir).select("vec_id", "centroid_id")
-    cents = em.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cid"), _dbl(F.col("embedding")).alias("cv")
-    )
+    # serve-only: the IVF assignment / PQ codes / codebook come from the
+    # persisted index (build_ivfpq_index materializes the registered
+    # oracle-backed build queries; freshness-guarded on corpus row count)
+    idx = load_ivfpq_index(spark, sf_dir)
+    n_corpus = idx["n_vec"]
+    codes = idx["codes"].withColumnRenamed("subspace", "s")
+    assign = idx["assign"].select("vec_id", "centroid_id")
+    cents = idx["centroids"]
     queries = em.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), _dbl(F.col("embedding")).alias("qv")
     )
@@ -745,7 +747,7 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     qsub = queries.select("qid", _subspaces(F.col("qv")).alias("sp")).select(
         "qid", F.col("sp.s").alias("s"), F.col("sp.sub").alias("qsub")
     )
-    lut = qsub.join(F.broadcast(_pq_centroids(em)), "s").select(
+    lut = qsub.join(F.broadcast(idx["codebook"]), "s").select(
         "qid", "s", F.col("cid").alias("code"),
         _l2sq(F.col("qsub"), F.col("csub")).alias("d2q"),
     )
@@ -1067,15 +1069,16 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list against the K-out-degree graph — per-query work is
     O(beam·K) per hop regardless of N; the visited set grows by at most
     beam·K per hop so the anti-join stays query-bounded; lineage cut per
-    hop. The graph build cost is shared infrastructure (in production it
-    is built once and persisted; here it is rebuilt per call — the audit
-    measures search behavior, not amortization)."""
+    hop. The graph is SERVED from the persisted index
+    (``build_graph_index`` — built once, reused across calls, rebuilt
+    only when the corpus row count changes), so this query's cost is
+    search alone: per-query work independent of N except the exact-truth
+    audit, which is the evaluation harness, not the search."""
     em = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl(F.col("embedding")).alias("ev")
     )
-    n_vec = em.count()
-    _, graph = _nnd_graph(em)
-    g = graph.select("v", "n").localCheckpoint(eager=True)
+    graph, n_vec = load_graph_index(spark, sf_dir)
+    g = graph.select("v", "n")
     dst = em.select(F.col("vec_id").alias("node"), F.col("ev").alias("dv"))
     qs = em.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("qid"), F.col("ev").alias("qv")
@@ -1159,3 +1162,125 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 ann_graph_search.__doc__ = ann_graph_search.__doc__.format(
     S=_GS_SEEDS, B=_GS_BEAM, H=_GS_HOPS
 )
+
+
+# --- persisted ANN indexes: build once, serve many -----------------------------
+#
+# Production vector search builds its index ONCE (a batch job) and serves
+# queries against the persisted structure; rebuilding per query would make
+# every search O(build). These builders persist the NN-Descent graph and
+# the IVF+PQ artifacts as parquet keyed on their serve-time join keys (the
+# same discipline as the streaming corpus key index), with a row-count
+# freshness guard: a serve call against a corpus whose size changed
+# triggers a rebuild rather than silently searching a stale index.
+# At 100 TB the graph is a bucketed table on `v` and the IVF lists are
+# partitioned by cell id — both written here in exactly that layout.
+
+_IDX_ENV = "VAT_ETL_INDEX_DIR"
+_IDX_BUCKETS = 16
+
+
+def _index_root(sf_dir: str) -> str:
+    """Index directory for a corpus: $VAT_ETL_INDEX_DIR (or the repo's
+    artifacts/indexes) + the corpus directory's basename."""
+    import os
+
+    base = os.environ.get(_IDX_ENV) or os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "artifacts",
+        "indexes",
+    )
+    return os.path.join(base, os.path.basename(os.path.normpath(sf_dir)))
+
+
+def _meta_n_vec(spark: SparkSession, path: str) -> int | None:
+    """n_vec recorded in an index's meta file, or None if absent/unreadable."""
+    import os
+
+    if not os.path.isdir(f"{path}/meta"):  # local-FS fast path, no JVM error log
+        return None
+    try:
+        return spark.read.parquet(f"{path}/meta").collect()[0].n_vec
+    except Exception:
+        return None
+
+
+def _write_meta(spark: SparkSession, path: str, n_vec: int) -> None:
+    spark.createDataFrame(
+        [(n_vec, _NND_K, _NND_ROUNDS)], "n_vec long, k int, rounds int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def build_graph_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Build & persist the NN-Descent graph (the batch half of graph ANN):
+    the descended (v, n, sim) edge list, hash-partitioned and sorted on
+    the serve-time join key ``v``. Idempotent: a fresh index (same corpus
+    row count) is left untouched unless ``force``."""
+    path = f"{_index_root(sf_dir)}/nnd_graph"
+    em = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", _dbl(F.col("embedding")).alias("ev")
+    )
+    n_vec = em.count()
+    if not force and _meta_n_vec(spark, path) == n_vec:
+        return path
+    _, graph = _nnd_graph(em)
+    (
+        graph.repartition(_IDX_BUCKETS, "v")
+        .sortWithinPartitions("v")
+        .write.mode("overwrite")
+        .parquet(f"{path}/edges")
+    )
+    _write_meta(spark, path, n_vec)
+    return path
+
+
+def load_graph_index(spark: SparkSession, sf_dir: str):
+    """(edge DataFrame, n_vec) of the persisted NN-Descent graph, building
+    it first if absent or stale — serve callers never rebuild a fresh one."""
+    path = build_graph_index(spark, sf_dir)
+    return spark.read.parquet(f"{path}/edges"), _meta_n_vec(spark, path)
+
+
+def build_ivfpq_index(
+    spark: SparkSession, sf_dir: str, force: bool = False
+) -> str:
+    """Build & persist the IVF+PQ artifacts from the registered
+    (oracle-backed) build queries: the IVF assignment partitioned by cell
+    id (a probe prunes to its nprobe directories), the PQ codes keyed on
+    vec_id, and the small codebook/centroid tables the serve side
+    broadcasts. Same freshness guard as the graph index."""
+    path = f"{_index_root(sf_dir)}/ivfpq"
+    em = _t(spark, sf_dir, "embeddings")
+    n_vec = em.count()
+    if not force and _meta_n_vec(spark, path) == n_vec:
+        return path
+    assign = QUERIES["ann_ivf_coarse"](spark, sf_dir)
+    assign.write.mode("overwrite").partitionBy("centroid_id").parquet(
+        f"{path}/assign"
+    )
+    codes = QUERIES["ann_pq_encode"](spark, sf_dir)
+    codes.repartition(_IDX_BUCKETS, "vec_id").sortWithinPartitions(
+        "vec_id"
+    ).write.mode("overwrite").parquet(f"{path}/codes")
+    _pq_centroids(em).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebook"
+    )
+    em.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), _dbl(F.col("embedding")).alias("cv")
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _write_meta(spark, path, n_vec)
+    return path
+
+
+def load_ivfpq_index(spark: SparkSession, sf_dir: str) -> dict:
+    """Persisted IVF+PQ artifacts as DataFrames (building if stale)."""
+    path = build_ivfpq_index(spark, sf_dir)
+    return {
+        "assign": spark.read.parquet(f"{path}/assign"),
+        "codes": spark.read.parquet(f"{path}/codes"),
+        "codebook": spark.read.parquet(f"{path}/codebook"),
+        "centroids": spark.read.parquet(f"{path}/centroids"),
+        "n_vec": _meta_n_vec(spark, path),
+    }
