@@ -260,3 +260,36 @@ def test_soundex_sql_twin_matches_spark_soundex(spark):
     con.executemany("INSERT INTO t VALUES (?)", [(w,) for w in words])
     got_duck = dict(con.execute(f"SELECT w, {_soundex_sql('w')} FROM t").fetchall())
     assert got_spark == got_duck
+
+
+def test_neardup_planted_audit_exercises_both_reject_paths(spark, sf_smoke):
+    """The planted admission audit is only a real audit if the corpus makes
+    the gate take BOTH rejection paths: variants of docs the gate ADMITTED
+    (rejected against the index at Hamming 0) and variants of docs the gate
+    itself REJECTED (rejected in-batch by an earlier variant). Also pins
+    the oracle's structural expectation directly: all variants rejected,
+    all novels admitted."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.queries.dedup import neardup_admit_plan
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    admitted_orig = {r.doc_id for r in neardup_admit_plan(docs).collect()}
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    rejected_orig = all_ids - admitted_orig
+    assert admitted_orig and rejected_orig, "gate must split the corpus"
+
+    rows = QUERIES["corpus_neardup_admit_planted"](spark, sf_smoke).collect()
+    variants = [r for r in rows if r.kind == "variant"]
+    novels = [r for r in rows if r.kind == "novel"]
+    assert len(variants) == len(all_ids)
+    assert novels, "no novel docs planted — admit path vacuous"
+    assert all(not r.admitted for r in variants)
+    assert all(r.admitted for r in novels)
+    # both paths non-vacuous: some variants descend from admitted originals
+    # (index rejection) and some from rejected originals (in-batch rejection)
+    v_orig = {r.orig_doc_id for r in variants}
+    assert v_orig & admitted_orig and v_orig & rejected_orig

@@ -446,6 +446,87 @@ def corpus_neardup_admit_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return admitted.select("doc_id", "lang", "source", "simhash")
 
 
+_NEARDUP_PLANTED_SQL = """
+WITH d AS (
+  SELECT doc_id FROM documents WHERE text IS NOT NULL AND trim(text) <> ''
+),
+v AS (
+  SELECT CAST(1000000000 + doc_id AS BIGINT) AS arrival_id,
+         doc_id AS orig_doc_id, 'variant' AS kind, FALSE AS admitted
+  FROM d
+),
+n AS (
+  SELECT CAST(2000000000 + doc_id AS BIGINT) AS arrival_id,
+         doc_id AS orig_doc_id, 'novel' AS kind, TRUE AS admitted
+  FROM d WHERE doc_id % 11 = 0
+)
+SELECT * FROM v UNION ALL SELECT * FROM n
+"""
+
+
+@query("corpus_neardup_admit_planted", oracle=_NEARDUP_PLANTED_SQL)
+def corpus_neardup_admit_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PLANTED-family audit of the SimHash near-dup admission gate, with a
+    hash-free oracle — the positive/negative-path pin that does not rest
+    on stream-equals-twin self-agreement (the
+    ``multimodal_dedup_phash_planted`` pattern):
+
+    - index = what the gate admits from the full corpus (the stream's
+      steady state);
+    - arriving batch = one REVERSED-TOKEN variant of EVERY corpus doc
+      (ids 1e9+doc_id, order-preserving) plus, for every 11th doc, a
+      NOVEL doc whose every token is salted with its doc_id (ids
+      2e9+doc_id).
+
+    Every variant must be REJECTED, provably for ANY hash function: the
+    signature is a vote over the DISTINCT-token set, so a permutation has
+    the exact same SimHash as its original — if the original was admitted
+    the variant collides with the index at Hamming 0; if the original was
+    rejected, the earlier doc that rejected it (Hamming <= 3) has its own
+    variant EARLIER in this batch (order-preserving ids), which rejects
+    this one in-batch (banding is pigeonhole-lossless at the threshold,
+    so the candidate pair is always generated). Every novel doc must be
+    ADMITTED: its salted tokens exist nowhere else, so its signature is
+    an independent 64-bit point — nearest measured Hamming to anything is
+    ~18 at every sf (threshold 3); the data and hash are deterministic,
+    so this is a fixed property of the testdata, not a per-run gamble.
+    The oracle therefore needs NO hash math: expected admit/reject is a
+    pure structural function of doc_id — which the driver hash-pins
+    cell-for-cell against this gate run."""
+    d = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    prior = neardup_admit_plan(d)
+    variants = d.select(
+        (F.lit(1_000_000_000) + F.col("doc_id")).alias("doc_id"),
+        F.array_join(F.reverse(tokens_expr(F.col("text"))), " ").alias("text"),
+    )
+    novels = d.where(F.col("doc_id") % 11 == 0).select(
+        (F.lit(2_000_000_000) + F.col("doc_id")).alias("doc_id"),
+        F.array_join(
+            F.transform(
+                tokens_expr(F.col("text")),
+                lambda t: F.concat(t, F.lit("~"), F.col("doc_id").cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    batch = variants.unionByName(novels)
+    admitted = neardup_admit_plan(batch, prior.select("simhash"))
+    return batch.join(
+        admitted.select("doc_id", F.lit(True).alias("adm")), "doc_id", "left"
+    ).select(
+        F.col("doc_id").alias("arrival_id"),
+        F.when(
+            F.col("doc_id") >= 2_000_000_000, F.col("doc_id") - 2_000_000_000
+        ).otherwise(F.col("doc_id") - 1_000_000_000).alias("orig_doc_id"),
+        F.when(F.col("doc_id") >= 2_000_000_000, "novel")
+        .otherwise("variant")
+        .alias("kind"),
+        F.coalesce("adm", F.lit(False)).alias("admitted"),
+    )
+
+
 _CC_SQL = """
 WITH RECURSIVE
 toks AS (
