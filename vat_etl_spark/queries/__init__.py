@@ -56,6 +56,30 @@ from vat_etl_spark.queries import llm_pipeline  # noqa: E402,F401
 _FIRST = [
     # vat flagship (= entry())
     "vat_summary",
+    # --- round-8 changes: new planted-audit registration, rows-only→hash
+    # graduations (multimodal byte replays, exact-recall LSH join, full
+    # IVF/PQ pipeline replays, unrolled-BPE replays), and the queries whose
+    # Spark plans changed this round (ANN serve split, funnel refactor) ---
+    "corpus_neardup_admit_planted",
+    "multimodal_audio_frames",
+    "multimodal_keyframes",
+    "multimodal_features",
+    "ann_lsh_bucketed",
+    "ann_ivf_recall_eval",
+    "ann_pq_recall_eval",
+    "ann_ivfpq_search",
+    "text_bpe_merges",
+    "text_bpe_apply",
+    "ann_graph_search",
+    "ann_nndescent",
+    "pipeline_span_removal",
+    "pipeline_line_dedup",
+    "pipeline_quality_classifier",
+    "pipeline_leakage_safe_split",
+    "pipeline_cross_source_dedup",
+    "pipeline_perplexity_buckets",
+    "pipeline_quality_gopher",
+    "pipeline_dataset_card",
     # --- round-7 changes: new registration + rows-only→hash graduations ---
     "multimodal_dedup_phash_planted",
     "pandas_udf_currency",

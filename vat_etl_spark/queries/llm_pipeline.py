@@ -1830,7 +1830,99 @@ def _merge_pair_expr(arr, a: str, b: str):
     )
 
 
-@query("text_bpe_merges")  # iterative argmax loop: not single-SQL-expressible
+# --- DuckDB replay of BPE training (K unrolled rounds) -------------------------
+#
+# The iterative loop is replayed as a STATIC chain of CTEs — one
+# (pairs -> argmax -> fuse) block per merge rank. The vocabulary state
+# between rounds is a separator-framed string per word:
+#     chr(1) || sym1 || chr(1)chr(1) || sym2 || ... || chr(1)
+# (every symbol wrapped in chr(1) on both sides, two between neighbors).
+# Fusing pair (a, b) is then ONE plain replace() of
+# chr(1)+a+chr(1)+chr(1)+b+chr(1) with chr(1)+ab+chr(1): replace() scans
+# left-to-right non-overlapping, which is exactly the leftmost-first greedy
+# convention of _merge_pair_expr, and the full separator frame makes a
+# match possible only on whole adjacent symbols (prefix/suffix substrings
+# of neighboring symbols can never sit between the right separators).
+_BPE_K = 5
+_BPE_SEP = "chr(1)"
+_BPE_SS = f"{_BPE_SEP} || {_BPE_SEP}"
+
+
+def _bpe_train_ctes(k: int = _BPE_K) -> str:
+    """CTE chain text: vocab0 .. vocab{k}, top1 .. top{k}."""
+    parts = [
+        r"""toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+),
+vocab0 AS (
+  SELECT w, count(*) AS cnt,
+         """
+        + f"{_BPE_SEP} || array_to_string(list_filter(regexp_split_to_array(w, ''), x -> x <> ''), {_BPE_SS}) || {_BPE_SEP} AS repr"
+        + """
+  FROM toks WHERE w <> '' GROUP BY w
+)"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f"""syms{r} AS (
+  SELECT w, cnt, repr,
+         string_split(substring(repr, 2, length(repr) - 2), {_BPE_SS}) AS syms
+  FROM vocab{r - 1}
+),
+pairs{r} AS (
+  SELECT syms[CAST(i AS INT)] AS a, syms[CAST(i + 1 AS INT)] AS b, sum(cnt) AS c
+  FROM syms{r}, UNNEST(generate_series(1, len(syms) - 1)) AS g(i)
+  GROUP BY 1, 2
+),
+top{r} AS (SELECT a, b, c FROM pairs{r} ORDER BY c DESC, a, b LIMIT 1),
+vocab{r} AS (
+  SELECT w, cnt,
+         replace(repr, {_BPE_SEP} || t.a || {_BPE_SS} || t.b || {_BPE_SEP},
+                 {_BPE_SEP} || t.a || t.b || {_BPE_SEP}) AS repr
+  FROM syms{r}, top{r} t
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_BPE_MERGES_SQL = (
+    "WITH " + _bpe_train_ctes() + "\n"
+    + "\nUNION ALL\n".join(
+        f'SELECT CAST({r} AS BIGINT) AS rank, a AS "left", b AS "right",'
+        f" CAST(c AS BIGINT) AS pair_count FROM top{r}"
+        for r in range(1, _BPE_K + 1)
+    )
+)
+
+_BPE_APPLY_SQL = (
+    "WITH " + _bpe_train_ctes() + f""",
+final AS (
+  SELECT w,
+         len(string_split(substring(repr, 2, length(repr) - 2), {_BPE_SS})) AS bpe
+  FROM vocab{_BPE_K}
+),
+dw AS (
+  SELECT doc_id,
+         unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+),
+agg AS (
+  SELECT dw.doc_id, sum(length(dw.w)) AS chars, sum(f.bpe) AS bpe_tokens
+  FROM dw JOIN final f USING (w) GROUP BY dw.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(a.chars, 0) AS BIGINT) AS chars,
+       CAST(coalesce(a.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+       CAST(CASE WHEN coalesce(a.chars, 0) > 0
+                 THEN (1000 * a.bpe_tokens) // a.chars END AS BIGINT)
+         AS compression_per_mille
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+)
+
+
+@query("text_bpe_merges", oracle=_BPE_MERGES_SQL)
 def text_bpe_merges(
     spark: SparkSession,
     sf_dir: str,
@@ -2008,7 +2100,7 @@ def pipeline_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("text_bpe_apply")  # rows-only: applies the learned (data-dependent) merges
+@query("text_bpe_apply", oracle=_BPE_APPLY_SQL)
 def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer APPLICATION — the other half of tokenizer training:
     encode the corpus with the merge table ``text_bpe_merges`` learned,

@@ -390,7 +390,75 @@ def embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivf_recall_eval")  # rows-only: evaluates the engine's own IVF path
+# full DuckDB replay of the IVF probe path: every stage (coarse assign,
+# probe, candidate scoring, exact truth) is the same deterministic math —
+# cosine folds probed bit-identical — so the recall audit itself is
+# oracle-pinned, not self-referential
+_IVF_EVAL_SQL = """
+WITH cents AS (
+  SELECT vec_id AS cid, cast(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+q AS (
+  SELECT vec_id AS qid, cast(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+assign AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(cast(e.embedding AS DOUBLE[]), c.cv) DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, qv, cid AS centroid_id FROM (
+    SELECT q.qid, q.qv, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN cents c
+  ) WHERE rn <= 3
+),
+cands AS (
+  SELECT p.qid, p.qv, a.vec_id, cast(e.embedding AS DOUBLE[]) AS ev
+  FROM probes p JOIN assign a USING (centroid_id)
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  WHERE a.vec_id <> p.qid
+),
+approx AS (
+  SELECT qid, nid FROM (
+    SELECT qid, vec_id AS nid,
+           row_number() OVER (
+             PARTITION BY qid
+             ORDER BY list_cosine_similarity(qv, ev) DESC, vec_id
+           ) AS rk
+    FROM cands
+  ) WHERE rk <= 5
+),
+truth AS (
+  SELECT qid, nid FROM (
+    SELECT q.qid, e.vec_id AS nid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qv, cast(e.embedding AS DOUBLE[])) DESC, e.vec_id
+           ) AS rk
+    FROM q JOIN embeddings e ON e.vec_id <> q.qid
+  ) WHERE rk <= 5
+)
+SELECT
+  (SELECT count(*) FROM truth) AS n_truth,
+  (SELECT count(*) FROM (SELECT DISTINCT qid, vec_id FROM cands)) AS n_candidates,
+  (SELECT count(*) FROM truth t JOIN approx a ON a.qid = t.qid AND a.nid = t.nid) AS n_hits,
+  CAST((SELECT count(*) FROM truth t JOIN approx a ON a.qid = t.qid AND a.nid = t.nid) AS DOUBLE)
+    / (SELECT count(*) FROM truth) AS recall_at_5
+"""
+
+
+@query("ann_ivf_recall_eval", oracle=_IVF_EVAL_SQL)
 def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@5 audit of query-time IVF probing against the exact
     brute-force ground truth (same protocol as dedup_lsh_recall_eval: the
@@ -618,7 +686,84 @@ def ann_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_pq_recall_eval")  # rows-only: evaluates the engine's own PQ path
+# shared DuckDB CTE text for the PQ pipeline replay: codebook subvectors,
+# integer codes (same argmin as _PQ_ENCODE_SQL), query LUT, and the
+# order-fixed ADC sum (list(d2q ORDER BY s) -> list_sum left fold — the
+# same fixed-order fold the Spark side runs)
+_PQ_PIPE_CTES = f"""
+cents AS (
+  SELECT vec_id AS cid, s,
+         list_slice(cast(embedding AS DOUBLE[]), s * {_PQ_DIM} + 1, s * {_PQ_DIM} + {_PQ_DIM}) AS csub
+  FROM embeddings, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
+  WHERE vec_id < {_PQ_K}
+),
+vsubs AS (
+  SELECT vec_id, s,
+         list_slice(cast(embedding AS DOUBLE[]), s * {_PQ_DIM} + 1, s * {_PQ_DIM} + {_PQ_DIM}) AS vsub
+  FROM embeddings, UNNEST(generate_series(0, {_PQ_M - 1})) AS t(s)
+),
+codes AS (
+  SELECT vec_id, s, cid AS code FROM (
+    SELECT v.vec_id, v.s, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id, v.s ORDER BY
+             list_sum(list_transform(list_zip(v.vsub, c.csub),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))), c.cid
+           ) AS rn
+    FROM vsubs v JOIN cents c USING (s)
+  ) WHERE rn = 1
+),
+q AS (
+  SELECT vec_id AS qid, cast(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 5
+),
+lut AS (
+  SELECT v.vec_id AS qid, v.s, c.cid AS code,
+         list_sum(list_transform(list_zip(v.vsub, c.csub),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2q
+  FROM vsubs v JOIN cents c USING (s)
+  WHERE v.vec_id < 5
+)"""
+
+
+_PQ_EVAL_SQL = f"""
+WITH {_PQ_PIPE_CTES},
+adc AS (
+  SELECT l.qid, c.vec_id, list_sum(list(l.d2q ORDER BY l.s)) AS adc_dist
+  FROM codes c JOIN lut l ON l.s = c.s AND l.code = c.code
+  WHERE c.vec_id <> l.qid
+  GROUP BY l.qid, c.vec_id
+),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rk
+    FROM adc
+  ) WHERE rk <= 10
+),
+truth AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_sum(list_transform(list_zip(q.qv, cast(e.embedding AS DOUBLE[])),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))), e.vec_id
+           ) AS rk
+    FROM q JOIN embeddings e ON e.vec_id <> q.qid
+  ) WHERE rk <= 10
+),
+hits AS (
+  SELECT t.qid, count(*) AS n_hits
+  FROM truth t JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+  GROUP BY t.qid
+)
+SELECT tr.qid, tr.n_truth,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / tr.n_truth AS recall_at_10
+FROM (SELECT qid, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY qid) tr
+LEFT JOIN hits h USING (qid)
+"""
+
+
+@query("ann_pq_recall_eval", oracle=_PQ_EVAL_SQL)
 def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 audit of PQ asymmetric-distance search against the exact
     L2 ground truth (the protocol of ann_ivf_recall_eval /
@@ -702,7 +847,95 @@ def ann_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ann_ivfpq_search")  # rows-only: audits the engine's own IVF+PQ stack
+# full DuckDB replay of the composed IVFADC stack (coarse probe -> ADC ->
+# exact re-rank -> recall vs full-corpus truth): every float is a probed
+# bit-identical fold, every rank a deterministic (value, id) tie-break, so
+# the end-to-end audit is driver-hashable
+_IVFPQ_SEARCH_SQL = f"""
+WITH {_PQ_PIPE_CTES},
+cents8 AS (
+  SELECT vec_id AS cid, cast(embedding AS DOUBLE[]) AS cv
+  FROM embeddings WHERE vec_id < 8
+),
+assign AS (
+  SELECT vec_id, cid AS centroid_id FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(cast(e.embedding AS DOUBLE[]), c.cv) DESC, c.cid
+           ) AS rn
+    FROM embeddings e CROSS JOIN cents8 c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid AS centroid_id FROM (
+    SELECT q.qid, c.cid,
+           row_number() OVER (
+             PARTITION BY q.qid
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid
+           ) AS rn
+    FROM q CROSS JOIN cents8 c
+  ) WHERE rn <= 3
+),
+cand AS (
+  SELECT p.qid, a.vec_id
+  FROM probes p JOIN assign a USING (centroid_id)
+  WHERE a.vec_id <> p.qid
+),
+adc AS (
+  SELECT l.qid, c.vec_id, list_sum(list(l.d2q ORDER BY l.s)) AS adc_dist
+  FROM cand JOIN codes c ON c.vec_id = cand.vec_id
+  JOIN lut l ON l.qid = cand.qid AND l.s = c.s AND l.code = c.code
+  GROUP BY l.qid, c.vec_id
+),
+short AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
+    FROM adc
+  ) WHERE rn <= 30
+),
+rer AS (
+  SELECT s.qid, s.vec_id,
+         list_sum(list_transform(list_zip(q.qv, cast(e.embedding AS DOUBLE[])),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+  FROM short s JOIN q USING (qid) JOIN embeddings e ON e.vec_id = s.vec_id
+),
+approx AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY d2, vec_id) AS rk
+    FROM rer
+  ) WHERE rk <= 10
+),
+truth AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid ORDER BY
+             list_sum(list_transform(list_zip(q.qv, cast(e.embedding AS DOUBLE[])),
+                                     p -> (p[1] - p[2]) * (p[1] - p[2]))), e.vec_id
+           ) AS rk
+    FROM q JOIN embeddings e ON e.vec_id <> q.qid
+  ) WHERE rk <= 10
+),
+hits AS (
+  SELECT t.qid, count(*) AS n_hits
+  FROM truth t JOIN approx a ON a.qid = t.qid AND a.vec_id = t.vec_id
+  GROUP BY t.qid
+)
+SELECT tr.qid,
+       (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_corpus,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates_total,
+       CAST(30 AS BIGINT) AS shortlist,
+       tr.n_truth,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / tr.n_truth AS recall_at_10
+FROM (SELECT qid, CAST(count(*) AS BIGINT) AS n_truth FROM truth GROUP BY qid) tr
+LEFT JOIN hits h USING (qid)
+"""
+
+
+@query("ann_ivfpq_search", oracle=_IVFPQ_SEARCH_SQL)
 def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production ANN stack composed end-to-end: IVF coarse probe →
     PQ asymmetric-distance (ADC) scoring inside the probed cells → exact
@@ -823,11 +1056,11 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hits, "qid", "left")
         .select(
             "qid",
-            F.lit(n_corpus).alias("n_corpus"),
-            F.lit(n_cand).alias("n_candidates_total"),
-            F.lit(shortlist).alias("shortlist"),
+            F.lit(n_corpus).cast("long").alias("n_corpus"),
+            F.lit(n_cand).cast("long").alias("n_candidates_total"),
+            F.lit(shortlist).cast("long").alias("shortlist"),
             "n_truth",
-            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
             (F.coalesce("n_hits", F.lit(0)) / F.col("n_truth")).alias("recall_at_10"),
         )
     )
