@@ -293,3 +293,51 @@ def test_neardup_planted_audit_exercises_both_reject_paths(spark, sf_smoke):
     # (index rejection) and some from rejected originals (in-batch rejection)
     v_orig = {r.orig_doc_id for r in variants}
     assert v_orig & admitted_orig and v_orig & rejected_orig
+
+
+def test_neardup_gate_survives_pathological_identical_batch(spark):
+    """Adversarial skew: a micro-batch of 10,000 near-identical boilerplate
+    docs all lands in ONE band bucket. The distinct-signature reduction
+    must (a) still produce the exact greedy answer — first doc admitted,
+    rest rejected — and (b) generate ZERO in-batch banded candidate pairs
+    (the naive all-arrivals self-join would build ~10k² ≈ 10⁸), so the
+    gate completes in seconds, not hours."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.dedup import (
+        _sim_bands,
+        neardup_admit_plan,
+        simhash_expr,
+    )
+
+    n = 10_000
+    batch = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        # identical token multiset per doc -> identical SimHash
+        F.lit("the same boilerplate legal disclaimer text repeated").alias(
+            "text"
+        ),
+    )
+    t0 = time.time()
+    admitted = neardup_admit_plan(batch).select("doc_id").collect()
+    wall = time.time() - t0
+    assert [r.doc_id for r in admitted] == [0]
+    assert wall < 60, f"gate took {wall:.1f}s on a skewed batch"
+    # the banded self-join the plan actually runs is over DISTINCT
+    # signatures: for this batch that is ONE representative -> zero pairs
+    sigd = batch.withColumn("simhash", simhash_expr(F.col("text")))
+    reps = sigd.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    rep_bands = reps.select(
+        "doc_id", "simhash", _sim_bands(F.col("simhash"))
+    ).select("doc_id", "simhash", "b.band_no", "b.band_key")
+    other = rep_bands.select(
+        F.col("doc_id").alias("doc_a"), "band_no", "band_key"
+    )
+    n_cand = (
+        rep_bands.join(other, ["band_no", "band_key"])
+        .where(F.col("doc_a") < F.col("doc_id"))
+        .count()
+    )
+    assert n_cand == 0

@@ -374,16 +374,36 @@ def neardup_admit_plan(
     (8 bytes/doc); band join cost is per-bucket, never quadratic; at
     100 TB the index is bucketed on band_key so the per-batch candidate
     join co-locates. Empty/NULL-text docs are excluded up front (their
-    signature is degenerately 0 and they would all collide)."""
+    signature is degenerately 0 and they would all collide).
+
+    Skew guard: every banded join runs over the batch's DISTINCT
+    signatures, represented by their min doc_id. A later doc sharing a
+    signature has an earlier Hamming-0 twin, so it is rejected by one
+    linear groupBy without generating a single banded pair — a
+    pathological micro-batch of N identical/near-identical boilerplate
+    docs (all landing in one band bucket) produces ZERO in-batch
+    candidates instead of O(N²). Exactly equivalent to the all-arrivals
+    self-join: a doc d is greedily rejected iff some earlier doc d' sits
+    within Hamming {t}; the representative of d's own signature (if
+    earlier) or of d''s signature (min ≤ d' < d, same Hamming distance —
+    signatures equal) witnesses the same rejection, and conversely every
+    representative witness is itself an earlier doc."""
     sigd = batch.where(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     ).withColumn("simhash", simhash_expr(F.col("text")))
-    arr_bands = sigd.select(
+    reps = sigd.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    dup_later = (
+        sigd.select("doc_id", "simhash")
+        .join(reps.withColumnRenamed("doc_id", "keep_id"), "simhash")
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    rep_bands = reps.select(
         "doc_id", "simhash", _sim_bands(F.col("simhash"))
     ).select(
         "doc_id", "simhash", "b.band_no", "b.band_key"
     )
-    rejected = None
+    rejected = dup_later
     if existing_sigs is not None:
         idx_bands = (
             existing_sigs.select(F.col("simhash").alias("sim_idx"))
@@ -391,8 +411,8 @@ def neardup_admit_plan(
             .select("sim_idx", _sim_bands(F.col("sim_idx")))
             .select("sim_idx", "b.band_no", "b.band_key")
         )
-        rejected = (
-            arr_bands.join(idx_bands, ["band_no", "band_key"])
+        rejected = rejected.union(
+            rep_bands.join(idx_bands, ["band_no", "band_key"])
             .where(
                 F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_idx")))
                 <= _NEARDUP_T
@@ -400,13 +420,13 @@ def neardup_admit_plan(
             .select("doc_id")
             .distinct()
         )
-    earlier = arr_bands.select(
+    earlier = rep_bands.select(
         F.col("doc_id").alias("doc_a"),
         F.col("simhash").alias("sim_a"),
         "band_no", "band_key",
     )
     in_batch = (
-        arr_bands.join(earlier, ["band_no", "band_key"])
+        rep_bands.join(earlier, ["band_no", "band_key"])
         .where(
             (F.col("doc_a") < F.col("doc_id"))
             & (
@@ -417,7 +437,7 @@ def neardup_admit_plan(
         .select("doc_id")
         .distinct()
     )
-    rejected = in_batch if rejected is None else rejected.union(in_batch)
+    rejected = rejected.union(in_batch)
     return sigd.join(rejected, "doc_id", "left_anti")
 
 
