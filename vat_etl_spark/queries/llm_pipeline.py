@@ -1011,9 +1011,12 @@ def pipeline_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single-file local scan = one input partition: without the adaptive
     # re-split the span explode serializes on one core (see _docs_fanout)
     d = _docs_fanout(spark, sf_dir)
-    g = d.select(
+    # tokenize into a COLUMN before the n-gram lambda: a lambda slicing the
+    # raw split() expression re-runs the split per element (O(len²) —
+    # the measured classifier pathology, see classifier_label_plan)
+    g = d.select("doc_id", tokens_expr(F.col("text")).alias("t")).select(
         "doc_id",
-        F.explode(_ngrams(tokens_expr(F.col("text")), _SPAN_W)).alias("g"),
+        F.explode(_ngrams(F.col("t"), _SPAN_W)).alias("g"),
     )
     nd = g.groupBy("g").agg(F.count_distinct("doc_id").alias("nd"))
     return (
@@ -2436,6 +2439,25 @@ pipeline_perplexity_buckets.__doc__ = pipeline_perplexity_buckets.__doc__.format
 
 _QC_B = 4096  # hashed feature buckets (the model's weight-vector length)
 
+_QC_WCACHE: list[int] | None = None
+
+
+def _qc_weights() -> list[int]:
+    """The bucket→weight table (the md5 definition of _qc_weight_spark,
+    evaluated once driver-side via hashlib): weight = first 16 md5 bits of
+    the bucket's decimal string mod 2001. Shipped into the plan as one
+    constant-folded literal array — the production broadcast-weights
+    shape — instead of re-hashing per feature per row."""
+    global _QC_WCACHE
+    if _QC_WCACHE is None:
+        import hashlib
+
+        _QC_WCACHE = [
+            int(hashlib.md5(str(b).encode()).hexdigest()[:4], 16) % 2001
+            for b in range(_QC_B)
+        ]
+    return _QC_WCACHE
+
 
 def _qc_weight_spark(f: str) -> str:
     """Spark-SQL text for the bucket weight of feature expression ``f``:
@@ -2516,28 +2538,48 @@ def classifier_label_plan(d: DataFrame) -> DataFrame:
     (needs ``doc_id``, ``lang``, ``source``, ``text``) — the shared core
     of :func:`pipeline_quality_classifier` and the ``build_corpus``
     funnel stage. Empty/whitespace-only docs are excluded (no features to
-    score). One row per scorable doc with a keep/drop ``label``."""
+    score). One row per scorable doc with a keep/drop ``label``.
+
+    Two measured hot-path rules (sf0.1: 6.1 s → 1.3 s):
+    - tokens materialize into a COLUMN before the bigram lambda touches
+      them — a lambda referencing the raw split() EXPRESSION re-evaluates
+      the split per element reference, turning tokenization O(len²)
+      (measured 5.1 s of the 6.1 s);
+    - the weight half of the hash chain is a 4096-long LITERAL array
+      (constant-folded once, indexed per feature) instead of a second
+      md5+conv per feature — this is exactly the docstring's production
+      shape, where the trained weight vector ships as one broadcast
+      array. Values are bit-identical to the md5 definition (pinned by
+      the unchanged oracle)."""
     d = d.where(
         F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
     )
-    toks = tokens_expr(F.col("text"))
+    base = d.select(
+        "doc_id", "lang", "source", tokens_expr(F.col("text")).alias("t")
+    )
+    toks = F.col("t")
     bigrams = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                "_", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws("_", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    scored = d.select(
+    warr = "array(" + ",".join(f"{w}L" for w in _qc_weights()) + ")"
+    bucket = (
+        f"cast(conv(substr(md5(cast(f as binary)), 1, 4), 16, 10) as bigint)"
+        f" % {_QC_B}"
+    )
+    scored = base.select(
         "doc_id", "lang", "source",
         F.concat(toks, bigrams).alias("fs"),
     ).select(
         "doc_id", "lang", "source",
         F.size("fs").cast("bigint").alias("n_feat"),
         F.expr(
-            f"aggregate(fs, 0L, (acc, f) -> acc + ({_qc_weight_spark('f')}))"
+            f"aggregate(fs, 0L, (acc, f) -> acc +"
+            f" element_at({warr}, cast(({bucket}) as int) + 1))"
         ).alias("score_sum"),
     )
     return scored.select(
