@@ -15,7 +15,16 @@ SF_CORRECTNESS = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("pytest", shuffle_partitions=8)
+    # tools/partest.py runs test files in N concurrent pytest processes;
+    # each worker gets an isolated warehouse (bucketed-table tests) and
+    # ANN index dir via its slot id so parallel sessions never collide
+    slot = os.environ.get("SPARK_GRAFT_TEST_SLOT")
+    extra = (
+        {"spark.sql.warehouse.dir": f"/tmp/vat_etl_test_wh_{slot}"}
+        if slot
+        else None
+    )
+    s = get_spark("pytest", shuffle_partitions=8, extra_conf=extra)
     yield s
     from vat_etl_spark.functions.caching import clear_cache
 
