@@ -290,7 +290,85 @@ def multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return keyframe_select(attach_payload(docs))
 
 
-@query("multimodal_dedup_phash")  # rows-only: mapInPandas signature extraction
+# DuckDB replay of the block-average perceptual hash over ASCII payloads:
+# byte k = ascii(char k), the 56 Bresenham block boundaries are the same
+# integer divisions, the bit rule the same integer-exact cross product,
+# banding/Hamming the same shift/xor/bit_count — so the full detection
+# (signature -> 8x7-bit bands -> exact verify) is driver-hashable.
+_PHASH_CTES = """
+d AS (
+  SELECT doc_id, text, coalesce(octet_length(encode(text)), 0) AS nb
+  FROM {src}
+),
+tot AS (
+  SELECT doc_id, sum(ascii(substring(text, CAST(k AS INT), 1))) AS total
+  FROM d, UNNEST(generate_series(1, nb)) g(k) GROUP BY doc_id
+),
+bsums AS (
+  SELECT b.doc_id, b.i, b.nb, t.total,
+         (b.hi - b.lo) AS blen,
+         sum(ascii(substring(b.text, CAST(k AS INT), 1))) AS bs
+  FROM (
+    SELECT doc_id, text, nb, i, (i * nb) // 56 AS lo, ((i + 1) * nb) // 56 AS hi
+    FROM d, UNNEST(generate_series(0, 55)) g(i)
+    WHERE nb > 0
+  ) b
+  JOIN tot t USING (doc_id), UNNEST(generate_series(b.lo + 1, b.hi)) gk(k)
+  WHERE b.hi > b.lo
+  GROUP BY b.doc_id, b.i, b.nb, t.total, b.hi - b.lo
+),
+sigs AS (
+  SELECT d.doc_id,
+         coalesce(s.phash, 0) AS phash
+  FROM d LEFT JOIN (
+    SELECT doc_id,
+           sum(CASE WHEN bs * nb >= total * blen
+                    THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS phash
+    FROM bsums GROUP BY doc_id
+  ) s USING (doc_id)
+),
+bands AS (
+  SELECT doc_id, phash, i AS band_no, (phash >> (7 * CAST(i AS INT))) & 127 AS band_key
+  FROM sigs, UNNEST(generate_series(0, 7)) g(i)
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.phash, b.phash)) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band_no = b.band_no AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+)
+"""
+
+_PHASH_PAIRS_SQL = (
+    "WITH " + _PHASH_CTES.format(src="documents")
+    + "SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM pairs"
+)
+
+_PHASH_PLANTED_SRC = """(
+  SELECT doc_id, text FROM documents
+   WHERE text IS NOT NULL AND length(text) >= 1
+  UNION ALL
+  SELECT -doc_id - 1 AS doc_id,
+         chr(xor(ascii(substring(text, 1, 1)), 64)) || substring(text, 2) AS text
+  FROM documents
+  WHERE text IS NOT NULL AND length(text) >= 1 AND doc_id % 20 = 0
+)"""
+
+_PHASH_PLANTED_SQL = (
+    "WITH " + _PHASH_CTES.format(src=_PHASH_PLANTED_SRC)
+    + """
+SELECT CASE WHEN doc_a < 0 THEN doc_b ELSE doc_a END AS doc_id,
+       CASE WHEN doc_a < 0 THEN -doc_a - 1 ELSE -doc_b - 1 END AS variant_of,
+       CAST(hamming AS BIGINT) AS hamming
+FROM pairs
+WHERE (doc_a < 0) <> (doc_b < 0)
+"""
+)
+
+
+@query("multimodal_dedup_phash", oracle=_PHASH_PAIRS_SQL)
 def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection over BINARY payloads via perceptual-hash
     banding — the multimodal twin of SimHash text dedup: a 56-bit
@@ -369,7 +447,7 @@ def _phash_near_dup_pairs(mm: DataFrame, tau: int = 3) -> DataFrame:
     )
 
 
-@query("multimodal_dedup_phash_planted")  # rows-only: positive-path audit
+@query("multimodal_dedup_phash_planted", oracle=_PHASH_PLANTED_SQL)
 def multimodal_dedup_phash_planted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POSITIVE-path audit of the phash near-dup detector on real corpus
     bytes: the honest corpus answer for `multimodal_dedup_phash` is zero
