@@ -230,6 +230,17 @@ def test_build_corpus_end_to_end(spark, sf_smoke, tmp_path):
     # pairs that the gate had to remove (funnel shows neardup < exact-stage
     # input after the rewrites)
     assert f["neardup"] < f["span_removal"]
+    # the build persists its admitted-signature index — the exact
+    # `existing_sigs` input of the streaming gate / next incremental
+    # build: re-sending the written corpus against it admits NOTHING
+    from vat_etl_spark.queries.dedup import neardup_admit_plan, simhash_frame
+
+    idx = spark.read.parquet(f"{out}/neardup_sig_index")
+    written_sigs = simhash_frame(shards).select("simhash").distinct()
+    assert idx.count() == written_sigs.count()
+    assert idx.join(written_sigs, "simhash", "left_anti").count() == 0
+    resent = shards.select("doc_id", "text")
+    assert neardup_admit_plan(resent, idx).count() == 0
 
 
 def test_build_corpus_stage_flags(spark, sf_smoke, tmp_path):

@@ -809,7 +809,15 @@ def build_corpus(
         # keep-first within the surviving corpus (no prior index in a
         # from-scratch build; an incremental build passes the persisted
         # signature index, exactly like the streaming gate)
-        cur = _stage(neardup_admit_plan(cur).drop("simhash"), "neardup")
+        cur = _stage(neardup_admit_plan(cur), "neardup")
+        # persist the admitted signatures as the corpus's near-dup index —
+        # the exact `existing_sigs` input of the streaming admission gate
+        # (streaming/corpus.py) and of the next incremental build, so
+        # batch-built corpora and continuous ingest share one gate state
+        cur.select("simhash").distinct().write.mode("overwrite").parquet(
+            f"{out_dir}/neardup_sig_index"
+        )
+        cur = cur.drop("simhash")
 
     kept = with_content_split(cur).drop("bucket").withColumn(
         "shard",
