@@ -341,3 +341,36 @@ def test_neardup_gate_survives_pathological_identical_batch(spark):
         .count()
     )
     assert n_cand == 0
+
+
+def test_simhash_frame_matches_expression_bit_for_bit(spark, sf_smoke):
+    """The Arrow vote kernel (simhash_frame) is the gate's execution path;
+    simhash_expr is the semantic definition. They must agree bit-for-bit
+    on the corpus AND on edge shapes (empty, whitespace-only, one-token,
+    all-identical-token, long docs)."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.dedup import simhash_expr, simhash_frame
+
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    edge = spark.createDataFrame(
+        [
+            (100001, ""),
+            (100002, "   "),
+            (100003, "one"),
+            (100004, "same same same same"),
+            (100005, " ".join(f"w{i}" for i in range(500))),
+            (100006, "Ünïcode tökens ß ß ß"),
+        ],
+        "doc_id long, text string",
+    )
+    both = d.select("doc_id", "text").unionByName(edge)
+    a = {r.doc_id: r.simhash for r in simhash_frame(both).collect()}
+    b = {
+        r.doc_id: r.s
+        for r in both.select(
+            "doc_id", simhash_expr(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert a == b
+    assert len(a) == d.count() + 6

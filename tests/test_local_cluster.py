@@ -53,6 +53,12 @@ CLUSTER_SET = [
     # executor separation) and the min-count-pruned collocation joins
     "pipeline_quality_classifier",
     "text_collocation_pmi",
+    # round-8 additions: the Arrow simhash vote (pandas_udf batches must
+    # serialize over real RPC inside the banded admission gate) and the
+    # serve-only beam search reading the persisted graph index from disk
+    # across executor processes
+    "corpus_neardup_admit_planted",
+    "ann_graph_search",
 ]
 
 _SCRIPT = """

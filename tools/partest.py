@@ -39,31 +39,31 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # coarse serial-seconds hints from measured runs — ordering only, the
 # dynamic queue self-balances; unknown files sort FIRST (assumed long)
 DURATION_HINTS = {
-    "test_oracle_parity.py": 400,
-    "test_streaming.py": 300,
-    "test_llm_pipeline.py": 180,
-    "test_local_cluster.py": 150,
-    "test_plans.py": 140,
-    "test_graph.py": 120,
-    "test_multimodal.py": 60,
-    "test_partition_invariance.py": 60,
-    "test_dedup_determinism.py": 90,
-    "test_timeseries.py": 60,
-    "test_ranks.py": 50,
-    "test_vat_pipeline.py": 50,
-    "test_sampling.py": 40,
-    "test_llm_properties.py": 40,
-    "test_app.py": 30,
-    "test_sinks.py": 30,
-    "test_sources.py": 30,
-    "test_currency_properties.py": 25,
-    "test_dates_properties.py": 25,
-    "test_months_properties.py": 25,
-    "test_currency.py": 20,
-    "test_dates.py": 20,
-    "test_headers.py": 15,
-    "test_months.py": 15,
-    "test_numeric.py": 15,
+    "test_oracle_parity.py": 214,
+    "test_streaming.py": 136,
+    "test_llm_pipeline.py": 190,
+    "test_local_cluster.py": 92,
+    "test_plans.py": 180,
+    "test_graph.py": 77,
+    "test_multimodal.py": 30,
+    "test_partition_invariance.py": 57,
+    "test_dedup_determinism.py": 66,
+    "test_timeseries.py": 22,
+    "test_ranks.py": 40,
+    "test_vat_pipeline.py": 30,
+    "test_sampling.py": 25,
+    "test_llm_properties.py": 33,
+    "test_app.py": 105,
+    "test_sinks.py": 28,
+    "test_sources.py": 39,
+    "test_currency_properties.py": 50,
+    "test_dates_properties.py": 36,
+    "test_months_properties.py": 32,
+    "test_currency.py": 21,
+    "test_dates.py": 15,
+    "test_headers.py": 9,
+    "test_months.py": 14,
+    "test_numeric.py": 22,
 }
 
 
