@@ -946,3 +946,64 @@ def test_quality_classifier_is_map_only(spark, sf_smoke):
     )
     for op in ("Exchange", "Join", "BatchEvalPython", "ArrowEvalPython"):
         assert op not in plan, (op, plan)
+
+
+def test_build_corpus_incremental_delta(spark, sf_smoke, tmp_path):
+    """Nightly-delta mode: a base build on half the feed, then an
+    incremental build of the FULL feed against it. The delta must contain
+    no content key already written by the base (cross-build exact dedup),
+    no doc within the SimHash threshold of the base corpus (index-gated
+    admission), and the written signature index must chain (base ∪ new).
+    Re-sending the base feed itself produces an EMPTY delta.
+
+    Uses a reduced stage set (the expensive LM/perplexity and span stages
+    are pinned by the end-to-end test above; incremental semantics only
+    need the dedup/gate stages) to keep the three builds test-budget-sized."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.llm_pipeline import build_corpus
+
+    stages = ("gopher", "classifier", "exact_dedup", "line_dedup", "neardup")
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    half_dir = str(tmp_path / "feed_half")
+    docs.filter(F.col("doc_id") % 2 == 0).write.parquet(
+        f"{half_dir}/documents.parquet"
+    )
+    base_out = str(tmp_path / "base")
+    stats0 = build_corpus(spark, half_dir, base_out, n_shards=4, stages=stages)
+    assert stats0["docs_written"] > 0
+
+    # identical feed re-sent -> empty delta (base_dedup stage kills all)
+    resend_out = str(tmp_path / "resend")
+    stats1 = build_corpus(spark, half_dir, resend_out, n_shards=4,
+                          stages=stages, base_dir=base_out)
+    assert stats1["docs_written"] == 0
+    assert stats1["funnel"]["base_dedup"] == 0
+
+    # full feed against the base -> only genuinely new content lands
+    delta_out = str(tmp_path / "delta")
+    stats2 = build_corpus(spark, sf_smoke, delta_out, n_shards=4,
+                          stages=stages, base_dir=base_out)
+    assert stats2["docs_written"] > 0
+    base_shards = spark.read.parquet(f"{base_out}/shards")
+    delta_shards = spark.read.parquet(f"{delta_out}/shards")
+    overlap = delta_shards.select("content_key").join(
+        base_shards.select("content_key").distinct(), "content_key"
+    )
+    assert overlap.count() == 0
+    # signature index chains: delta index contains every base signature
+    base_idx = spark.read.parquet(f"{base_out}/neardup_sig_index")
+    delta_idx = spark.read.parquet(f"{delta_out}/neardup_sig_index")
+    assert base_idx.join(delta_idx, "simhash", "left_anti").count() == 0
+    # split stability across epochs: same content key -> same split
+    # function (pure md5 of the key), so the combined corpus cannot
+    # straddle train/eval on any key
+    combined = base_shards.select("content_key", "split").union(
+        delta_shards.select("content_key", "split")
+    )
+    straddle = (
+        combined.groupBy("content_key")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter("ns > 1")
+    )
+    assert straddle.count() == 0

@@ -123,7 +123,8 @@ def run_corpus(args, spark: SparkSession | None = None):
     if unknown:
         raise SystemExit(f"unknown corpus stages: {sorted(unknown)}")
     stats = build_corpus(
-        spark, args.sf_dir, args.out, n_shards=args.shards, stages=stages
+        spark, args.sf_dir, args.out, n_shards=args.shards, stages=stages,
+        base_dir=args.base,
     )
     print("funnel: " + " -> ".join(f"{s}={n}" for s, n in stats["funnel"].items()))
     print(
@@ -226,6 +227,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--stages",
         default=None,
         help="comma-separated subset of funnel stages (default: all)",
+    )
+    c.add_argument(
+        "--base",
+        default=None,
+        help="previous build's out dir: incremental delta build gated "
+        "against its written content keys and neardup_sig_index",
     )
     c.set_defaults(fn=run_corpus)
 

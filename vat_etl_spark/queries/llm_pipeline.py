@@ -713,6 +713,7 @@ def build_corpus(
     out_dir: str,
     n_shards: int = 8,
     stages: tuple[str, ...] = CORPUS_STAGES,
+    base_dir: str | None = None,
 ) -> dict:
     """The composed corpus build (the `corpus` CLI subcommand): the FULL
     curation funnel — Gopher rules → quality classifier → perplexity
@@ -738,10 +739,30 @@ def build_corpus(
 
     Returns the per-stage funnel counts plus the write metrics; persists
     the funnel, the per-language dataset card, and per-(lang, split)
-    written stats alongside the shards as the release record."""
+    written stats alongside the shards as the release record.
+
+    Incremental (nightly-delta) mode: with ``base_dir`` = a previous
+    build's out dir, the new feed is additionally gated against the base
+    corpus — an anti-join on the base's written content keys (stage
+    ``base_dedup``, on the FINAL text, the same key the base's shards
+    carry) and the base's persisted ``neardup_sig_index`` as the SimHash
+    gate's existing-signature side (exactly the streaming gate's
+    protocol). The written ``neardup_sig_index`` is then base ∪ new, so
+    builds chain. Split tags are a pure function of the content key, so a
+    doc's split can never change across epochs — cross-build
+    leakage-safety for free."""
     from pyspark.sql import Observation
 
     from vat_etl_spark.queries.dedup import neardup_admit_plan
+
+    base_keys = base_sigs = None
+    if base_dir:
+        base_keys = (
+            spark.read.parquet(f"{base_dir}/shards")
+            .select("content_key")
+            .distinct()
+        )
+        base_sigs = spark.read.parquet(f"{base_dir}/neardup_sig_index")
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     funnel: list[tuple[str, int, int]] = []
@@ -805,16 +826,34 @@ def build_corpus(
             .where(F.trim(F.col("text")) != ""),
             "span_removal",
         )
+    if base_keys is not None:
+        # cross-build exact dedup: drop docs whose FINAL content key is
+        # already in the base corpus (same key expression the base's
+        # shards carry, so the anti-join is key-exact across epochs)
+        keyed = cur.withColumn(
+            "content_key",
+            F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 2)),
+        )
+        cur = _stage(
+            keyed.join(base_keys, "content_key", "left_anti").drop(
+                "content_key"
+            ),
+            "base_dedup",
+        )
     if "neardup" in stages:
-        # keep-first within the surviving corpus (no prior index in a
-        # from-scratch build; an incremental build passes the persisted
-        # signature index, exactly like the streaming gate)
-        cur = _stage(neardup_admit_plan(cur), "neardup")
+        # keep-first within the surviving corpus; an incremental build
+        # also rejects arrivals near the BASE corpus via its persisted
+        # signature index — exactly the streaming gate's protocol
+        cur = _stage(neardup_admit_plan(cur, base_sigs), "neardup")
         # persist the admitted signatures as the corpus's near-dup index —
         # the exact `existing_sigs` input of the streaming admission gate
-        # (streaming/corpus.py) and of the next incremental build, so
-        # batch-built corpora and continuous ingest share one gate state
-        cur.select("simhash").distinct().write.mode("overwrite").parquet(
+        # (streaming/corpus.py) and of the next incremental build (base ∪
+        # new), so batch-built corpora and continuous ingest share one
+        # gate state
+        sig_index = cur.select("simhash").distinct()
+        if base_sigs is not None:
+            sig_index = sig_index.union(base_sigs).distinct()
+        sig_index.write.mode("overwrite").parquet(
             f"{out_dir}/neardup_sig_index"
         )
         cur = cur.drop("simhash")
