@@ -842,3 +842,66 @@ def test_streaming_neardup_admission_matches_batch_twin(spark, sf_smoke, tmp_pat
     # epoch-0 reject was hamming-0-near an admitted one (shuffle twins)
     admit_neardup_batch(docs.filter(~is_new), out, epoch_id=2)
     assert _epoch_ids(2) == set()
+
+
+def test_batch_corpus_handoff_to_streaming_gate(spark, sf_smoke, tmp_path):
+    """The batch->streaming dedup-state handoff: a nightly build_corpus
+    output seeds the streaming SimHash index (bootstrap_simhash_index,
+    epoch=-1); a stream that then re-sends the ENTIRE written corpus must
+    admit nothing, while a genuinely novel doc sails through. Compaction
+    folds the bootstrap partition like any other epoch."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.llm_pipeline import build_corpus
+    from vat_etl_spark.streaming.corpus import (
+        bootstrap_simhash_index,
+        compact_simhash_index,
+        corpus_neardup_stream,
+    )
+
+    corpus_out = str(tmp_path / "batch")
+    stats = build_corpus(
+        spark, sf_smoke, corpus_out, n_shards=4,
+        stages=("gopher", "exact_dedup", "neardup"),
+    )
+    assert stats["docs_written"] > 0
+
+    stream_out = str(tmp_path / "stream")
+    n_sigs = bootstrap_simhash_index(spark, corpus_out, stream_out)
+    assert n_sigs > 0
+
+    # epoch 0: re-send the written corpus + one salted novel doc
+    written = spark.read.parquet(f"{corpus_out}/shards").select(
+        "doc_id", "text"
+    )
+    novel = spark.createDataFrame(
+        [(999_999_999, " ".join(f"novel~{i}~tok" for i in range(30)))],
+        "doc_id long, text string",
+    )
+    src = str(tmp_path / "src")
+    written.unionByName(novel).coalesce(1).write.mode("append").parquet(src)
+    corpus_neardup_stream(spark, src, stream_out).awaitTermination()
+
+    admitted = spark.read.parquet(f"{stream_out}/docs/epoch=0")
+    assert {r.doc_id for r in admitted.collect()} == {999_999_999}
+
+    # compaction folds epoch=-1 + epoch=0 into one snapshot; the state is
+    # unchanged (novel doc's signature now indexed too)
+    before = {
+        r.simhash
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(f"{stream_out}/simhash_index")
+        .select("simhash")
+        .distinct()
+        .collect()
+    }
+    compact_simhash_index(spark, stream_out, grace_seconds=0.0)
+    after = {
+        r.simhash
+        for r in spark.read.option("mergeSchema", "true")
+        .parquet(f"{stream_out}/simhash_index")
+        .select("simhash")
+        .distinct()
+        .collect()
+    }
+    assert after == before

@@ -386,6 +386,30 @@ def admit_neardup_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
     ).distinct().write.mode("overwrite").parquet(f"{idx_path}/epoch={epoch_id}")
 
 
+def bootstrap_simhash_index(
+    spark: SparkSession, corpus_out_dir: str, stream_out_dir: str
+) -> int:
+    """Seed a streaming ingest directory's signature index from a BATCH
+    ``build_corpus`` output, so continuous ingest takes over exactly where
+    the nightly build left off: the batch corpus's persisted
+    ``neardup_sig_index`` lands as partition ``epoch=-1`` (a real epoch id
+    can never be negative, so replay exclusion never drops it, and the
+    compactor folds it like any other epoch). Returns the signature count.
+    This is the handoff that lets the batch funnel and the streaming gate
+    share ONE dedup state — a re-sent batch corpus is fully rejected by
+    the stream (pinned in tests/test_streaming.py)."""
+    sigs = spark.read.parquet(f"{corpus_out_dir}/neardup_sig_index")
+    out = (
+        sigs.select("simhash", F.lit(-1).alias("src_epoch"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out.write.mode("overwrite").parquet(
+        f"{stream_out_dir}/simhash_index/epoch=-1"
+    )
+    return out.count()
+
+
 def compact_simhash_index(
     spark: SparkSession, out_dir: str, grace_seconds: float = 300.0
 ) -> int:
