@@ -65,6 +65,38 @@ def test_corpus_cli_subcommand(spark, sf_smoke, tmp_path, capsys):
     assert spark.read.parquet(f"{out_dir}/shards").count() == stats["docs_written"]
 
 
+def test_corpus_cli_stage_flags_and_incremental(spark, sf_smoke, tmp_path, capsys):
+    """CLI wiring for --stages (subset build, funnel printed) and --base
+    (incremental delta: re-sending the same feed writes nothing)."""
+    import pytest
+
+    base_out = str(tmp_path / "base")
+    stats = main(
+        ["corpus", "--sf-dir", sf_smoke, "--out", base_out, "--shards", "4",
+         "--stages", "gopher,exact_dedup,neardup"],
+        spark=spark,
+    )
+    assert list(stats["funnel"]) == ["raw", "gopher", "exact_dedup", "neardup"]
+    assert "funnel: raw=" in capsys.readouterr().out
+    delta_out = str(tmp_path / "delta")
+    stats2 = main(
+        ["corpus", "--sf-dir", sf_smoke, "--out", delta_out, "--shards", "4",
+         "--stages", "gopher,exact_dedup,neardup", "--base", base_out],
+        spark=spark,
+    )
+    # everything is rejected — by the base's content keys or, for docs
+    # the base build itself rejected (absent from its shards), by the
+    # base's signature index at the neardup stage
+    assert stats2["docs_written"] == 0
+    assert stats2["funnel"]["base_dedup"] <= stats2["funnel"]["exact_dedup"]
+    with pytest.raises(SystemExit):
+        main(
+            ["corpus", "--sf-dir", sf_smoke, "--out", delta_out,
+             "--stages", "nonsense"],
+            spark=spark,
+        )
+
+
 def test_dedupe_cli_subcommand(spark, sf_smoke, tmp_path, capsys):
     """The dedupe tool writes cleaned docs under both policies, and its
     Observation metrics (riding the write pass) agree with the written
