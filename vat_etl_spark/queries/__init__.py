@@ -61,6 +61,7 @@ _FIRST = [
     # IVF/PQ pipeline replays, unrolled-BPE replays), and the queries whose
     # Spark plans changed this round (ANN serve split, funnel refactor) ---
     "corpus_neardup_admit_planted",
+    "quality_filter_agreement",
     "multimodal_audio_frames",
     "multimodal_keyframes",
     "multimodal_features",

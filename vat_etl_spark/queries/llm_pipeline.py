@@ -2641,3 +2641,119 @@ def classifier_label_plan(d: DataFrame) -> DataFrame:
 pipeline_quality_classifier.__doc__ = pipeline_quality_classifier.__doc__.format(
     b=_QC_B
 )
+
+
+# --- quality-filter agreement analysis (Cohen's kappa, integer-exact) ----------
+#
+# The oracle composes the three filters' REGISTERED oracle texts as
+# subqueries, so the agreement analysis can never drift from the filters
+# it audits. Kappa is computed as an exact integer rational scaled to
+# micros: po = agree/n, pe = (a1*b1 + a0*b0)/n², so
+# kappa = (n*agree - (a1*b1+a0*b0)) / (n² - (a1*b1+a0*b0)) — numerator and
+# denominator are int64; both engines truncate integer division toward
+# zero (probed), so the micros column is bit-identical.
+
+
+def _kappa_sql(pair: str, a1: str, b1: str, agree: str) -> str:
+    num = f"(s.n * {agree} - ({a1} * {b1} + (s.n - {a1}) * (s.n - {b1})))"
+    den = f"(s.n * s.n - ({a1} * {b1} + (s.n - {a1}) * (s.n - {b1})))"
+    return (
+        f"SELECT '{pair}' AS pair, s.n AS n_docs, {agree} AS n_agree,"
+        f" CAST((1000 * {agree}) // s.n AS BIGINT) AS agree_millis,"
+        f" CAST(CASE WHEN {den} = 0 THEN 1000000"
+        f" ELSE (1000000 * {num}) // {den} END AS BIGINT) AS kappa_micros"
+        f" FROM s"
+    )
+
+
+def _build_agreement_sql() -> str:
+    from vat_etl_spark.queries import ORACLE_SQL
+
+    g_sql = ORACLE_SQL["pipeline_quality_gopher"]
+    c_sql = ORACLE_SQL["pipeline_quality_classifier"]
+    p_sql = ORACLE_SQL["pipeline_perplexity_buckets"]
+    return f"""
+WITH g AS (SELECT doc_id, passes AS g FROM ({g_sql}) t),
+c AS (SELECT doc_id, (label = 'keep') AS c FROM ({c_sql}) t),
+p AS (SELECT doc_id, kept AS p FROM ({p_sql}) t),
+j AS (
+  SELECT g.doc_id, g.g, c.c, p.p
+  FROM g JOIN c ON g.doc_id = c.doc_id JOIN p ON g.doc_id = p.doc_id
+),
+s AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN g THEN 1 ELSE 0 END) AS BIGINT) AS g1,
+         CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+         CAST(sum(CASE WHEN g = c THEN 1 ELSE 0 END) AS BIGINT) AS gc,
+         CAST(sum(CASE WHEN g = p THEN 1 ELSE 0 END) AS BIGINT) AS gp,
+         CAST(sum(CASE WHEN c = p THEN 1 ELSE 0 END) AS BIGINT) AS cp
+  FROM j
+)
+{_kappa_sql("gopher~classifier", "s.g1", "s.c1", "s.gc")}
+UNION ALL
+{_kappa_sql("gopher~perplexity", "s.g1", "s.p1", "s.gp")}
+UNION ALL
+{_kappa_sql("classifier~perplexity", "s.c1", "s.p1", "s.cp")}
+"""
+
+
+_AGREEMENT_SQL = _build_agreement_sql()
+
+
+@query("quality_filter_agreement", oracle=_AGREEMENT_SQL)
+def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-filter AGREEMENT analysis: for each pair of the three
+    quality filters (Gopher rules, hashed classifier, CCNet perplexity
+    thirds), the observed agreement rate and Cohen's kappa — the standard
+    audit of whether stacked filters measure the same thing (kappa ≈ 1:
+    one filter is redundant; ≈ 0: independent signals, stacking is
+    multiplicative; < 0: they actively disagree and the funnel order
+    matters). The funnel in build_corpus stacks all three, so this is the
+    analysis that justifies (or prunes) its stages.
+
+    Scale shape: three filter subplans (each already a registered,
+    plan-audited query), one 3-way doc_id join, ONE aggregate row, and a
+    3-row projection — the analysis adds nothing corpus-scaled beyond
+    the filters themselves. Kappa is an exact int64 rational scaled to
+    micros (truncation toward zero probed identical in both engines), so
+    the driver hash-pins the statistic bit-for-bit."""
+    g = QUERIES["pipeline_quality_gopher"](spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("g")
+    )
+    c = QUERIES["pipeline_quality_classifier"](spark, sf_dir).select(
+        "doc_id", (F.col("label") == "keep").alias("c")
+    )
+    p = QUERIES["pipeline_perplexity_buckets"](spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("p")
+    )
+    j = g.join(c, "doc_id").join(p, "doc_id")
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("g").cast("long")).alias("g1"),
+        F.sum(F.col("c").cast("long")).alias("c1"),
+        F.sum(F.col("p").cast("long")).alias("p1"),
+        F.sum((F.col("g") == F.col("c")).cast("long")).alias("gc"),
+        F.sum((F.col("g") == F.col("p")).cast("long")).alias("gp"),
+        F.sum((F.col("c") == F.col("p")).cast("long")).alias("cp"),
+    )
+
+    def row(pair: str, a1: str, b1: str, agree: str):
+        num = f"(n * {agree} - ({a1} * {b1} + (n - {a1}) * (n - {b1})))"
+        den = f"(n * n - ({a1} * {b1} + (n - {a1}) * (n - {b1})))"
+        return s.select(
+            F.lit(pair).alias("pair"),
+            F.col("n").alias("n_docs"),
+            F.col(agree).alias("n_agree"),
+            F.expr(f"(1000 * {agree}) div n").cast("long").alias("agree_millis"),
+            F.expr(
+                f"CASE WHEN {den} = 0 THEN 1000000"
+                f" ELSE (1000000 * {num}) div {den} END"
+            ).cast("long").alias("kappa_micros"),
+        )
+
+    return (
+        row("gopher~classifier", "g1", "c1", "gc")
+        .unionByName(row("gopher~perplexity", "g1", "p1", "gp"))
+        .unionByName(row("classifier~perplexity", "c1", "p1", "cp"))
+    )
