@@ -62,6 +62,7 @@ _FIRST = [
     # Spark plans changed this round (ANN serve split, funnel refactor) ---
     "corpus_neardup_admit_planted",
     "quality_filter_agreement",
+    "quality_filter_contingency",
     "multimodal_audio_frames",
     "multimodal_keyframes",
     "multimodal_features",

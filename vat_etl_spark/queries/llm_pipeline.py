@@ -2757,3 +2757,68 @@ def quality_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("gopher~perplexity", "g1", "p1", "gp"))
         .unionByName(row("classifier~perplexity", "c1", "p1", "cp"))
     )
+
+
+def _build_contingency_sql() -> str:
+    from vat_etl_spark.queries import ORACLE_SQL
+
+    g_sql = ORACLE_SQL["pipeline_quality_gopher"]
+    c_sql = ORACLE_SQL["pipeline_quality_classifier"]
+    p_sql = ORACLE_SQL["pipeline_perplexity_buckets"]
+    return f"""
+WITH g AS (SELECT doc_id, passes AS g FROM ({g_sql}) t),
+c AS (SELECT doc_id, (label = 'keep') AS c FROM ({c_sql}) t),
+p AS (SELECT doc_id, kept AS p FROM ({p_sql}) t),
+j AS (
+  SELECT g.g, c.c, p.p, (g.g AND c.c AND p.p) AS kept_all
+  FROM g JOIN c ON g.doc_id = c.doc_id JOIN p ON g.doc_id = p.doc_id
+),
+cells AS (
+  SELECT g AS gopher, c AS classifier, p AS perplexity,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(CASE WHEN kept_all THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+  FROM j GROUP BY g, c, p
+)
+SELECT gopher, classifier, perplexity, n_docs, n_kept,
+       CAST((1000 * n_docs) // (SELECT sum(n_docs) FROM cells) AS BIGINT)
+         AS share_millis
+FROM cells
+"""
+
+
+_CONTINGENCY_SQL = _build_contingency_sql()
+
+
+@query("quality_filter_contingency", oracle=_CONTINGENCY_SQL)
+def quality_filter_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 2×2×2 contingency of the three quality filters — which unique
+    keep/drop combination each document falls in, with per-cell corpus
+    share (millis). Together with `quality_filter_agreement`'s kappa this
+    is the full funnel-design evidence: the (T,T,T) cell is the composed
+    build's yield, single-filter-dissent cells show which stage is the
+    binding constraint per slice, and an empty cell means one filter is
+    implied by the others (prune it). Same scale shape as the agreement
+    query: three registered subplans, one 3-way doc_id join, one 8-group
+    aggregate."""
+    g = QUERIES["pipeline_quality_gopher"](spark, sf_dir).select(
+        "doc_id", F.col("passes").alias("gopher")
+    )
+    c = QUERIES["pipeline_quality_classifier"](spark, sf_dir).select(
+        "doc_id", (F.col("label") == "keep").alias("classifier")
+    )
+    p = QUERIES["pipeline_perplexity_buckets"](spark, sf_dir).select(
+        "doc_id", F.col("kept").alias("perplexity")
+    )
+    j = g.join(c, "doc_id").join(p, "doc_id")
+    cells = j.groupBy("gopher", "classifier", "perplexity").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            (F.col("gopher") & F.col("classifier") & F.col("perplexity"))
+            .cast("long")
+        ).alias("n_kept"),
+    )
+    total = cells.agg(F.sum("n_docs").alias("tot"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "gopher", "classifier", "perplexity", "n_docs", "n_kept",
+        F.expr("(1000 * n_docs) div tot").cast("long").alias("share_millis"),
+    )
