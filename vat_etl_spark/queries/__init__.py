@@ -63,6 +63,7 @@ _FIRST = [
     "corpus_neardup_admit_planted",
     "quality_filter_agreement",
     "quality_filter_contingency",
+    "dedup_cluster_size_histogram",
     "multimodal_audio_frames",
     "multimodal_keyframes",
     "multimodal_features",

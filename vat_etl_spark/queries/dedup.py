@@ -1491,3 +1491,47 @@ def dedup_semantic_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return member.join(dropped, "vec_id", "left_anti").select(
         "vec_id", F.col("cid").alias("cluster_id")
     )
+
+
+def _build_cluster_hist_sql() -> str:
+    from vat_etl_spark.queries import ORACLE_SQL
+
+    cc = ORACLE_SQL["dedup_connected_components"]
+    return f"""
+WITH cc AS (SELECT doc_id, component FROM ({cc}) t),
+sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS sz FROM cc GROUP BY component)
+SELECT sz AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(sz * count(*) AS BIGINT) AS n_docs,
+       CAST(CASE WHEN sz > 1 THEN (sz - 1) * count(*) ELSE 0 END AS BIGINT)
+         AS docs_removable
+FROM sizes GROUP BY sz
+"""
+
+
+_CLUSTER_HIST_SQL = _build_cluster_hist_sql()
+
+
+@query("dedup_cluster_size_histogram", oracle=_CLUSTER_HIST_SQL)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER-SIZE distribution over the connected components —
+    the number that prices a dedup run before anyone launches it: per
+    cluster size, how many clusters, how many documents they hold, and
+    how many of those a keep-one policy deletes (``docs_removable`` sums
+    to exactly the corpus shrinkage). At 100 TB this histogram is what
+    decides whether fuzzy dedup is worth the shuffle — a heavy tail
+    (few huge boilerplate clusters) means most of the win comes from a
+    handful of components. Two aggregates over the component labels; the
+    CC subplan is the registered oracle-backed query, so the histogram's
+    oracle composes its recursive-CTE text as a subquery."""
+    cc = QUERIES["dedup_connected_components"](spark, sf_dir).select(
+        "doc_id", "component"
+    )
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").alias("cluster_size")).agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.first("sz") * F.count(F.lit(1))).cast("long").alias("n_docs"),
+        F.when(
+            F.first("sz") > 1, (F.first("sz") - 1) * F.count(F.lit(1))
+        ).otherwise(0).cast("long").alias("docs_removable"),
+    )
