@@ -40,20 +40,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # dynamic queue self-balances; unknown files sort FIRST (assumed long)
 DURATION_HINTS = {
     "test_oracle_parity.py": 214,
-    "test_streaming.py": 136,
-    "test_llm_pipeline.py": 190,
+    "test_streaming.py": 200,
+    "test_llm_pipeline.py": 100,
+    "test_corpus_build.py": 165,
     "test_local_cluster.py": 92,
     "test_plans.py": 180,
     "test_graph.py": 77,
     "test_multimodal.py": 30,
     "test_partition_invariance.py": 57,
-    "test_dedup_determinism.py": 66,
+    "test_dedup_determinism.py": 90,
     "test_timeseries.py": 22,
     "test_ranks.py": 40,
     "test_vat_pipeline.py": 30,
     "test_sampling.py": 25,
     "test_llm_properties.py": 33,
-    "test_app.py": 105,
+    "test_app.py": 170,
     "test_sinks.py": 28,
     "test_sources.py": 39,
     "test_currency_properties.py": 50,
