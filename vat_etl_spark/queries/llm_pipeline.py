@@ -2003,11 +2003,24 @@ def text_bpe_merges(
     toks = d.select(F.explode(tokens_expr(F.col("text"))).alias("w"))
     vocab = toks.groupBy("w").agg(F.count("*").alias("cnt"))
     # seed symbol arrays: one single-char symbol per character
+    # vocabulary state = separator-framed symbol STRING per word (the same
+    # construction the DuckDB oracle replays and text_bpe_apply executes):
+    # pair counting splits it natively, and fusing the argmax pair is ONE
+    # codegen'd replace() — no interpreted array-fold layer per merge.
+    # Measured: identical merge tables, and the per-merge fuse drops out of
+    # the interpreted path entirely (the K~30k production concern).
+    sep = chr(1)
+    chars = F.filter(F.split(F.col("w"), ""), lambda s: s != "")
     sym = vocab.select(
-        F.filter(F.split(F.col("w"), ""), lambda s: s != "").alias("syms"),
+        F.concat(F.lit(sep), F.array_join(chars, sep + sep), F.lit(sep)).alias(
+            "repr"
+        ),
         "cnt",
     ).persist()
     sym.count()
+    syms_col = F.split(
+        F.expr("substring(repr, 2, length(repr) - 2)"), sep + sep
+    )
     merges: list[tuple[int, str, str, int]] = []
     # every currently-persisted frame, so a failure between nxt.persist()
     # and the sym = nxt handover can't strand a cached frame for the rest
@@ -2028,7 +2041,8 @@ def text_bpe_merges(
                 ),
             ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
             top = (
-                sym.select(F.explode(pair_arr).alias("p"), "cnt")
+                sym.select(syms_col.alias("syms"), "cnt")
+                .select(F.explode(pair_arr).alias("p"), "cnt")
                 .groupBy("p")
                 .agg(F.sum("cnt").alias("c"))
                 .orderBy(F.col("c").desc(), F.col("p.a"), F.col("p.b"))
@@ -2040,7 +2054,12 @@ def text_bpe_merges(
             a, b, c = top[0]["p"]["a"], top[0]["p"]["b"], int(top[0]["c"])
             merges.append((rank, a, b, c))
             nxt = sym.select(
-                _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "cnt"
+                F.replace(
+                    F.col("repr"),
+                    F.lit(sep + a + sep + sep + b + sep),
+                    F.lit(sep + a + b + sep),
+                ).alias("repr"),
+                "cnt",
             )
             if checkpoint_every and rank % checkpoint_every == 0:
                 # truncate the K-deep fuse-lambda plan chain; eager, so the
