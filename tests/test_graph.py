@@ -259,10 +259,18 @@ def test_ann_index_build_serve_lifecycle(spark, sf_smoke, tmp_path, monkeypatch)
         == mtime
     ), "serve call rewrote a fresh index"
     # staleness: lie about the indexed corpus size -> next build rebuilds
-    spark.createDataFrame([(7, 1, 1)], "n_vec long, k int, rounds int").coalesce(
+    from vat_etl_spark.queries.similarity import _IDX_VERSION
+
+    spark.createDataFrame(
+        [(7, 1, 1, _IDX_VERSION)], "n_vec long, k int, rounds int, version int"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/meta")
+    assert _meta_n_vec(spark, p) == 7
+    # a meta WITHOUT the current layout version is stale regardless of
+    # row count (format migrations force a rebuild)
+    spark.createDataFrame([(500, 1, 1)], "n_vec long, k int, rounds int").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{p}/meta")
-    assert _meta_n_vec(spark, p) == 7
+    assert _meta_n_vec(spark, p) is None
     build_graph_index(spark, sf_smoke)
     assert _meta_n_vec(spark, p) == 500, "stale index was not rebuilt"
     # ivfpq index: same lifecycle, artifacts present and cell-partitioned

@@ -1453,21 +1453,31 @@ def _index_root(sf_dir: str) -> str:
     return os.path.join(base, os.path.basename(os.path.normpath(sf_dir)))
 
 
+_IDX_VERSION = 2  # bump when the on-disk index LAYOUT changes (v2: +edges_init)
+
+
 def _meta_n_vec(spark: SparkSession, path: str) -> int | None:
-    """n_vec recorded in an index's meta file, or None if absent/unreadable."""
+    """n_vec recorded in an index's meta file, or None if absent, unreadable,
+    or written by an older layout version (format changes force a rebuild —
+    a row-count match alone must not validate an index missing files the
+    current readers expect)."""
     import os
 
     if not os.path.isdir(f"{path}/meta"):  # local-FS fast path, no JVM error log
         return None
     try:
-        return spark.read.parquet(f"{path}/meta").collect()[0].n_vec
+        row = spark.read.parquet(f"{path}/meta").collect()[0]
+        if ("version" not in row.__fields__) or row.version != _IDX_VERSION:
+            return None
+        return row.n_vec
     except Exception:
         return None
 
 
 def _write_meta(spark: SparkSession, path: str, n_vec: int) -> None:
     spark.createDataFrame(
-        [(n_vec, _NND_K, _NND_ROUNDS)], "n_vec long, k int, rounds int"
+        [(n_vec, _NND_K, _NND_ROUNDS, _IDX_VERSION)],
+        "n_vec long, k int, rounds int, version int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
