@@ -355,6 +355,7 @@ def test_simhash_frame_matches_expression_bit_for_bit(spark, sf_smoke):
     d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
     edge = spark.createDataFrame(
         [
+            (100000, None),
             (100001, ""),
             (100002, "   "),
             (100003, "one"),
@@ -373,4 +374,4 @@ def test_simhash_frame_matches_expression_bit_for_bit(spark, sf_smoke):
         ).collect()
     }
     assert a == b
-    assert len(a) == d.count() + 6
+    assert len(a) == d.count() + 7

@@ -336,6 +336,9 @@ def simhash_frame(df: DataFrame, text_col: str = "text", out: str = "simhash") -
         res = np.empty(len(hs), dtype=np.int64)
         shifts = np.arange(64, dtype=np.uint64)
         for i, arr in enumerate(hs):
+            if arr is None:  # null text -> null token array -> signature 0
+                res[i] = 0
+                continue
             h = np.asarray(arr, dtype=np.int64).view(np.uint64)
             if len(h) == 0:
                 res[i] = 0
@@ -354,6 +357,9 @@ def simhash_frame(df: DataFrame, text_col: str = "text", out: str = "simhash") -
     hashed = F.transform(
         F.array_distinct(tokens_expr(F.col(text_col))), lambda t: F.xxhash64(t)
     )
+    # NULL text -> signature 0, exactly like the expression form (its
+    # null bit-votes collapse to 0 through the when/otherwise fold —
+    # probed); gate callers filter nulls up front anyway
     return df.withColumn("_sh_hashes", hashed).withColumn(
         out, _sig("_sh_hashes")
     ).drop("_sh_hashes")
