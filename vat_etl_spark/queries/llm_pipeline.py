@@ -757,6 +757,15 @@ def build_corpus(
 
     base_keys = base_sigs = None
     if base_dir:
+        import os
+
+        if os.path.abspath(base_dir) == os.path.abspath(out_dir):
+            # the base artifacts are read LAZILY while out_dir is being
+            # overwritten — in-place incremental would corrupt its own input
+            raise ValueError(
+                "incremental build must write to a NEW out_dir "
+                "(base_dir == out_dir would overwrite the index it reads)"
+            )
         base_keys = (
             spark.read.parquet(f"{base_dir}/shards")
             .select("content_key")
