@@ -151,6 +151,39 @@ def test_build_corpus_stage_flags(spark, sf_smoke, tmp_path):
     expected = q.select("doc_id").join(s.select("doc_id"), "doc_id").count()
     assert stats["docs_written"] == expected > 0
 
+def test_build_corpus_chains_from_base_without_neardup(spark, sf_smoke, tmp_path):
+    """A base built with a --stages subset excluding 'neardup' never wrote
+    a neardup_sig_index — an incremental build from such a base must still
+    chain (no AnalysisException on the missing artifact), both when the
+    delta also excludes neardup and when it includes it (gating against
+    an absent base index = no base signatures to reject against)."""
+    from vat_etl_spark.queries.llm_pipeline import build_corpus
+
+    base_out = str(tmp_path / "base_nonear")
+    stats0 = build_corpus(
+        spark, sf_smoke, base_out, n_shards=4, stages=("gopher", "exact_dedup")
+    )
+    assert stats0["docs_written"] > 0
+    import os
+
+    assert not os.path.isdir(f"{base_out}/neardup_sig_index")
+
+    # delta excluding neardup: resend of the same feed -> empty delta
+    d1 = str(tmp_path / "delta_nonear")
+    stats1 = build_corpus(spark, sf_smoke, d1, n_shards=4,
+                          stages=("gopher", "exact_dedup"), base_dir=base_out)
+    assert stats1["docs_written"] == 0
+
+    # delta INCLUDING neardup chains too, and writes a fresh index
+    d2 = str(tmp_path / "delta_near")
+    stats2 = build_corpus(
+        spark, sf_smoke, d2, n_shards=4,
+        stages=("gopher", "exact_dedup", "neardup"), base_dir=base_out,
+    )
+    assert stats2["docs_written"] == 0  # same feed, all base-deduped
+    assert os.path.isdir(f"{d2}/neardup_sig_index")
+
+
 def test_build_corpus_incremental_delta(spark, sf_smoke, tmp_path):
     """Nightly-delta mode: a base build on half the feed, then an
     incremental build of the FULL feed against it. The delta must contain

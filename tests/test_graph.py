@@ -231,14 +231,15 @@ def test_graph_search_beats_floor_with_bounded_touch(spark, sf_smoke):
 def test_ann_index_build_serve_lifecycle(spark, sf_smoke, tmp_path, monkeypatch):
     """The persisted-index contract: first serve call builds, subsequent
     calls reuse the artifact untouched (mtime-stable), and a corpus-size
-    change trips the freshness guard into a rebuild. Serve results over
-    the prebuilt graph are identical across calls (the build is
-    deterministic)."""
+    OR corpus-content change trips the freshness guard into a rebuild.
+    Serve results over the prebuilt graph are identical across calls (the
+    build is deterministic)."""
     import os
 
     from vat_etl_spark.queries import QUERIES
     from vat_etl_spark.queries.similarity import (
         _meta_n_vec,
+        _meta_sig,
         build_graph_index,
         build_ivfpq_index,
     )
@@ -261,8 +262,10 @@ def test_ann_index_build_serve_lifecycle(spark, sf_smoke, tmp_path, monkeypatch)
     # staleness: lie about the indexed corpus size -> next build rebuilds
     from vat_etl_spark.queries.similarity import _IDX_VERSION
 
+    good_sig = _meta_sig(spark, p)
     spark.createDataFrame(
-        [(7, 1, 1, _IDX_VERSION)], "n_vec long, k int, rounds int, version int"
+        [(7, good_sig[1], 1, 1, _IDX_VERSION)],
+        "n_vec long, fp long, k int, rounds int, version int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{p}/meta")
     assert _meta_n_vec(spark, p) == 7
     # a meta WITHOUT the current layout version is stale regardless of
@@ -272,7 +275,16 @@ def test_ann_index_build_serve_lifecycle(spark, sf_smoke, tmp_path, monkeypatch)
     ).write.mode("overwrite").parquet(f"{p}/meta")
     assert _meta_n_vec(spark, p) is None
     build_graph_index(spark, sf_smoke)
-    assert _meta_n_vec(spark, p) == 500, "stale index was not rebuilt"
+    assert _meta_sig(spark, p) == good_sig, "stale index was not rebuilt"
+    # SAME count, different CONTENT fingerprint -> stale (the
+    # incremental-rebuild hazard: content drift with unchanged N must
+    # never validate; the count-only guard this replaced would have)
+    spark.createDataFrame(
+        [(500, good_sig[1] ^ 1, 1, 1, _IDX_VERSION)],
+        "n_vec long, fp long, k int, rounds int, version int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{p}/meta")
+    build_graph_index(spark, sf_smoke)
+    assert _meta_sig(spark, p) == good_sig, "content-drift index not rebuilt"
     # ivfpq index: same lifecycle, artifacts present and cell-partitioned
     q = build_ivfpq_index(spark, sf_smoke)
     assert _meta_n_vec(spark, q) == 500
@@ -280,3 +292,53 @@ def test_ann_index_build_serve_lifecycle(spark, sf_smoke, tmp_path, monkeypatch)
     assert len(cells) == 8, cells
     again = build_ivfpq_index(spark, sf_smoke)
     assert again == q
+
+
+def test_ann_index_rebuilds_on_content_drift_same_count(
+    spark, sf_smoke, tmp_path, monkeypatch
+):
+    """Mutate ONE vector without changing the corpus row count and assert
+    the freshness guard forces a rebuild. Two corpus dirs with the SAME
+    basename map to the same index path (_index_root keys on basename) —
+    exactly the nightly-relocated-corpus layout — so this drives the real
+    stale-serve hazard: same path, same N, different content."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.similarity import (
+        _meta_sig,
+        build_graph_index,
+        build_ivfpq_index,
+    )
+
+    monkeypatch.setenv("VAT_ETL_INDEX_DIR", str(tmp_path / "idx"))
+    em = spark.read.parquet(f"{sf_smoke}/embeddings.parquet")
+    d1 = str(tmp_path / "epoch1" / "corpus")
+    d2 = str(tmp_path / "epoch2" / "corpus")
+    for d in (d1, d2):
+        os.makedirs(d)
+        shutil.copy(f"{sf_smoke}/documents.parquet", f"{d}/documents.parquet")
+    em.write.parquet(f"{d1}/embeddings.parquet")
+    mutated = em.withColumn(
+        "embedding",
+        F.when(
+            F.col("vec_id") == 0,
+            F.transform(F.col("embedding"), lambda x: x + F.lit(1.0)),
+        ).otherwise(F.col("embedding")),
+    )
+    mutated.write.parquet(f"{d2}/embeddings.parquet")
+    assert em.count() == mutated.count()
+
+    p1 = build_graph_index(spark, d1)
+    sig1 = _meta_sig(spark, p1)
+    p2 = build_graph_index(spark, d2)
+    assert p1 == p2, "same basename must map to the same index path"
+    sig2 = _meta_sig(spark, p2)
+    assert sig1 != sig2, "one-vector drift must change the fingerprint"
+    assert sig1[0] == sig2[0], "count is unchanged by design"
+    q1 = build_ivfpq_index(spark, d1)
+    s1 = _meta_sig(spark, q1)
+    build_ivfpq_index(spark, d2)
+    assert _meta_sig(spark, q1) != s1

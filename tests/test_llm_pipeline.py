@@ -513,6 +513,113 @@ def test_bpe_apply_matches_pure_python_encoder(spark, sf_smoke):
     assert got == expected
 
 
+def test_bpe_apply_trie_bit_identical_to_replace_chain(spark, sf_smoke):
+    """The production-K encoder (rank-priority pandas UDF,
+    text_bpe_apply_trie) must agree bit-for-bit with the K-expression
+    replace chain (text_bpe_apply) at the oracle K — on the corpus AND on
+    edge shapes (null text, whitespace-only, repeated words, multi-merge
+    words). The replace chain remains the semantic definition; the UDF is
+    the K~30k execution path."""
+    from pyspark.sql import functions as F
+
+    a = {tuple(r) for r in QUERIES["text_bpe_apply"](spark, sf_smoke).collect()}
+    b = {
+        tuple(r)
+        for r in QUERIES["text_bpe_apply_trie"](spark, sf_smoke).collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_bpe_apply_trie_matches_python_at_exhaustion_k(spark, sf_smoke):
+    """At K far beyond the oracle window (trained to pair exhaustion on
+    the smoke corpus) the UDF encoder must reproduce the pure-Python
+    sequential encoder exactly — the regime the replace chain is not
+    registered for."""
+    import re
+
+    import duckdb
+
+    from tests.conftest import train_ref_bpe
+    from vat_etl_spark.queries.llm_pipeline import bpe_apply_counts_plan
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, text FROM '{sf_smoke}/documents.parquet'"
+    ).fetchall()
+    merges, syms, _vocab = train_ref_bpe([t for _, t in rows], n_merges=500)
+    assert 5 < len(merges) < 500  # exhausted, genuinely > oracle K
+    d = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    got = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_apply_counts_plan(
+            d, [(a, b) for _, a, b, _ in merges]
+        ).collect()
+    }
+    for doc_id, t in rows:
+        words = [w for w in re.split(r"\s+", t.strip()) if w]
+        assert got[doc_id] == sum(len(syms[w]) for w in words), doc_id
+
+
+def test_bpe_apply_null_text_matches_oracle(spark, sf_smoke, tmp_path):
+    """text_bpe_apply must report chars=0 / bpe_tokens=0 / NULL compression
+    for NULL-text documents, exactly like the oracle's LEFT JOIN +
+    coalesce — pinned explicitly because the shipped testdata carries no
+    null texts (same pin simhash_frame has for null text)."""
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from vat_etl_spark.oracle import compare
+    from vat_etl_spark.schemas import TESTDATA_TABLES
+
+    sf = str(tmp_path / "sf_null")
+    import os
+
+    os.makedirs(sf)
+    duckdb.sql(
+        f"""COPY (
+          SELECT * FROM '{sf_smoke}/documents.parquet'
+          UNION ALL SELECT 900001, NULL, 'en', 'web', NULL
+          UNION ALL SELECT 900002, '   ', 'en', 'web', 3
+        ) TO '{sf}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        src = sf if t == "documents" else sf_smoke
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{src}/{t}.parquet'"
+        )
+    df = QUERIES["text_bpe_apply"](spark, sf)
+    ok, msg = compare(df, con, entrymod.oracle_sql()["text_bpe_apply"], "bpe_null")
+    assert ok, msg
+    got = {r.doc_id: (r.chars, r.bpe_tokens) for r in df.collect()}
+    assert got[900001] == (0, 0)
+    assert got[900002] == (0, 0)
+
+
+def test_bpe_sep_guard_fails_loudly_on_separator_byte(spark, sf_smoke, tmp_path):
+    """A corpus token containing the chr(1) framing byte must fail LOUDLY
+    (raise_error), never silently corrupt the merge table — the DuckDB
+    oracle uses the identical framing, so the hash gate could not catch a
+    silent corruption."""
+    import duckdb
+
+    import pytest
+
+    sf = str(tmp_path / "sf_sep")
+    import os
+
+    os.makedirs(sf)
+    duckdb.sql(
+        f"""COPY (
+          SELECT * FROM '{sf_smoke}/documents.parquet'
+          UNION ALL SELECT 900003, 'bad' || chr(1) || 'token here', 'en', 'web', 14
+        ) TO '{sf}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    with pytest.raises(Exception, match="framing invariant"):
+        QUERIES["text_bpe_merges"](spark, sf).collect()
+    with pytest.raises(Exception, match="framing invariant"):
+        QUERIES["text_bpe_apply"](spark, sf).collect()
+
+
 def test_dsir_weights_discriminate_target_language(spark, sf_smoke):
     """pipeline_dsir_weights must actually tilt toward the target domain:
     target-lang ('de') documents score a higher mean per-token log-weight

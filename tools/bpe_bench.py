@@ -103,6 +103,76 @@ def main() -> None:
         text_bpe_merges(spark, sf, n_merges=10, checkpoint_every=5).collect()
         results["k10_ckpt5_sec"] = round(time.time() - t0, 2)
 
+        # 4. APPLY at production K: replace chain (K expression layers)
+        # vs the rank-priority pandas-UDF encoder (plan size O(1) in K).
+        # A bigger vocab than synth_corpus so merges don't exhaust.
+        from vat_etl_spark.queries.llm_pipeline import (
+            bpe_apply_counts_plan,
+            bpe_apply_replace_plan,
+        )
+
+        rng = random.Random(20260815)
+        alphabet = "abcdefghijklmnopqrstuvwxyz"
+        vocab = sorted(
+            {
+                "".join(rng.choice(alphabet) for _ in range(rng.randint(6, 14)))
+                for _ in range(3000)
+            }
+        )
+        docs = [
+            (i, " ".join(rng.choice(vocab) for _ in range(40)))
+            for i in range(20000)
+        ]
+        big = spark.createDataFrame(docs, "doc_id long, text string")
+        big.coalesce(8).write.mode("overwrite").parquet(
+            f"{tmp}/big/documents.parquet"
+        )
+        bigd = spark.read.parquet(f"{tmp}/big/documents.parquet")
+        t0 = time.time()
+        merges_all, _syms, _vocab = train_ref_bpe(
+            [t for _, t in docs], n_merges=2000
+        )
+        results["apply_train_ref_k2000_sec"] = round(time.time() - t0, 2)
+        print("phase4 trained", flush=True)
+        pairs = [(a, b) for _, a, b, _ in merges_all]
+        results["apply_k_trained"] = len(pairs)
+
+        for k in (250, 2000):
+            t0 = time.time()
+            trie_rows = {
+                r.doc_id: r.bpe_tokens
+                for r in bpe_apply_counts_plan(bigd, pairs[:k]).collect()
+            }
+            results[f"apply_trie_k{k}_sec"] = round(time.time() - t0, 2)
+            print("phase4 trie", k, results[f"apply_trie_k{k}_sec"], flush=True)
+        # the chain is only driven where its plan still analyzes in
+        # reasonable time; K=2000 is the regime it is NOT registered for
+        # (expression-layer explosion) — do NOT raise without a timeout.
+        t0 = time.time()
+        chain_rows = {
+            r.doc_id: r.bpe_tokens
+            for r in bpe_apply_replace_plan(bigd, pairs[:250]).collect()
+        }
+        results["apply_chain_k250_sec"] = round(time.time() - t0, 2)
+        print("phase4 chain250", results["apply_chain_k250_sec"], flush=True)
+        # cross-check the two engines at the shared K
+        t0 = time.time()
+        trie250 = {
+            r.doc_id: r.bpe_tokens
+            for r in bpe_apply_counts_plan(bigd, pairs[:250]).collect()
+        }
+        assert trie250 == chain_rows, "K=250 trie/chain mismatch"
+        results["apply_k250_verified"] = True
+        # and the K=2000 result against the pure-Python encoder
+        import re
+
+        sample = docs[:200]
+        for doc_id, t in sample:
+            ws = [w for w in re.split(r"\s+", t.strip()) if w]
+            want = sum(len(_syms[w]) for w in ws)
+            assert trie_rows[doc_id] == want, doc_id
+        results["apply_k2000_verified_vs_python"] = True
+
     print(json.dumps(results))
 
 

@@ -56,6 +56,9 @@ from vat_etl_spark.queries import llm_pipeline  # noqa: E402,F401
 _FIRST = [
     # vat flagship (= entry())
     "vat_summary",
+    # --- round-9 changes: production-K BPE encoder registration, BPE
+    # null-parity + separator-guard fixes, index fingerprint guard ---
+    "text_bpe_apply_trie",
     # --- round-8 changes: new planted-audit registration, rows-only→hash
     # graduations (multimodal byte replays, exact-recall LSH join, full
     # IVF/PQ pipeline replays, unrolled-BPE replays), and the queries whose

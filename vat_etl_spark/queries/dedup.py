@@ -333,7 +333,11 @@ def simhash_frame(df: DataFrame, text_col: str = "text", out: str = "simhash") -
 
     @pandas_udf("long")
     def _sig(hs: pd.Series) -> pd.Series:
-        res = np.empty(len(hs), dtype=np.int64)
+        # Accumulate into uint64 and reinterpret the whole array at the end
+        # (.view has C-cast semantics on every numpy); the np.int64(...)
+        # scalar constructor would raise OverflowError on numpy >= 2.0 for
+        # signatures with bit 63 set (~half of all docs).
+        res = np.empty(len(hs), dtype=np.uint64)
         shifts = np.arange(64, dtype=np.uint64)
         for i, arr in enumerate(hs):
             if arr is None:  # null text -> null token array -> signature 0
@@ -347,12 +351,10 @@ def simhash_frame(df: DataFrame, text_col: str = "text", out: str = "simhash") -
                 axis=0, dtype=np.int64
             )
             votes = 2 * bits - len(h)
-            res[i] = np.int64(
-                (np.where(votes > 0, np.uint64(1), np.uint64(0)) << shifts)
-                .sum(dtype=np.uint64)
-                .astype(np.uint64)
-            )
-        return pd.Series(res)
+            res[i] = (
+                np.where(votes > 0, np.uint64(1), np.uint64(0)) << shifts
+            ).sum(dtype=np.uint64)
+        return pd.Series(res.view(np.int64))
 
     hashed = F.transform(
         F.array_distinct(tokens_expr(F.col(text_col))), lambda t: F.xxhash64(t)

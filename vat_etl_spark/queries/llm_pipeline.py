@@ -17,6 +17,7 @@ production values (13-grams, 50-100k word bounds) are parameters.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -771,7 +772,12 @@ def build_corpus(
             .select("content_key")
             .distinct()
         )
-        base_sigs = spark.read.parquet(f"{base_dir}/neardup_sig_index")
+        # a base built with a --stages subset excluding 'neardup' never
+        # wrote a sig index — chain without one (there are no base
+        # signatures to gate against) instead of failing the read
+        sig_path = os.path.join(base_dir, "neardup_sig_index")
+        if "neardup" in stages and os.path.isdir(sig_path):
+            base_sigs = spark.read.parquet(sig_path)
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     funnel: list[tuple[str, int, int]] = []
@@ -1981,6 +1987,20 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 )
 
 
+def _bpe_sep_guard(w):
+    """Framing invariant guard: no token may contain the chr(1) separator
+    byte. Whitespace tokenization admits control bytes, and a \\x01 inside
+    a token would corrupt the separator-framed merge state IDENTICALLY in
+    the DuckDB oracle (same framing), so the hash gate could never detect
+    it — fail loudly instead of silently mis-merging."""
+    return F.when(
+        F.contains(w, F.lit(chr(1))),
+        F.raise_error(
+            F.lit("BPE framing invariant violated: token contains \\x01")
+        ).cast("string"),
+    ).otherwise(w)
+
+
 @query("text_bpe_merges", oracle=_BPE_MERGES_SQL)
 def text_bpe_merges(
     spark: SparkSession,
@@ -2019,6 +2039,9 @@ def text_bpe_merges(
     # Measured: identical merge tables, and the per-merge fuse drops out of
     # the interpreted path entirely (the K~30k production concern).
     sep = chr(1)
+    # separator-byte invariant checked once per DISTINCT word (vocab
+    # grain — cheap) before any framing is built; see _bpe_sep_guard
+    vocab = vocab.withColumn("w", _bpe_sep_guard(F.col("w")))
     chars = F.filter(F.split(F.col("w"), ""), lambda s: s != "")
     sym = vocab.select(
         F.concat(F.lit(sep), F.array_join(chars, sep + sep), F.lit(sep)).alias(
@@ -2208,10 +2231,28 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r.left, r.right)
         for r in text_bpe_merges(spark, sf_dir).orderBy("rank").collect()
     ]
-    words = F.filter(tokens_expr(F.col("text")), lambda w: w != "")
+    return bpe_apply_replace_plan(d, merges)
+
+
+def bpe_apply_replace_plan(
+    d: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """The replace-chain spelling of BPE application (text_bpe_apply's
+    body, factored so tools/bpe_bench.py can A/B it against the
+    production-K UDF path at arbitrary K). One native replace() per merge
+    over a separator-framed symbol string; plan size grows with K."""
+    # NULL text -> NULL token array would propagate NULL through the
+    # aggregate folds, but the oracle's LEFT JOIN + coalesce reports 0
+    # chars / 0 bpe_tokens — coalesce to the empty array so both engines
+    # agree (same pin simhash_frame carries for null text)
+    words = F.coalesce(
+        F.filter(tokens_expr(F.col(text_col)), lambda w: w != ""),
+        F.array().cast("array<string>"),
+    )
     sep = chr(1)
 
     def word_tokens(w):
+        w = _bpe_sep_guard(w)  # framing invariant, see _bpe_sep_guard
         chars = F.filter(F.split(w, ""), lambda s: s != "")
         r = F.concat(F.lit(sep), F.array_join(chars, sep + sep), F.lit(sep))
         for a, b in merges:
@@ -2239,6 +2280,131 @@ def text_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("chars") > 0, F.expr("(1000 * bpe_tokens) div chars")
         ).alias("compression_per_mille"),
     )
+
+
+def _bpe_encode_len(word: str, ranks: dict) -> int:
+    """Encode ONE word with a rank-priority BPE encoder and return its
+    symbol count. Repeatedly fuses the present pair with the LOWEST merge
+    rank (all occurrences, leftmost-first single scan) until no table
+    pair remains — the GPT-2-family encoder shape, with the K merges in a
+    hash map instead of K expression layers.
+
+    Equivalence to the sequential replace chain (text_bpe_apply), proven
+    not assumed: (1) for a LEARNED merge table every pair's constituent
+    symbols are products of strictly earlier merges, so fusing rank r can
+    only create pairs of rank > r — ranks are therefore visited in
+    increasing order, exactly the sequential chain; (2) one leftmost-first
+    scan leaves no (a,b) adjacency behind (a surviving b must have been
+    appended while the previous symbol was a — but then it would have
+    fused), so fuse-once and fuse-to-exhaustion agree. Pinned bit-identical
+    to the replace chain in tests/test_llm_pipeline.py and re-verified at
+    K in the thousands by tools/bpe_bench.py."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                pair = (syms[i], syms[i + 1])
+        if pair is None:
+            break
+        a, b = pair
+        out = []
+        for x in syms:
+            if out and out[-1] == a and x == b:
+                out[-1] = a + b
+            else:
+                out.append(x)
+        syms = out
+    return len(syms)
+
+
+def bpe_apply_counts_plan(
+    d: DataFrame, merges: list[tuple[str, str]], text_col: str = "text"
+) -> DataFrame:
+    """The PRODUCTION-K half of BPE application: per-document (chars,
+    bpe_tokens, compression) with the K learned merges applied by ONE
+    Arrow-batched pandas UDF instead of K chained replace() expression
+    layers. The replace chain (text_bpe_apply) is optimal at oracle-window
+    K but is K layers of driver plan — at production K~30k that is plan
+    explosion; here K only sizes a broadcast hash map, the plan is one
+    projection regardless of K, and still zero exchanges (map-only).
+
+    Per batch the encoder memoizes word -> symbol count, so compute is
+    vocab-grain per partition (the word-frequency trick at apply time);
+    the per-word encoder is `_bpe_encode_len` (rank-priority fusion,
+    proven equivalent to the sequential chain in its docstring). NULL
+    text reports 0 chars / 0 tokens / NULL compression, matching the
+    oracle's LEFT JOIN + coalesce."""
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+
+    @pandas_udf("long")
+    def _bpe_count(words: pd.Series) -> pd.Series:
+        import numpy as np
+
+        cache: dict[str, int] = {}
+        out = np.zeros(len(words), dtype=np.int64)
+        for i, arr in enumerate(words):
+            if arr is None:
+                continue
+            tot = 0
+            for w in arr:
+                n = cache.get(w)
+                if n is None:
+                    n = _bpe_encode_len(w, ranks)
+                    cache[w] = n
+                tot += n
+            out[i] = tot
+        return pd.Series(out)
+
+    words = F.coalesce(
+        F.filter(tokens_expr(F.col(text_col)), lambda w: w != ""),
+        F.array().cast("array<string>"),
+    )
+    counted = d.select(
+        "doc_id",
+        F.aggregate(
+            F.transform(words, lambda w: F.length(w)),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("long").alias("chars"),
+        _bpe_count(words).alias("bpe_tokens"),
+    )
+    return counted.select(
+        "doc_id", "chars", "bpe_tokens",
+        F.when(
+            F.col("chars") > 0, F.expr("(1000 * bpe_tokens) div chars")
+        ).alias("compression_per_mille"),
+    )
+
+
+@query("text_bpe_apply_trie", oracle=_BPE_APPLY_SQL)
+def text_bpe_apply_trie(
+    spark: SparkSession, sf_dir: str, n_merges: int = _BPE_K
+) -> DataFrame:
+    """`text_bpe_apply` on the production-K execution path: identical
+    output (same oracle, same K-at-registration), but the merges are
+    applied by the rank-priority pandas-UDF encoder
+    (`bpe_apply_counts_plan`) instead of K expression layers — the
+    registered form of the encoder a K~30k tokenizer needs ("trie" in the
+    verdict's naming; the pair hash map plays the trie's role at strictly
+    lower constant cost). Bit-equality with text_bpe_apply is pinned in
+    pytest at the oracle K and re-verified at K in the thousands by
+    tools/bpe_bench.py, where the expression chain cannot go."""
+    d = _t(spark, sf_dir, "documents")
+    merges = [
+        (r.left, r.right)
+        for r in text_bpe_merges(spark, sf_dir, n_merges=n_merges)
+        .orderBy("rank")
+        .collect()
+    ]
+    return bpe_apply_counts_plan(d, merges)
 
 
 _DSIR_B = 1024  # hashed n-gram feature buckets

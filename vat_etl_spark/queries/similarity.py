@@ -1430,9 +1430,11 @@ ann_graph_search.__doc__ = ann_graph_search.__doc__.format(
 # queries against the persisted structure; rebuilding per query would make
 # every search O(build). These builders persist the NN-Descent graph and
 # the IVF+PQ artifacts as parquet keyed on their serve-time join keys (the
-# same discipline as the streaming corpus key index), with a row-count
-# freshness guard: a serve call against a corpus whose size changed
-# triggers a rebuild rather than silently searching a stale index.
+# same discipline as the streaming corpus key index), with a
+# (row count, content fingerprint) freshness guard: a serve call against
+# a corpus whose size OR content changed triggers a rebuild rather than
+# silently searching a stale index — count alone would miss the
+# same-count content drift an incremental corpus rebuild produces.
 # At 100 TB the graph is a bucketed table on `v` and the IVF lists are
 # partitioned by cell id — both written here in exactly that layout.
 
@@ -1453,14 +1455,36 @@ def _index_root(sf_dir: str) -> str:
     return os.path.join(base, os.path.basename(os.path.normpath(sf_dir)))
 
 
-_IDX_VERSION = 2  # bump when the on-disk index LAYOUT changes (v2: +edges_init)
+# bump when the on-disk index LAYOUT changes
+# (v2: +edges_init; v3: meta carries the corpus content fingerprint)
+_IDX_VERSION = 3
 
 
-def _meta_n_vec(spark: SparkSession, path: str) -> int | None:
-    """n_vec recorded in an index's meta file, or None if absent, unreadable,
-    or written by an older layout version (format changes force a rebuild —
-    a row-count match alone must not validate an index missing files the
-    current readers expect)."""
+def _corpus_sig(em: DataFrame) -> tuple[int, int]:
+    """(row count, content fingerprint) of a vector corpus in ONE scan:
+    the fingerprint is the order-insensitive bit_xor of
+    xxhash64(vec_id, embedding). A row-count guard alone silently serves
+    a stale index when content changed but N did not — exactly the
+    incremental-rebuild case `build_corpus` makes routine — so freshness
+    compares BOTH. xor is commutative (partition-order-proof); the only
+    xor blind spot (a row appearing an even number of times toggling
+    out) is covered by the count also having to match AND vec_id making
+    rows distinct. Cost: the same single column scan the old count()
+    guard already paid."""
+    r = em.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64("vec_id", "embedding")), F.lit(0)
+        ).alias("fp"),
+    ).collect()[0]
+    return int(r.n), int(r.fp)
+
+
+def _meta_sig(spark: SparkSession, path: str) -> tuple[int, int] | None:
+    """(n_vec, fingerprint) recorded in an index's meta file, or None if
+    absent, unreadable, or written by an older layout version (format
+    changes force a rebuild — a content match alone must not validate an
+    index missing files the current readers expect)."""
     import os
 
     if not os.path.isdir(f"{path}/meta"):  # local-FS fast path, no JVM error log
@@ -1469,15 +1493,21 @@ def _meta_n_vec(spark: SparkSession, path: str) -> int | None:
         row = spark.read.parquet(f"{path}/meta").collect()[0]
         if ("version" not in row.__fields__) or row.version != _IDX_VERSION:
             return None
-        return row.n_vec
+        return (row.n_vec, row.fp)
     except Exception:
         return None
 
 
-def _write_meta(spark: SparkSession, path: str, n_vec: int) -> None:
+def _meta_n_vec(spark: SparkSession, path: str) -> int | None:
+    """n_vec from the meta file (serve-side seed modulus); None if stale."""
+    sig = _meta_sig(spark, path)
+    return None if sig is None else sig[0]
+
+
+def _write_meta(spark: SparkSession, path: str, n_vec: int, fp: int) -> None:
     spark.createDataFrame(
-        [(n_vec, _NND_K, _NND_ROUNDS, _IDX_VERSION)],
-        "n_vec long, k int, rounds int, version int",
+        [(n_vec, fp, _NND_K, _NND_ROUNDS, _IDX_VERSION)],
+        "n_vec long, fp long, k int, rounds int, version int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
 
 
@@ -1487,13 +1517,13 @@ def build_graph_index(
     """Build & persist the NN-Descent graph (the batch half of graph ANN):
     the descended (v, n, sim) edge list, hash-partitioned and sorted on
     the serve-time join key ``v``. Idempotent: a fresh index (same corpus
-    row count) is left untouched unless ``force``."""
+    row count AND content fingerprint) is left untouched unless
+    ``force``."""
     path = f"{_index_root(sf_dir)}/nnd_graph"
-    em = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", _dbl(F.col("embedding")).alias("ev")
-    )
-    n_vec = em.count()
-    if not force and _meta_n_vec(spark, path) == n_vec:
+    raw = _t(spark, sf_dir, "embeddings")
+    em = raw.select("vec_id", _dbl(F.col("embedding")).alias("ev"))
+    n_vec, fp = _corpus_sig(raw)
+    if not force and _meta_sig(spark, path) == (n_vec, fp):
         return path
     init, graph = _nnd_graph(em)
     (
@@ -1511,7 +1541,7 @@ def build_graph_index(
         .write.mode("overwrite")
         .parquet(f"{path}/edges_init")
     )
-    _write_meta(spark, path, n_vec)
+    _write_meta(spark, path, n_vec, fp)
     return path
 
 
@@ -1534,8 +1564,8 @@ def build_ivfpq_index(
     broadcasts. Same freshness guard as the graph index."""
     path = f"{_index_root(sf_dir)}/ivfpq"
     em = _t(spark, sf_dir, "embeddings")
-    n_vec = em.count()
-    if not force and _meta_n_vec(spark, path) == n_vec:
+    n_vec, fp = _corpus_sig(em)
+    if not force and _meta_sig(spark, path) == (n_vec, fp):
         return path
     assign = QUERIES["ann_ivf_coarse"](spark, sf_dir)
     assign.write.mode("overwrite").partitionBy("centroid_id").parquet(
@@ -1551,7 +1581,7 @@ def build_ivfpq_index(
     em.filter(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("cid"), _dbl(F.col("embedding")).alias("cv")
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    _write_meta(spark, path, n_vec)
+    _write_meta(spark, path, n_vec, fp)
     return path
 
 
