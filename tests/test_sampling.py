@@ -20,6 +20,25 @@ def test_stratified_sample_deterministic(spark, sf_smoke):
     n_p = o.filter(F.col("o_orderstatus") == "P").count()
     got = {r.o_orderstatus: r.n_sampled for r in a}
     assert got.get("P", 0) == n_p
+    # hash-sampled strata land near their 10% rate (binomial-loose bound)
+    for st in ("F", "O"):
+        n_st = o.filter(F.col("o_orderstatus") == st).count()
+        assert 0.03 * n_st < got.get(st, 0) < 0.25 * n_st, (st, got)
+
+
+def test_sampleby_rng_alternative_deterministic(spark, sf_smoke):
+    """The seeded-RNG sampler (`sampleBy`) remains covered as the engine
+    alternative to the registered hash sampler: deterministic for a fixed
+    seed + input layout, exact on a 100% stratum."""
+    from vat_etl_spark.sources.catalog import read_table
+
+    o = read_table(spark, sf_smoke, "orders")
+    fr = {"F": 0.1, "O": 0.1, "P": 1.0}
+    a = o.sampleBy("o_orderstatus", fractions=fr, seed=42).collect()
+    b = o.sampleBy("o_orderstatus", fractions=fr, seed=42).collect()
+    assert sorted(r.o_orderkey for r in a) == sorted(r.o_orderkey for r in b)
+    n_p = o.filter(F.col("o_orderstatus") == "P").count()
+    assert sum(1 for r in a if r.o_orderstatus == "P") == n_p
 
 
 def test_hll_rollup_within_error_bound(spark, sf_smoke):

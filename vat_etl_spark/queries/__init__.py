@@ -57,8 +57,14 @@ _FIRST = [
     # vat flagship (= entry())
     "vat_summary",
     # --- round-9 changes: production-K BPE encoder registration, BPE
-    # null-parity + separator-guard fixes, index fingerprint guard ---
+    # null-parity + separator-guard fixes, index fingerprint guard, and
+    # the five rows-only→hash graduations ---
     "text_bpe_apply_trie",
+    "kmeans_lloyd",
+    "agg_statistics",
+    "sample_stratified_orders",
+    "agg_approx_distinct",
+    "agg_percentile_approx",
     # --- round-8 changes: new planted-audit registration, rows-only→hash
     # graduations (multimodal byte replays, exact-recall LSH join, full
     # IVF/PQ pipeline replays, unrolled-BPE replays), and the queries whose

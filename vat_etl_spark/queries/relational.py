@@ -460,7 +460,15 @@ def agg_mode_period(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_distinct")  # rows-only: HLL estimates are engine-specific
+_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       TRUE AS within_3rsd
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_approx_distinct", oracle=_APPROX_DISTINCT_SQL)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) — the 100 TB path for distinct
     counts (fixed-size sketch, mergeable, no expand); exact twin is
@@ -471,7 +479,16 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     in one agg makes Spark expand to per-(group, value) partial rows, each
     carrying a 16 KB rsd=0.01 HLL buffer through the shuffle — measured
     6.5 s vs 1.4 s split at sf0.1 (the whole point of the sketch is NOT to
-    materialize per-value state)."""
+    materialize per-value state).
+
+    ERROR-BOUND ORACLE (round-9 graduation from rows-only): the raw HLL
+    estimate is engine-specific, so what the hash gate pins is the exact
+    count plus the ACCURACY CONTRACT — ``within_3rsd`` is computed
+    Spark-side as |approx/exact − 1| ≤ 3·rsd (rsd=0.01; the sketch is
+    merge-order-independent, so the verdict is a deterministic fact of
+    the input), and the oracle states the expected verdict. A sketch
+    regression flips the boolean and fails the hash. The numeric estimate
+    itself stays asserted in tests/test_sampling.py."""
     li = _t(spark, sf_dir, "lineitem")
     approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders")
@@ -479,7 +496,19 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = li.groupBy("l_returnflag").agg(
         F.countDistinct("l_orderkey").alias("exact_orders")
     )
-    return approx.join(exact, "l_returnflag")
+    j = approx.join(exact, "l_returnflag")
+    return j.select(
+        "l_returnflag",
+        "exact_orders",
+        (
+            F.abs(
+                F.col("approx_orders").cast("double")
+                / F.col("exact_orders").cast("double")
+                - 1.0
+            )
+            <= 0.03
+        ).alias("within_3rsd"),
+    )
 
 
 # --- subqueries (EXISTS / scalar / HAVING) ------------------------------------
@@ -818,45 +847,161 @@ def pipeline_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_statistics")  # rows-only: float co-moment accumulation order
+# the derived-moment arithmetic, shared verbatim by the Spark projection
+# (F.expr) and the DuckDB oracle so both engines execute the IDENTICAL
+# IEEE expression tree over bit-identical integer moments
+_STATS_D = {
+    "nd": "cast(n as double)",
+    "sx": "cast(sx as double)",
+    "sxx": "cast(sxx as double)",
+    "sy": "cast(sy as double)",
+    "syy": "cast(syy as double)",
+    "sxy": "cast(sxy as double)",
+}
+_STATS_VAR = "(({sxx} - {sx} * {sx} / {nd}) / ({nd} - 1.0)) / 10000.0".format(
+    **_STATS_D
+)
+_STATS_EXPRS = {
+    "stddev_price": f"sqrt({_STATS_VAR})",
+    "var_price": _STATS_VAR,
+    "corr_price_cust": (
+        "({sxy} - {sx} * {sy} / {nd}) / "
+        "sqrt(({sxx} - {sx} * {sx} / {nd}) * ({syy} - {sy} * {sy} / {nd}))"
+    ).format(**_STATS_D),
+    "covar_price_cust": (
+        "(({sxy} - {sx} * {sy} / {nd}) / ({nd} - 1.0)) / 100.0"
+    ).format(**_STATS_D),
+}
+
+_STATS_SQL = """
+WITH m AS (
+  SELECT o_orderstatus,
+    CAST(count(*) AS BIGINT) AS n,
+    sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS sx,
+    sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS sxx,
+    sum(CAST(o_custkey AS DECIMAL(38,0))) AS sy,
+    sum(CAST(o_custkey * o_custkey AS DECIMAL(38,0))) AS syy,
+    sum(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             * o_custkey AS DECIMAL(38,0))) AS sxy
+  FROM orders GROUP BY o_orderstatus
+)
+SELECT o_orderstatus, n,
+  {stddev_price} AS stddev_price,
+  {var_price} AS var_price,
+  {corr_price_cust} AS corr_price_cust,
+  {covar_price_cust} AS covar_price_cust
+FROM m
+""".format(**_STATS_EXPRS)
+
+
+@query("agg_statistics", oracle=_STATS_SQL)
 def agg_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates (stddev/variance/correlation/covariance —
-    single-pass co-moment formulations, partial-aggregatable at scale).
-    Engine-specific accumulation ordering keeps these out of the hash
-    oracle; pytest checks them against numpy within 1e-9 relative."""
+    """Statistical aggregates (stddev/variance/correlation/covariance) in
+    the cross-engine-EXACT co-moment formulation: the five moments Σx,
+    Σx², Σy, Σy², Σxy accumulate as EXACT integers (price in cents —
+    2-dp money, so cents are exact and cents² stays inside long range,
+    unlike price-micros² which would leave the double-exact domain),
+    summed into DECIMAL(38,0); the derived statistics are then ONE fixed
+    IEEE expression per output, shared VERBATIM with the DuckDB oracle
+    (_STATS_EXPRS), so every operand and operation is bit-identical and
+    the hash gate holds with no tolerance. Same single-pass,
+    partial-aggregatable shape as the float-native builtins
+    (stddev_samp/corr/covar_samp), which remain pinned against this exact
+    form and numpy in test_numeric.py — graduated from rows-only in
+    round 9."""
     o = _t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
+    cents = F.floor(F.col("o_totalprice").cast("double") * 100 + F.lit(0.5)).cast(
+        "long"
+    )
+    y = F.col("o_custkey")
+    m = o.groupBy("o_orderstatus").agg(
         F.count("*").alias("n"),
-        F.stddev_samp("o_totalprice").alias("stddev_price"),
-        F.var_samp("o_totalprice").alias("var_price"),
-        F.corr("o_totalprice", "o_custkey").alias("corr_price_cust"),
-        F.covar_samp("o_totalprice", "o_custkey").alias("covar_price_cust"),
+        F.sum(cents.cast("decimal(38,0)")).alias("sx"),
+        F.sum((cents * cents).cast("decimal(38,0)")).alias("sxx"),
+        F.sum(y.cast("decimal(38,0)")).alias("sy"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"),
+        F.sum((cents * y).cast("decimal(38,0)")).alias("sxy"),
+    )
+    return m.select(
+        "o_orderstatus",
+        "n",
+        *[F.expr(e).alias(name) for name, e in _STATS_EXPRS.items()],
     )
 
 
-@query("agg_percentile_approx")  # rows-only: sketch estimates are engine-specific
+_PCT_APPROX_SQL = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+       TRUE AS p50_in_bound, TRUE AS p90_in_bound, TRUE AS p99_in_bound
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query("agg_percentile_approx", oracle=_PCT_APPROX_SQL)
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch): one pass, fixed memory,
     mergeable partials — the 100 TB path for quantiles (exact twin:
     agg_percentiles, which needs a per-group sort). accuracy=10000 bounds
-    rank error at 1/10000. Output is three scalar columns (not the raw
-    array) so order-insensitive canonicalizers can sort/hash the rows."""
+    rank error at n/10000.
+
+    ERROR-BOUND ORACLE (round-9 graduation from rows-only): the sketch
+    values are engine-specific, so the hash gate pins the group keys, the
+    group sizes, and the RANK-ERROR CONTRACT — for each quantile q the
+    query re-ranks the returned value against the raw column (count of
+    values <,≤ it — exact integer work) and checks the bracketing rank
+    interval intersects [q·n − n/10⁴ − 1, q·n + n/10⁴ + 1]; the oracle
+    states the expected verdict. A sketch regression (or a silently
+    loosened accuracy) flips a boolean and fails the hash. The numeric
+    estimates stay asserted against exact percentiles in
+    tests/test_numeric.py."""
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    a = (
         li.groupBy("l_returnflag")
         .agg(
             F.percentile_approx(
                 "l_extendedprice", [0.5, 0.9, 0.99], 10000
             ).alias("pcts"),
-            F.count("*").alias("n"),
         )
         .select(
             "l_returnflag",
-            F.element_at("pcts", 1).alias("p50_approx"),
-            F.element_at("pcts", 2).alias("p90_approx"),
-            F.element_at("pcts", 3).alias("p99_approx"),
-            "n",
+            F.element_at("pcts", 1).alias("p50"),
+            F.element_at("pcts", 2).alias("p90"),
+            F.element_at("pcts", 3).alias("p99"),
         )
+    )
+    j = li.select("l_returnflag", "l_extendedprice").join(
+        F.broadcast(a), "l_returnflag"
+    )
+    x = F.col("l_extendedprice")
+    ranks = j.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        *[
+            agg
+            for qn in ("p50", "p90", "p99")
+            for agg in (
+                F.sum((x < F.col(qn)).cast("long")).alias(f"lt_{qn}"),
+                F.sum((x <= F.col(qn)).cast("long")).alias(f"le_{qn}"),
+            )
+        ],
+    )
+
+    def in_bound(qn: str, q: float):
+        n = F.col("n").cast("double")
+        slack = n / 10000.0 + 1.0
+        target = q * n
+        # the value's true-rank interval is [lt+1, le]; it must intersect
+        # the sketch's guaranteed rank window around q·n
+        return (
+            (F.col(f"lt_{qn}").cast("double") + 1.0 <= target + slack)
+            & (F.col(f"le_{qn}").cast("double") >= target - slack)
+        ).alias(f"{qn}_in_bound")
+
+    return ranks.select(
+        "l_returnflag",
+        "n",
+        in_bound("p50", 0.5),
+        in_bound("p90", 0.9),
+        in_bound("p99", 0.99),
     )
 
 
@@ -1052,20 +1197,47 @@ def agg_listagg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- sampling & mergeable sketches --------------------------------------------
 
 
-@query("sample_stratified_orders")  # rows-only: sampling is engine-specific
+_STRAT_SAMPLE_SQL = f"""
+WITH s AS (
+  SELECT * FROM orders
+  WHERE CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4)) AS INTEGER) % 1000
+        < CASE WHEN o_orderstatus = 'P' THEN 1000 ELSE 100 END
+)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_sampled,
+       {{davg}} AS avg_price
+FROM s GROUP BY o_orderstatus
+""".format(davg=davg_sql("o_totalprice"))
+
+
+@query("sample_stratified_orders", oracle=_STRAT_SAMPLE_SQL)
 def sample_stratified_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling (``sampleBy``): per-stratum Bernoulli rates with a
-    fixed seed — the dataset-balancing primitive for training-data curation
-    (e.g. downsample the dominant class, keep the rare one). Deterministic
-    for a fixed seed + input layout (asserted in test_sampling.py); no
-    shuffle — sampling is evaluated inside the scan stage."""
+    """Stratified sampling with per-stratum rates — the dataset-balancing
+    primitive for training-data curation (downsample the dominant class,
+    keep the rare one: F/O at 10%, P at 100%). The admission predicate is
+    a DETERMINISTIC key hash (first 16 bits of md5(o_orderkey) mod 1000 <
+    rate‰) rather than an RNG draw: the production-reproducible form — a
+    row's fate is a pure function of its key, so re-runs, retries, and
+    other engines agree row-for-row (which is also what makes the DuckDB
+    oracle possible; `sampleBy`'s seeded Bernoulli draw is engine-specific
+    and stays covered as the RNG alternative in test_sampling.py). No
+    shuffle: the predicate evaluates inside the scan stage; the aggregate
+    is one stratum-keyed exchange. Graduated from rows-only in round 9."""
     o = _t(spark, sf_dir, "orders")
-    sampled = o.sampleBy(
-        "o_orderstatus", fractions={"F": 0.1, "O": 0.1, "P": 1.0}, seed=42
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.col("o_orderkey").cast("string").cast("binary")), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
     )
+    rate = F.when(F.col("o_orderstatus") == "P", 1000).otherwise(100)
+    sampled = o.filter(bucket < rate)
     return sampled.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_sampled"),
-        F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        davg(F.col("o_totalprice")).alias("avg_price"),
     )
 
 

@@ -254,7 +254,68 @@ def knn_vectorized_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("kmeans_lloyd")  # rows-only: float mean accumulation is engine-specific
+_KM_K = 8
+_KM_ITERS = 3
+_KM_DIM = 64
+
+
+def _km_ctes() -> str:
+    """Unrolled Lloyd iterations for the DuckDB replay (the BPE-oracle
+    convention: the iterative loop as a static CTE chain). Centroid
+    updates are EXACT integer-micros means — bit-identical to the Spark
+    trainer — and assignment tie-breaks on the lowest cid, matching
+    numpy argmax's first-max rule."""
+    parts = [
+        f"""v AS (SELECT vec_id, cast(embedding AS DOUBLE[]) AS x FROM embeddings),
+cent0 AS (SELECT CAST(vec_id AS INT) AS cid, cast(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < {_KM_K})"""
+    ]
+    for r in range(1, _KM_ITERS + 1):
+        parts.append(
+            f"""a{r} AS (
+  SELECT vec_id, x, cid FROM (
+    SELECT v.vec_id, v.x, c.cid,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.x, c.cv) DESC, c.cid) AS rn
+    FROM v CROSS JOIN cent{r - 1} c) WHERE rn = 1
+),
+nu{r} AS (
+  SELECT cid, list(m ORDER BY d) AS cv FROM (
+    SELECT cid, i AS d,
+           CAST(sum(CAST(floor(x[CAST(i AS INT)] * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE) * 1000000.0) AS m
+    FROM a{r}, UNNEST(generate_series(1, {_KM_DIM})) AS g(i)
+    GROUP BY cid, i
+  ) GROUP BY cid
+),
+cent{r} AS (
+  SELECT p.cid, COALESCE(n.cv, p.cv) AS cv
+  FROM cent{r - 1} p LEFT JOIN nu{r} n ON n.cid = p.cid
+)"""
+        )
+    return ",\n".join(parts)
+
+
+_KMEANS_SQL = (
+    "WITH "
+    + _km_ctes()
+    + f""",
+final AS (
+  SELECT vec_id, cid, cos FROM (
+    SELECT v.vec_id, c.cid, list_cosine_similarity(v.x, c.cv) AS cos,
+           row_number() OVER (PARTITION BY v.vec_id
+             ORDER BY list_cosine_similarity(v.x, c.cv) DESC, c.cid) AS rn
+    FROM v CROSS JOIN cent{_KM_ITERS} c) WHERE rn = 1
+)
+SELECT CAST(cid AS INT) AS cid, CAST(count(*) AS BIGINT) AS n_members,
+       CAST(floor(CAST(sum(CAST(floor(cos * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_cos_micros
+FROM final GROUP BY cid
+"""
+)
+
+
+@query("kmeans_lloyd", oracle=_KMEANS_SQL)
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-means (K=8, 3 Lloyd iterations, deterministic init = the 8
     lowest-id vectors) over the embeddings — the iterative-refinement
@@ -265,15 +326,22 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
       — the legitimate UDF case: per-row native expressions would build an
       8-way × 64-dim expression tree that defeats codegen);
     - the DATA never collects: each iteration is assign (map-only) →
-      per-dimension avg aggregate (64 avg columns, one shuffle of K×dim
+      per-dimension mean aggregate (64 columns, one shuffle of K×dim
       partials), and only the K×dim centroid matrix comes back to the
       driver;
     - per-iteration lineage is cut by re-broadcasting plain Python lists,
       so the plan stays 2 stages per iteration at any scale.
 
-    Output: final cluster sizes + per-cluster mean cosine to centroid
-    (rows-only: float means are accumulation-order-dependent; pytest
-    asserts run-to-run determinism and that inertia is non-increasing)."""
+    ORACLE (round-9 graduation from rows-only): centroid updates are
+    EXACT integer-micros means (per-row floor(x·10⁶+0.5) — inputs are
+    float32→double, so the quantization is bit-identical in both engines;
+    integer sums are order-proof; the one division per dimension is IEEE-
+    deterministic), so the per-iteration centroid state is bit-identical
+    to the DuckDB replay (_km_ctes — unrolled CTEs, the BPE-oracle
+    convention). Assignment argmax tie-breaks on the lowest cid in both
+    engines; raw cosines carry ulp-level SIMD-vs-fold jitter (the
+    knn_vectorized_numpy caveat), which argmax and the micros-rounded
+    mean absorb. Output: cluster sizes + integer-micros mean cosine."""
     import numpy as np
     import pandas as pd
 
@@ -310,21 +378,35 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "vec_id long, cid int, cos double, ev array<double>"
     # one SQL-text parse for all 64 per-dimension means: building 64
-    # F.avg(col[i]).alias(...) Columns is ~200 py4j round-trips per
-    # iteration of pure driver latency (see functions/ranks.py for the
-    # same lesson at RFM scale); array(avg(ev[0]), ...) is ONE call
+    # aggregate Columns is ~200 py4j round-trips per iteration of pure
+    # driver latency (see functions/ranks.py for the same lesson at RFM
+    # scale); array(..., ...) is ONE call. The mean is the exact
+    # integer-micros form (sum of floor(x·1e6+0.5) longs, one IEEE
+    # division) so the centroid state is bit-identical cross-engine.
     mean_vec = F.expr(
-        "array(" + ", ".join(f"avg(ev[{i}])" for i in range(dim)) + ")"
+        "array("
+        + ", ".join(
+            f"cast(sum(cast(floor(ev[{i}] * 1000000.0 + 0.5) as bigint)) as double)"
+            f" / (cast(count(*) as double) * 1000000.0)"
+            for i in range(dim)
+        )
+        + ")"
     ).alias("ds")
-    for _ in range(3):
+    for _ in range(_KM_ITERS):
         assigned = em.mapInPandas(assign_fn(centroids), schema=schema)
         for r in assigned.groupBy("cid").agg(mean_vec).collect():
             centroids[r.cid] = r.ds
     final = em.mapInPandas(assign_fn(centroids), schema=schema)
     return final.groupBy("cid").agg(
         F.count("*").alias("n_members"),
-        F.round(F.avg("cos"), 6).alias("mean_cos"),
-    )
+        F.floor(
+            F.sum(
+                F.floor(F.col("cos") * 1000000.0 + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / F.count("*").cast("double")
+            + F.lit(0.5)
+        ).cast("long").alias("mean_cos_micros"),
+    ).select(F.col("cid").cast("int").alias("cid"), "n_members", "mean_cos_micros")
 
 
 _QUANT_SQL = """
