@@ -215,17 +215,29 @@ def test_nndescent_converges_from_noise(spark, sf_smoke):
 
 
 def test_graph_search_beats_floor_with_bounded_touch(spark, sf_smoke):
-    """Beam search over the descent graph must hold mean recall@10 >= 0.5
-    (measured 0.64 at sf0.01) while touching well under half the corpus —
-    the entire point of a graph index. Per-query work is
-    O(seeds + hops*beam*K), ABSOLUTE not proportional, so the touched
-    fraction only shrinks at larger N."""
+    """Beam search over the descent graph must hold mean recall@10 >= 0.8
+    (HNSW-grade serving; measured 0.98 at sf0.01 and 0.94 at sf0.1 after
+    the round-10 reverse-augmented serve graph + 64/24/10 serve budget)
+    while the work stays ABSOLUTE: n_scored is bounded by
+    seeds + hops*beam*out_degree regardless of N, so the touched FRACTION
+    only shrinks at larger N (measured 0.43 at N=2000, SCALE.md row;
+    at the 500-vector smoke corpus the absolute budget saturates most of
+    the corpus — that is the expected small-N regime, not a regression)."""
+    from vat_etl_spark.queries.similarity import (
+        _GS_BEAM,
+        _GS_HOPS,
+        _GS_SEEDS,
+        _SERVE_DEG,
+    )
+
     rows = QUERIES["ann_graph_search"](spark, sf_smoke).collect()
     assert len(rows) == 5
     mean = sum(r.recall_at_10 for r in rows) / len(rows)
-    assert mean >= 0.5, [tuple(r) for r in rows]
+    assert mean >= 0.8, [tuple(r) for r in rows]
+    bound = _GS_SEEDS + _GS_HOPS * _GS_BEAM * _SERVE_DEG
     for r in rows:
-        assert r.n_scored < 0.5 * r.n_corpus, tuple(r)
+        assert r.n_scored < r.n_corpus, tuple(r)
+        assert r.n_scored <= bound, (tuple(r), bound)
 
 
 def test_ann_index_build_serve_lifecycle(spark, sf_smoke, tmp_path, monkeypatch):
