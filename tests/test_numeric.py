@@ -163,7 +163,7 @@ def test_registered_agg_approx_distinct_error_bound(spark, sf_smoke):
 
     rows = QUERIES["agg_approx_distinct"](spark, sf_smoke).collect()
     assert len(rows) >= 2
-    assert all(r.within_3rsd for r in rows)
+    assert all(r.within_5rsd for r in rows)
     li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
     est = {
         r.l_returnflag: (r.a, r.e)

@@ -42,22 +42,19 @@ def test_sampleby_rng_alternative_deterministic(spark, sf_smoke):
 
 
 def test_hll_rollup_within_error_bound(spark, sf_smoke):
-    from vat_etl_spark.sources.catalog import read_table
+    """Raw-estimate numerics (±3% at lgConfigK=14) via the inner frame;
+    the registered query's output is the hash-stable (exact, verdict)
+    projection, asserted alongside."""
+    from vat_etl_spark.queries.relational import _hll_rollup_frame
 
-    approx = {
-        r.yr: r.approx_distinct_customers
-        for r in QUERIES["agg_hll_mergeable"](spark, sf_smoke).collect()
-    }
-    o = read_table(spark, sf_smoke, "orders")
-    exact = {
-        r.yr: r.n
-        for r in o.groupBy(F.year("o_orderdate").alias("yr"))
-        .agg(F.countDistinct("o_custkey").alias("n"))
-        .collect()
-    }
-    assert set(approx) == set(exact)
-    for yr, n in exact.items():
-        assert abs(approx[yr] - n) <= max(3, 0.03 * n), (yr, approx[yr], n)
+    rows = _hll_rollup_frame(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        n = r.exact_distinct_customers
+        assert abs(r.approx_distinct_customers - n) <= max(3, 0.03 * n), tuple(r)
+    reg = QUERIES["agg_hll_mergeable"](spark, sf_smoke).collect()
+    assert {x.yr for x in reg} == {r.yr for r in rows}
+    assert all(x.within_bound for x in reg)
 
 
 def test_orc_roundtrip(spark, sf_smoke, tmp_path):
@@ -75,31 +72,44 @@ def test_orc_roundtrip(spark, sf_smoke, tmp_path):
 
 
 def test_countmin_estimates_bound_exact_counts(spark, sf_smoke):
+    from vat_etl_spark.queries.relational import _countmin_frame
+
+    raw = _countmin_frame(spark, sf_smoke)
+    assert len(raw) == 10
+    for pk, exact, est, n_total in raw:
+        assert est >= exact  # CMS never undercounts
+        assert est <= exact + 0.01 * n_total  # ε·N w.h.p.
     rows = QUERIES["agg_countmin_heavy_hitters"](spark, sf_smoke).collect()
     assert len(rows) == 10
-    for r in rows:
-        assert r.est_count >= r.exact_count  # CMS never undercounts
-        assert r.est_count <= r.exact_count + 0.01 * r.n_total  # ε·N w.h.p.
+    assert all(r.est_ge_exact and r.est_within_eps for r in rows)
 
 
 def test_rolling_hll_tracks_exact_rolling_distinct(spark, sf_smoke):
-    est = {
-        r.anchor_day: r.approx_users_7d
-        for r in QUERIES["ts_rolling_distinct_hll"](spark, sf_smoke).collect()
+    from vat_etl_spark.queries.timeseries import _rolling_hll_frame
+
+    raw = {
+        r.anchor_day: (r.approx_users_7d, r.exact_users_7d)
+        for r in _rolling_hll_frame(spark, sf_smoke).collect()
     }
     exact = {
         r.day: r.users_7d
         for r in QUERIES["ts_rolling_distinct_users"](spark, sf_smoke).collect()
     }
-    assert set(est) == set(exact)
+    assert set(raw) == set(exact)
     for day, ex in exact.items():
-        assert abs(est[day] - ex) <= max(2, 0.03 * ex), (day, est[day], ex)
+        est, ex_frame = raw[day]
+        assert ex_frame == ex, (day, ex_frame, ex)  # inner exact == twin
+        assert abs(est - ex) <= max(2, 0.03 * ex), (day, est, ex)
+    reg = QUERIES["ts_rolling_distinct_hll"](spark, sf_smoke).collect()
+    assert {r.anchor_day for r in reg} == set(exact)
+    assert all(r.within_bound for r in reg)
 
 
 def test_hll_intersection_tracks_exact_overlap(spark, sf_smoke):
+    from vat_etl_spark.queries.dedup import _hll_intersection_frame
     from vat_etl_spark.sources.catalog import read_events
 
-    row = QUERIES["agg_hll_intersection"](spark, sf_smoke).collect()[0]
+    d = _hll_intersection_frame(spark, sf_smoke)
     # read_events branches on the parquet ts physical type (long vs
     # timestamp_ntz) — hand-rolling the conversion breaks on Sparks that
     # read NANOS natively (catalog.py:40-44).
@@ -108,5 +118,8 @@ def test_hll_intersection_tracks_exact_overlap(spark, sf_smoke):
     purchasers = {r.user_id for r in e.where("event_type = 'purchase'").select("user_id").distinct().collect()}
     exact = len(clickers & purchasers)
     assert exact > 0
+    assert d["exact_intersection"] == exact
     # inclusion-exclusion compounds three ±~1% sketch errors
-    assert abs(row.intersection_est - exact) <= max(3, 0.1 * exact), (row, exact)
+    assert abs(d["intersection_est"] - exact) <= max(3, 0.1 * exact), (d, exact)
+    row = QUERIES["agg_hll_intersection"](spark, sf_smoke).collect()[0]
+    assert row.within_bound and row.exact_intersection == exact

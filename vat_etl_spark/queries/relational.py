@@ -463,7 +463,7 @@ def agg_mode_period(spark: SparkSession, sf_dir: str) -> DataFrame:
 _APPROX_DISTINCT_SQL = """
 SELECT l_returnflag,
        CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
-       TRUE AS within_3rsd
+       TRUE AS within_5rsd
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -483,12 +483,19 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ERROR-BOUND ORACLE (round-9 graduation from rows-only): the raw HLL
     estimate is engine-specific, so what the hash gate pins is the exact
-    count plus the ACCURACY CONTRACT — ``within_3rsd`` is computed
-    Spark-side as |approx/exact − 1| ≤ 3·rsd (rsd=0.01; the sketch is
+    count plus the ACCURACY CONTRACT — ``within_5rsd`` is computed
+    Spark-side as |approx/exact − 1| ≤ 5·rsd (rsd=0.01; the sketch is
     merge-order-independent, so the verdict is a deterministic fact of
     the input), and the oracle states the expected verdict. A sketch
     regression flips the boolean and fails the hash. The numeric estimate
-    itself stays asserted in tests/test_sampling.py."""
+    itself stays asserted in tests/test_numeric.py.
+
+    Round 10 (ADVICE): the bound is 5·rsd, not 3 — rsd is a standard
+    deviation, not a hard bound, and a 3σ gate would legitimately fail
+    ~0.3% of (dataset, group) draws with no regression; at 5σ a flip is a
+    near-certain signal. The verdict remains a deterministic fact of the
+    PINNED input either way — the widening buys contract headroom on
+    future datasets, not flakiness on this one."""
     li = _t(spark, sf_dir, "lineitem")
     approx = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey", 0.01).alias("approx_orders")
@@ -506,8 +513,8 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.col("exact_orders").cast("double")
                 - 1.0
             )
-            <= 0.03
-        ).alias("within_3rsd"),
+            <= 0.05
+        ).alias("within_5rsd"),
     )
 
 
@@ -1392,20 +1399,15 @@ def sample_hash_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_hll_mergeable")  # rows-only: sketch binaries are engine-specific
-def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Re-aggregatable distinct counting with Apache DataSketches HLL:
-    per-month sketches built in one pass, then MERGED (hll_union_agg) to
-    yearly estimates without touching the raw data again. This is the 100 TB
-    rollup pattern — materialize small mergeable sketches per partition;
-    any coarser grain is a cheap union over sketches instead of a re-scan.
-    Estimate accuracy vs exact count is asserted in pytest (±3% at
-    lgConfigK=14)."""
+def _hll_rollup_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(yr, n_months, approx_distinct_customers, exact_distinct_customers)
+    — the sketch rollup next to its exact twin; the registered query
+    projects the hash-stable columns, pytest asserts the raw estimate."""
     o = _t(spark, sf_dir, "orders")
     monthly = o.groupBy(
         F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
     ).agg(F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"))
-    return (
+    yearly = (
         monthly.groupBy("yr")
         .agg(F.hll_union_agg("sk").alias("sk_year"), F.count("*").alias("n_months"))
         .select(
@@ -1413,6 +1415,46 @@ def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_months",
             F.hll_sketch_estimate("sk_year").cast("long").alias("approx_distinct_customers"),
         )
+    )
+    exact = o.groupBy(F.year("o_orderdate").alias("yr")).agg(
+        F.countDistinct("o_custkey").alias("exact_distinct_customers")
+    )
+    return yearly.join(exact, "yr")
+
+
+_HLL_MERGEABLE_SQL = """
+SELECT year(o_orderdate) AS yr,
+       CAST(count(DISTINCT month(o_orderdate)) AS BIGINT) AS n_months,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_distinct_customers,
+       TRUE AS within_bound
+FROM orders GROUP BY 1
+"""
+
+
+@query("agg_hll_mergeable", oracle=_HLL_MERGEABLE_SQL)
+def agg_hll_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-aggregatable distinct counting with Apache DataSketches HLL:
+    per-month sketches built in one pass, then MERGED (hll_union_agg) to
+    yearly estimates without touching the raw data again. This is the 100 TB
+    rollup pattern — materialize small mergeable sketches per partition;
+    any coarser grain is a cheap union over sketches instead of a re-scan.
+
+    ERROR-BOUND ORACLE (round-10 graduation from rows-only, the
+    agg_approx_distinct pattern): the sketch binary and its estimate are
+    engine-specific, so the hash gate pins group keys + exact counts + the
+    Spark-computed accuracy verdict ``within_bound`` =
+    |approx − exact| ≤ greatest(3, 5%·exact) — ~5·rse at lgConfigK=14
+    (rse ≈ 1.04/√2¹⁴ ≈ 0.81%), with a small absolute floor for tiny
+    groups (where DataSketches HLL is in exact sparse mode anyway). The
+    raw estimate stays asserted ±3% in tests/test_sampling.py."""
+    y = _hll_rollup_frame(spark, sf_dir)
+    ap = F.col("approx_distinct_customers").cast("double")
+    ex = F.col("exact_distinct_customers").cast("double")
+    return y.select(
+        "yr",
+        "n_months",
+        "exact_distinct_customers",
+        (F.abs(ap - ex) <= F.greatest(F.lit(3.0), 0.05 * ex)).alias("within_bound"),
     )
 
 
@@ -1801,21 +1843,11 @@ def feature_zscore_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_countmin_heavy_hitters")  # rows-only: sketch binaries are engine-specific
-def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count-Min frequency sketching with partial-merge rollup: per-month
-    CMS sketches of part demand (one pass, `count_min_sketch` aggregate),
-    merged driver-side into a corpus sketch that answers point frequency
-    queries for the exact top-10 parts — the frequency-domain sibling of
-    the HLL rollup above, and the other half of the mergeable-sketch
-    story: HLL answers 'how many distinct', CMS answers 'how often does X
-    appear', both without re-scanning raw data at coarser grains.
-
-    The merged estimate is compared row-by-row against exact counts; CMS
-    guarantees est ≥ exact and (w.h.p.) est ≤ exact + ε·N — asserted in
-    tests/test_sampling.py. At 100 TB the per-partition sketches are a few
-    KB each (ε=0.01 → 2000×7 counters), so the merge moves kilobytes where
-    a re-aggregation would move the fact table."""
+def _countmin_frame(spark: SparkSession, sf_dir: str):
+    """Rows (partkey, exact_count, est_count, n_total) for the top-10
+    parts: the CMS estimate next to its exact twin. The registered query
+    projects the hash-stable verdict columns; pytest asserts the raw
+    estimate numerics here."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_partkey").cast("int").alias("pk"), "l_shipdate"
     )
@@ -1840,12 +1872,63 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     n_total = li.count()
-    out = [
+    return [
         (int(r["pk"]), int(r["exact_count"]), int(merged.estimateCount(r["pk"])), n_total)
         for r in top
     ]
+
+
+_COUNTMIN_SQL = """
+WITH top AS (
+  SELECT CAST(l_partkey AS INT) AS partkey, count(*) AS exact_count
+  FROM lineitem GROUP BY 1
+  ORDER BY exact_count DESC, partkey LIMIT 10
+), t AS (SELECT count(*) AS n_total FROM lineitem)
+SELECT partkey, CAST(exact_count AS BIGINT) AS exact_count,
+       CAST(n_total AS BIGINT) AS n_total,
+       TRUE AS est_ge_exact, TRUE AS est_within_eps
+FROM top CROSS JOIN t
+"""
+
+
+@query("agg_countmin_heavy_hitters", oracle=_COUNTMIN_SQL)
+def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketching with partial-merge rollup: per-month
+    CMS sketches of part demand (one pass, `count_min_sketch` aggregate),
+    merged driver-side into a corpus sketch that answers point frequency
+    queries for the exact top-10 parts — the frequency-domain sibling of
+    the HLL rollup above, and the other half of the mergeable-sketch
+    story: HLL answers 'how many distinct', CMS answers 'how often does X
+    appear', both without re-scanning raw data at coarser grains.
+
+    ERROR-BOUND ORACLE (round-10 graduation from rows-only): the sketch
+    counters are engine-specific, so the hash gate pins the top-10 keys +
+    exact counts + the two CMS accuracy-contract verdicts, both computed
+    Spark-side from the merged sketch: ``est_ge_exact`` (est ≥ exact — a
+    HARD CMS guarantee, any flip is a real regression) and
+    ``est_within_eps`` (est ≤ exact + ε·N, ε=0.01 — holds w.p. ≥ δ=0.99
+    per query; over 10 pinned queries on the pinned datasets this is
+    deterministic and verified, but on a NEW dataset a legitimate ~1%
+    per-query overflow is possible — dataset-pinned by design, like the
+    HLL bounds). Raw estimates stay asserted in tests/test_sampling.py.
+    At 100 TB the per-partition sketches are a few KB each (ε=0.01 →
+    2000×7 counters), so the merge moves kilobytes where a re-aggregation
+    would move the fact table."""
+    out = _countmin_frame(spark, sf_dir)
+    rows = [
+        (
+            pk,
+            exact,
+            n_total,
+            est >= exact,
+            est <= exact + 0.01 * n_total,
+        )
+        for (pk, exact, est, n_total) in out
+    ]
     return spark.createDataFrame(
-        out, "partkey int, exact_count long, est_count long, n_total long"
+        rows,
+        "partkey int, exact_count long, n_total long, "
+        "est_ge_exact boolean, est_within_eps boolean",
     )
 
 

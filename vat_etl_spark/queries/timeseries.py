@@ -650,7 +650,60 @@ def ts_interarrival_p95(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ts_rolling_distinct_hll")  # rows-only: sketch estimates are engine-specific
+def _rolling_hll_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(anchor_day, approx_users_7d, exact_users_7d) — the sketch rollup
+    next to its exact banded-join twin; the registered query projects the
+    hash-stable columns, pytest asserts the raw estimate."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
+    )
+    # each day's sketch serves anchors day..day+6; anchors are then
+    # SEMI-JOINED back to the day spine, so the output grain matches the
+    # exact twin (an absent day is not an anchor) and no driver-side
+    # max(day) round-trip is needed
+    fanned = daily.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("anchor_day"),
+        "sk",
+    ).join(
+        daily.select(F.col("day").alias("anchor_day")), "anchor_day", "left_semi"
+    )
+    est = (
+        fanned.groupBy("anchor_day")
+        .agg(F.hll_union_agg("sk").alias("sk7"))
+        .select(
+            "anchor_day",
+            F.hll_sketch_estimate("sk7").cast("long").alias("approx_users_7d"),
+        )
+    )
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = du.select("day").distinct().alias("d")
+    u = du.alias("u")
+    cond = (F.col("u.day") >= F.date_sub(F.col("d.day"), 6)) & (
+        F.col("u.day") <= F.col("d.day")
+    )
+    exact = (
+        days.join(u, cond)
+        .groupBy(F.col("d.day").alias("anchor_day"))
+        .agg(F.countDistinct("u.user_id").alias("exact_users_7d"))
+    )
+    return est.join(exact, "anchor_day")
+
+
+_ROLLING_HLL_SQL = """
+WITH du AS (SELECT DISTINCT cast(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM du)
+SELECT d.day AS anchor_day,
+       CAST(count(DISTINCT u.user_id) AS BIGINT) AS exact_users_7d,
+       TRUE AS within_bound
+FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+GROUP BY 1
+"""
+
+
+@query("ts_rolling_distinct_hll", oracle=_ROLLING_HLL_SQL)
 def ts_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB spelling of trailing-7-day distinct users: ONE per-day HLL
     sketch pass over the facts, then each day's sketch is broadcast onto
@@ -659,29 +712,24 @@ def ts_rolling_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     network, only kilobyte sketches.
 
     This is the estimate/exact trade documented on
-    `ts_rolling_distinct_users` (the exact banded-join form) made real;
-    tests/test_sampling.py pins the estimate to within ±3% of the exact
-    rolling counts at lgConfigK=14. Scale shape: 1 fact agg to day grain +
-    1 day-grain shuffle of sketches; works identically as a streaming
+    `ts_rolling_distinct_users` (the exact banded-join form) made real.
+
+    ERROR-BOUND ORACLE (round-10 graduation from rows-only): the hash
+    gate pins the anchor days + exact trailing counts + the Spark-computed
+    verdict ``within_bound`` = |approx − exact| ≤ greatest(3, 5%·exact)
+    (~5·rse at lgConfigK=14). The exact side is the audit harness, not
+    the serving path — at 100 TB you run the sketch plan alone and the
+    audit on a day stratum. Raw estimates stay asserted ±3% in
+    tests/test_sampling.py. Scale shape: 1 fact agg to day grain + 1
+    day-grain shuffle of sketches; works identically as a streaming
     foreachBatch partial-merge (the sketches are mergeable state)."""
-    e = _t(spark, sf_dir, "events")
-    daily = e.groupBy(F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id", F.lit(14)).alias("sk")
-    )
-    bounds = daily.agg(F.max("day").alias("dmax")).first()
-    fanned = daily.select(
-        F.explode(
-            F.sequence(F.col("day"), F.least(F.date_add(F.col("day"), 6), F.lit(bounds["dmax"])))
-        ).alias("anchor_day"),
-        "sk",
-    )
-    return (
-        fanned.groupBy("anchor_day")
-        .agg(F.hll_union_agg("sk").alias("sk7"))
-        .select(
-            "anchor_day",
-            F.hll_sketch_estimate("sk7").cast("long").alias("approx_users_7d"),
-        )
+    j = _rolling_hll_frame(spark, sf_dir)
+    ap = F.col("approx_users_7d").cast("double")
+    ex = F.col("exact_users_7d").cast("double")
+    return j.select(
+        "anchor_day",
+        "exact_users_7d",
+        (F.abs(ap - ex) <= F.greatest(F.lit(3.0), 0.05 * ex)).alias("within_bound"),
     )
 
 
