@@ -20,6 +20,7 @@ from __future__ import annotations
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from vat_etl_spark.queries import QUERIES, query
 from vat_etl_spark.queries.text import STOPWORDS, tokens_expr
@@ -774,10 +775,25 @@ def build_corpus(
         )
         # a base built with a --stages subset excluding 'neardup' never
         # wrote a sig index — chain without one (there are no base
-        # signatures to gate against) instead of failing the read
+        # signatures to gate against) instead of failing the read.
+        # Round-10 ADVICE: probe by TRY-READ, not os.path.isdir — the
+        # isdir probe is local-FS-only and on an object store would
+        # silently skip base near-dup gating (admitting near-duplicates
+        # of the base corpus); a read attempt works on any Hadoop FS.
         sig_path = os.path.join(base_dir, "neardup_sig_index")
-        if "neardup" in stages and os.path.isdir(sig_path):
-            base_sigs = spark.read.parquet(sig_path)
+        if "neardup" in stages:
+            try:
+                base_sigs = spark.read.parquet(sig_path)
+            except AnalysisException:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "incremental build_corpus: base %s has no "
+                    "neardup_sig_index (built with a --stages subset?) — "
+                    "chaining WITHOUT base near-dup signatures; new docs "
+                    "are only near-dup-gated against each other",
+                    base_dir,
+                )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     funnel: list[tuple[str, int, int]] = []

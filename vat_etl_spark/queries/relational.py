@@ -865,19 +865,33 @@ _STATS_D = {
     "syy": "cast(syy as double)",
     "sxy": "cast(sxy as double)",
 }
-_STATS_VAR = "(({sxx} - {sx} * {sx} / {nd}) / ({nd} - 1.0)) / 10000.0".format(
-    **_STATS_D
+# degenerate-group guards (round-10 ADVICE): for n=1 groups the (n−1)
+# divisor is zero — Spark doubles yield NaN/±Inf where DuckDB yields NULL
+# and sqrt(negative) hard-errors — so every statistic is wrapped in the
+# SAME CASE guard in both engines and degenerate groups produce NULL on
+# both sides. The THEN branches repeat the original expressions verbatim,
+# so non-degenerate groups stay bit-identical to the round-9 form.
+_VX = "({sxx} - {sx} * {sx} / {nd})".format(**_STATS_D)
+_VY = "({syy} - {sy} * {sy} / {nd})".format(**_STATS_D)
+_CXY = "({sxy} - {sx} * {sy} / {nd})".format(**_STATS_D)
+_ND = _STATS_D["nd"]
+_STATS_VAR = (
+    f"CASE WHEN {_ND} > 1.0 AND {_VX} >= 0.0 "
+    f"THEN ({_VX} / ({_ND} - 1.0)) / 10000.0 ELSE NULL END"
 )
 _STATS_EXPRS = {
-    "stddev_price": f"sqrt({_STATS_VAR})",
+    "stddev_price": (
+        f"CASE WHEN {_ND} > 1.0 AND {_VX} >= 0.0 "
+        f"THEN sqrt(({_VX} / ({_ND} - 1.0)) / 10000.0) ELSE NULL END"
+    ),
     "var_price": _STATS_VAR,
     "corr_price_cust": (
-        "({sxy} - {sx} * {sy} / {nd}) / "
-        "sqrt(({sxx} - {sx} * {sx} / {nd}) * ({syy} - {sy} * {sy} / {nd}))"
-    ).format(**_STATS_D),
+        f"CASE WHEN {_VX} * {_VY} > 0.0 "
+        f"THEN {_CXY} / sqrt({_VX} * {_VY}) ELSE NULL END"
+    ),
     "covar_price_cust": (
-        "(({sxy} - {sx} * {sy} / {nd}) / ({nd} - 1.0)) / 100.0"
-    ).format(**_STATS_D),
+        f"CASE WHEN {_ND} > 1.0 THEN ({_CXY} / ({_ND} - 1.0)) / 100.0 ELSE NULL END"
+    ),
 }
 
 _STATS_SQL = """

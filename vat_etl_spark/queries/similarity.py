@@ -276,7 +276,8 @@ cent0 AS (SELECT CAST(vec_id AS INT) AS cid, cast(embedding AS DOUBLE[]) AS cv
   SELECT vec_id, x, cid FROM (
     SELECT v.vec_id, v.x, c.cid,
            row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY list_cosine_similarity(v.x, c.cv) DESC, c.cid) AS rn
+             ORDER BY floor(list_cosine_similarity(v.x, c.cv) * 1000000.0 + 0.5) DESC,
+                      c.cid) AS rn
     FROM v CROSS JOIN cent{r - 1} c) WHERE rn = 1
 ),
 nu{r} AS (
@@ -304,7 +305,8 @@ final AS (
   SELECT vec_id, cid, cos FROM (
     SELECT v.vec_id, c.cid, list_cosine_similarity(v.x, c.cv) AS cos,
            row_number() OVER (PARTITION BY v.vec_id
-             ORDER BY list_cosine_similarity(v.x, c.cv) DESC, c.cid) AS rn
+             ORDER BY floor(list_cosine_similarity(v.x, c.cv) * 1000000.0 + 0.5) DESC,
+                      c.cid) AS rn
     FROM v CROSS JOIN cent{_KM_ITERS} c) WHERE rn = 1
 )
 SELECT CAST(cid AS INT) AS cid, CAST(count(*) AS BIGINT) AS n_members,
@@ -338,10 +340,14 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer sums are order-proof; the one division per dimension is IEEE-
     deterministic), so the per-iteration centroid state is bit-identical
     to the DuckDB replay (_km_ctes — unrolled CTEs, the BPE-oracle
-    convention). Assignment argmax tie-breaks on the lowest cid in both
-    engines; raw cosines carry ulp-level SIMD-vs-fold jitter (the
-    knn_vectorized_numpy caveat), which argmax and the micros-rounded
-    mean absorb. Output: cluster sizes + integer-micros mean cosine."""
+    convention). Assignment is a MICROS-QUANTIZED argmax in both engines
+    (floor(cos·10⁶+0.5) before the comparison, lowest-cid tie-break):
+    raw cosines carry ulp-level BLAS-vs-fold jitter (the
+    knn_vectorized_numpy caveat), and an unquantized argmax would let a
+    near-equidistant pair flip assignment between engines and cascade
+    through all 3 iterations — quantizing shrinks the flip window from
+    per-ulp to an exact 1e-6 boundary straddle (round-10 ADVICE fix).
+    Output: cluster sizes + integer-micros mean cosine."""
     import numpy as np
     import pandas as pd
 
@@ -364,7 +370,14 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 m = np.array(pdf["ev"].tolist())
                 mn = m / np.linalg.norm(m, axis=1, keepdims=True)
                 sims = mn @ cn.T
-                best = sims.argmax(axis=1)
+                # micros-quantized argmax (round-10 ADVICE): raw argmax
+                # depends on BLAS-vs-DuckDB cosine ulps whenever two
+                # centroids are near-equidistant; quantizing BOTH engines
+                # to the same 1e-6 grid before the argmax shrinks the
+                # flip window from per-ulp to an exact 1e-6 boundary
+                # straddle. numpy first-max == lowest-cid tie-break ==
+                # the oracle's ORDER BY ... DESC, cid.
+                best = np.floor(sims * 1e6 + 0.5).argmax(axis=1)
                 yield pd.DataFrame(
                     {
                         "vec_id": pdf["vec_id"],
@@ -1572,8 +1585,14 @@ def _corpus_sig(em: DataFrame) -> tuple[int, int]:
     compares BOTH. xor is commutative (partition-order-proof); the only
     xor blind spot (a row appearing an even number of times toggling
     out) is covered by the count also having to match AND vec_id making
-    rows distinct. Cost: the same single column scan the old count()
-    guard already paid."""
+    rows distinct. Cost (round-10 ADVICE correction): this is a REAL
+    data scan of the two hashed columns — the old count() guard was
+    typically satisfied from parquet footer metadata alone, so freshness
+    now costs one narrow column scan per serve entry, not zero. That is
+    the price of catching same-count content drift; if it matters at
+    scale, cache the fingerprint per (path, mtime) or check it only
+    after the cheap count matches (the count mismatch fast-path already
+    skips it implicitly, since both live in the same aggregate)."""
     r = em.agg(
         F.count(F.lit(1)).alias("n"),
         F.coalesce(
