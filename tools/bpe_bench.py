@@ -173,6 +173,71 @@ def main() -> None:
             assert trie_rows[doc_id] == want, doc_id
         results["apply_k2000_verified_vs_python"] = True
 
+        # 5. LONG-TOKEN worst case (round-10 hardening): unsegmented
+        # tokens (URLs / DNA / CJK runs) used to hit the per-rank full
+        # rescan quadratically; the heap+linked-list encoder is
+        # O(len log len). One word per doc, word length stepping a
+        # decade — near-flat per-char wall is the pass criterion.
+        # Semantics are re-pinned against the previous rescan encoder
+        # at the small length (it is too slow to run at the large one —
+        # that is the point).
+        def rescan_encode_len(word: str, ranks: dict) -> int:
+            syms = list(word)
+            while len(syms) > 1:
+                best, pair = None, None
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best is None or r < best):
+                        best, pair = r, (syms[i], syms[i + 1])
+                if pair is None:
+                    break
+                a, b = pair
+                out = []
+                for x in syms:
+                    if out and out[-1] == a and x == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(x)
+                syms = out
+            return len(syms)
+
+        from vat_etl_spark.queries.llm_pipeline import _bpe_encode_len
+
+        dna_rng = random.Random(20260816)
+        train_docs = [
+            (i, "".join(dna_rng.choice("acgt") for _ in range(400)))
+            for i in range(50)
+        ]
+        dna_merges, _ds, _dv = train_ref_bpe(
+            [t for _, t in train_docs], n_merges=200
+        )
+        dna_ranks = {
+            (a, b): rank for rank, a, b, _ in dna_merges
+        }
+        for wl in (500, 5000):
+            long_docs = [
+                (i, "".join(dna_rng.choice("acgt") for _ in range(wl)))
+                for i in range(200)
+            ]
+            ld = spark.createDataFrame(long_docs, "doc_id long, text string")
+            ld.coalesce(4).write.mode("overwrite").parquet(
+                f"{tmp}/long{wl}/documents.parquet"
+            )
+            ldd = spark.read.parquet(f"{tmp}/long{wl}/documents.parquet")
+            t0 = time.time()
+            got_long = {
+                r.doc_id: r.bpe_tokens
+                for r in bpe_apply_counts_plan(
+                    ldd, [(a, b) for _, a, b, _ in dna_merges]
+                ).collect()
+            }
+            results[f"apply_longtoken_len{wl}_sec"] = round(time.time() - t0, 2)
+            print("phase5 len", wl, results[f"apply_longtoken_len{wl}_sec"], flush=True)
+            if wl == 500:
+                for doc_id, t in long_docs[:20]:
+                    assert got_long[doc_id] == rescan_encode_len(t, dna_ranks), doc_id
+                results["longtoken_verified_vs_rescan"] = True
+
     print(json.dumps(results))
 
 

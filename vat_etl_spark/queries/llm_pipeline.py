@@ -17,6 +17,8 @@ production values (13-grams, 50-100k word bounds) are parameters.
 
 from __future__ import annotations
 
+import heapq
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -2314,27 +2316,58 @@ def _bpe_encode_len(word: str, ranks: dict) -> int:
     appended while the previous symbol was a — but then it would have
     fused), so fuse-once and fuse-to-exhaustion agree. Pinned bit-identical
     to the replace chain in tests/test_llm_pipeline.py and re-verified at
-    K in the thousands by tools/bpe_bench.py."""
+    K in the thousands by tools/bpe_bench.py.
+
+    Round 10: heap + linked-list implementation (the tiktoken/SentencePiece
+    shape) — O(len·log len + fusions·log len) instead of the previous
+    full-rescan-per-fused-rank O(len²): natural-language words never felt
+    the difference behind the per-batch memo, but a corpus of long
+    unsegmented tokens (URLs, DNA, CJK runs) hits the quadratic head-on
+    (tools/bpe_bench.py --long-tokens measures the decade). Heap entries
+    are (rank, position, left, right); a popped entry is validated against
+    the CURRENT symbols (symbols only ever grow at an index and deaths are
+    permanent, so a stale entry can never re-validate) and the (rank, pos)
+    order reproduces lowest-rank-then-leftmost exactly — for a learned
+    table fusing rank r creates only pairs of rank > r, so this is the
+    same fixpoint the scan encoder reached (its docstring proof)."""
+    n = len(word)
+    if n < 2:
+        return n
     syms = list(word)
-    while len(syms) > 1:
-        best_rank = None
-        pair = None
-        for i in range(len(syms) - 1):
-            r = ranks.get((syms[i], syms[i + 1]))
-            if r is not None and (best_rank is None or r < best_rank):
-                best_rank = r
-                pair = (syms[i], syms[i + 1])
-        if pair is None:
-            break
-        a, b = pair
-        out = []
-        for x in syms:
-            if out and out[-1] == a and x == b:
-                out[-1] = a + b
-            else:
-                out.append(x)
-        syms = out
-    return len(syms)
+    nxt = list(range(1, n)) + [-1]
+    prv = [-1] + list(range(n - 1))
+    alive = [True] * n
+    heap = []
+    for i in range(n - 1):
+        r = ranks.get((syms[i], syms[i + 1]))
+        if r is not None:
+            heap.append((r, i, syms[i], syms[i + 1]))
+    heapq.heapify(heap)
+    count = n
+    while heap:
+        _, i, a, b = heapq.heappop(heap)
+        if not alive[i] or syms[i] != a:
+            continue
+        j = nxt[i]
+        if j == -1 or syms[j] != b:
+            continue
+        syms[i] = a + b
+        alive[j] = False
+        nxt[i] = nxt[j]
+        if nxt[i] != -1:
+            prv[nxt[i]] = i
+        count -= 1
+        p = prv[i]
+        if p != -1:
+            rr = ranks.get((syms[p], syms[i]))
+            if rr is not None:
+                heapq.heappush(heap, (rr, p, syms[p], syms[i]))
+        k = nxt[i]
+        if k != -1:
+            rr = ranks.get((syms[i], syms[k]))
+            if rr is not None:
+                heapq.heappush(heap, (rr, i, syms[i], syms[k]))
+    return count
 
 
 def bpe_apply_counts_plan(
