@@ -92,7 +92,43 @@ MULTI_JOB_BENCH = [
     # checkpoints, so the plan must be rebuilt per pass; the warm pass
     # builds the index once, timed passes measure search alone.
     "ann_graph_search",
+    # the composed end-to-end corpus build (round-10 ask): the FULL
+    # curation funnel (Gopher -> classifier -> perplexity -> exact dedup
+    # -> line dedup -> span removal -> SimHash gate -> leakage-safe split)
+    # written partitionBy(split, shard) into a temp dir, funnel counters
+    # asserted every pass. This is the flagship LLM deliverable; it runs
+    # via _run_corpus_build below, not the QUERIES registry.
+    "corpus_build_full",
 ]
+
+# Entries whose single run is ~85 s at sf0.1: timed ONCE after one untimed
+# warm run instead of median-of-N — N passes would dominate the whole
+# bench wall for a composed pipeline whose stage boundaries are persisted
+# (variance comes from the same shuffle machinery the other 25 entries
+# already sample 5x). The regression gate handles a 1-sample entry fine
+# (median == min == the sample).
+SINGLE_PASS = {"corpus_build_full"}
+
+
+def _run_corpus_build(spark, sf_dir: str) -> None:
+    """One timed end-to-end build_corpus run into a fresh temp dir, with
+    the funnel-counter sanity contract asserted (monotone non-increasing
+    doc counts, nonzero output) so a silently-empty funnel can never post
+    a fast time."""
+    import shutil
+    import tempfile
+
+    from vat_etl_spark.queries.llm_pipeline import build_corpus
+
+    out = tempfile.mkdtemp(prefix="bench_corpus_")
+    try:
+        m = build_corpus(spark, sf_dir, f"{out}/corpus")
+        docs = list(m["funnel"].values())  # insertion-ordered stage counts
+        assert docs[0] > 0 and docs[-1] > 0, m["funnel"]
+        assert all(a >= b for a, b in zip(docs, docs[1:])), m["funnel"]
+        assert m["docs_written"] == docs[-1], m
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
 
 
 def main() -> None:
@@ -116,7 +152,10 @@ def main() -> None:
     QUERIES["vat_summary"](spark, warm).write.format("noop").mode("overwrite").save()
     # untimed warm pass: compile every query's codegen stages at bench scale
     for name in BENCH_QUERIES + MULTI_JOB_BENCH:
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        if name == "corpus_build_full":
+            _run_corpus_build(spark, sf_dir)
+        else:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # N timed passes (default 5), median-of-N per query: round 3 showed
     # best-of-2 drifting +20% across the board on untouched plans, which
@@ -143,8 +182,13 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
         for name in MULTI_JOB_BENCH:
+            if name in SINGLE_PASS and samples[name]:
+                continue
             t0 = time.perf_counter()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            if name == "corpus_build_full":
+                _run_corpus_build(spark, sf_dir)
+            else:
+                QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
 
     timings = {name: round(statistics.median(s), 3) for name, s in samples.items()}

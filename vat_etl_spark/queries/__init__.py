@@ -56,14 +56,35 @@ from vat_etl_spark.queries import llm_pipeline  # noqa: E402,F401
 _FIRST = [
     # vat flagship (= entry())
     "vat_summary",
+    # --- round-10 changes: the four sketch-quartet rows-only→hash
+    # graduations, the widened agg_approx_distinct contract, the
+    # degenerate-group-guarded agg_statistics, the quantized-argmax
+    # kmeans, the heap BPE encoder, and the rebuilt (v4, reverse-
+    # augmented) ANN serve index; multimodal_dedup_phash enters the
+    # window per verdict-r9 task 7 (the one oracle-backed query with no
+    # driver row in any round) ---
+    "agg_hll_mergeable",
+    "agg_countmin_heavy_hitters",
+    "agg_hll_intersection",
+    "ts_rolling_distinct_hll",
+    "agg_approx_distinct",
+    "agg_statistics",
+    "kmeans_lloyd",
+    "text_bpe_apply_trie",
+    "text_bpe_apply",
+    "multimodal_dedup_phash",
+    "ann_graph_search",
+    "ann_nndescent",
+    # --- full rows-only tier (6 incl. the ANN pair above): the weakest
+    # external-evidence class stays inside the driver window every round ---
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_lsh_recall_eval",
+    "corpus_neardup_admit_twin",
     # --- round-9 changes: production-K BPE encoder registration, BPE
     # null-parity + separator-guard fixes, index fingerprint guard, and
     # the five rows-only→hash graduations ---
-    "text_bpe_apply_trie",
-    "kmeans_lloyd",
-    "agg_statistics",
     "sample_stratified_orders",
-    "agg_approx_distinct",
     "agg_percentile_approx",
     # --- round-8 changes: new planted-audit registration, rows-only→hash
     # graduations (multimodal byte replays, exact-recall LSH join, full
@@ -111,7 +132,9 @@ _FIRST = [
     # stratum-hash fix + corpus mergeSchema change
     "dedup_lsh_recall_eval",
     "corpus_ingest_admit_twin",
-    # --- remaining rows-only tier: keep external rows-only evidence fresh ---
+    # --- rows-only tier (6 after round-10 graduations: the ANN pair, the
+    # MinHash/SimHash signature pair, LSH recall eval, the stream twin)
+    # plus recently-graduated sketch entries kept fresh ---
     "agg_approx_distinct",
     "agg_countmin_heavy_hitters",
     "agg_hll_intersection",
