@@ -18,6 +18,59 @@ def test_minhash_lsh_deterministic(spark, sf_smoke):
     assert a == b and len(a) > 0
 
 
+def test_minhash_banded_deterministic_and_complete_vs_exact(spark, sf_smoke):
+    """The b×r banded MinHash (dedup_minhash_banded) is deterministic AND
+    detection-complete on the smoke corpus: its exact-Jaccard-verified
+    pairs equal the ALL-PAIRS shingle-Jaccard ≥ 0.6 ground truth (recall
+    floor 0.9 is the contract — 1−(1−J^r)^b ≈ 0.97 at the threshold —
+    but the pinned corpus measures 1.0; precision is exact by
+    construction since candidates are re-verified)."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.dedup import (
+        _docs_fanout,
+        _verify_common_tokens,
+    )
+
+    a = _rows(QUERIES["dedup_minhash_banded"](spark, sf_smoke))
+    b = _rows(QUERIES["dedup_minhash_banded"](spark, sf_smoke))
+    assert a == b and len(a) > 0
+    got = {(r[0], r[1]) for r in a}
+    d = _docs_fanout(spark, sf_smoke)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    sh = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(ws) - 3),"
+            " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+        )
+    )
+    docsets = (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", sh.alias("ts"))
+    )
+    ids = docsets.select("doc_id")
+    allp = (
+        ids.withColumnRenamed("doc_id", "doc_a")
+        .crossJoin(ids.withColumnRenamed("doc_id", "doc_b"))
+        .where(F.col("doc_a") < F.col("doc_b"))
+    )
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    truth = {
+        (r.doc_a, r.doc_b)
+        for r in _verify_common_tokens(allp, docsets)
+        .select("doc_a", "doc_b", jac.alias("j"))
+        .where(F.col("j") >= 0.6)
+        .collect()
+    }
+    assert truth, "smoke corpus must contain near-dup pairs"
+    assert got <= truth, got - truth  # precision exact (verified candidates)
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(truth), len(got))
+
+
 def test_simhash_deterministic_and_64bit(spark, sf_smoke):
     a = _rows(QUERIES["dedup_simhash"](spark, sf_smoke))
     b = _rows(QUERIES["dedup_simhash"](spark, sf_smoke))

@@ -8,6 +8,12 @@ untimed warm pass at 50 K (codegen/JVM) then ONE timed pass per scale —
 medians-of-3 at 500 K would triple an ~hour-long session for exponents
 that the single-pass spread (reported) already brackets.
 
+ml.feature's dedup_minhash_lsh is deliberately NOT in the 500 K list: its
+single-hash OR-amplification bands collide at probability = raw Jaccard,
+and at 500 K Zipfian docs the hot buckets go per-bucket-quadratic - the
+join's 4-task straggler tail ran >55 min before being aborted (round-10
+session). That cliff is the motivation for dedup_minhash_banded.
+
 The serve-only ANN decade is embeddings-table-based and was re-measured
 this round in SCALE.md (sf0.01 -> sf0.1, exponent 0.09); it cannot ride a
 documents-only corpus, so it is not in this list.
@@ -27,7 +33,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES_TO_TIME = [
     "corpus_neardup_admit_twin",   # SimHash admission gate, batch-twin shape
-    "dedup_minhash_lsh",           # banded MinHash LSH join
+    "dedup_minhash_banded",        # b x r banded MinHash (scale-correct)
     "pipeline_line_dedup",         # global line index + keep-first + regroup
     "pipeline_span_removal",       # span index + interval merge + reconstruct
     "pipeline_quality_classifier", # map-only hashed-classifier inference

@@ -73,6 +73,7 @@ _FIRST = [
     "text_bpe_apply_trie",
     "text_bpe_apply",
     "multimodal_dedup_phash",
+    "dedup_minhash_banded",
     "ann_graph_search",
     "ann_nndescent",
     # --- full rows-only tier (6 incl. the ANN pair above): the weakest
