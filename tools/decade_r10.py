@@ -72,10 +72,16 @@ def main() -> None:
     for name in QUERIES_TO_TIME:
         row: dict[str, object] = {}
         for n, sf in scales:
+            # time a NOOP WRITE, not count(): count() lets Catalyst prune
+            # the expensive output columns (span reconstruction, BPE token
+            # counts, classifier scores never execute), which silently
+            # reported map-only stages at 0.4 s for 500 K docs
             t0 = time.time()
-            df = QUERIES[name](spark, sf)
-            cnt = df.count()
+            QUERIES[name](spark, sf).write.format("noop").mode(
+                "overwrite"
+            ).save()
             wall = round(time.time() - t0, 1)
+            cnt = QUERIES[name](spark, sf).count()  # untimed, sanity only
             row[f"n{n}"] = {"rows": cnt, "sec": wall}
             print(name, n, cnt, wall, flush=True)
         import math

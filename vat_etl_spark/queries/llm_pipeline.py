@@ -2589,8 +2589,9 @@ tails AS (
 nd AS (SELECT count(*) AS nd FROM c2),
 feats AS (
   SELECT c2.g,
-         (1000000 * (greatest(4 * c2.cg - 3, 0) * nd.nd + 3 * heads.n1f * tails.n1b))
-           // (4 * heads.cw * nd.nd) AS pts
+         CAST((1000000 * (greatest(4 * c2.cg - 3, 0)::HUGEINT * nd.nd
+                          + 3 * heads.n1f::HUGEINT * tails.n1b))
+           // (4 * heads.cw::HUGEINT * nd.nd) AS BIGINT) AS pts
   FROM c2 JOIN heads USING (w1) JOIN tails USING (w2), nd
 )
 SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
@@ -2617,11 +2618,15 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         1e6 . (max(4c-3,0).ND + 3.N1f.N1b) div (4.cw.ND)
 
-    — pure int64 arithmetic, bit-identical across engines and partition
-    layouts (the log-prob spelling would hash-flake). Int64 headroom:
-    1e6.4c.ND needs c.ND < 2.3e12 — fine to ~millions of docs; at web
-    scale switch the numerator to DECIMAL(38,0) (same formula) or drop
-    the 1e6 scale to per-mille.
+    — exact integer arithmetic, bit-identical across engines and
+    partition layouts (the log-prob spelling would hash-flake). Round 10:
+    the intermediate products run in DECIMAL(38,0) (Spark) / HUGEINT
+    (DuckDB) — the old pure-int64 spelling's 1e6·4c·ND needed c·ND <
+    2.3e12 and the 500 K-doc decade run hit that wall for real
+    (ARITHMETIC_OVERFLOW at ND ≈ 4×10⁷ bigram types; SCALE.md round-10
+    table). Same formula, same truncating division on positive values,
+    so every value the int64 form could produce is unchanged — verified
+    by the unchanged oracle hash at sf0.01.
 
     Scale shape (inherits text_bigram_fluency's discipline): the bigram
     TYPE table c2 is aggregated once; head stats (cw, N1f) and tail
@@ -2649,8 +2654,10 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "g",
             F.expr(
-                "(1000000 * (greatest(4 * cg - 3, 0L) * nd + 3 * n1f * n1b))"
-                " div (4 * cw * nd)"
+                "cast((1000000 * (greatest(4 * cg - 3, 0L)"
+                " * cast(nd as decimal(38,0))"
+                " + 3 * n1f * cast(n1b as decimal(38,0))))"
+                " div (4 * cw * cast(nd as decimal(38,0))) as bigint)"
             ).alias("pts"),
         )
     )
