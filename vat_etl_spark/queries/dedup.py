@@ -295,8 +295,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MHB_BANDS = 8
 _MHB_ROWS = 2
 
+_MHB_SQL = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+),
+sh AS (
+  SELECT doc_id,
+    list_distinct([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+                   for i in range(1, len(ws) - 1)]) AS shingles
+  FROM w WHERE len(ws) >= 3
+),
+toks AS (SELECT doc_id, unnest(shingles) AS tok FROM sh),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(common AS INT) AS common,
+  CAST(sa.n AS INT) AS n_a, CAST(sb.n AS INT) AS n_b,
+  CAST(common AS DOUBLE) / (sa.n + sb.n - common) AS jaccard
+FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
+"""
 
-@query("dedup_minhash_banded")  # rows-only: xxhash64 minhash signatures
+
+@query("dedup_minhash_banded", oracle=_MHB_SQL)
 def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash near-dup pairs with PROPER banded (AND-OR) amplification —
     the scale-correct replacement for ml.feature MinHashLSH's
@@ -319,9 +343,24 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys (xxhash64 of the band's {R} sigs) → exploded band self-join
     (candidates per bucket, never all-pairs) → EXACT shingle-set Jaccard
     verification on candidates only (array_intersect, row-sized) →
-    pairs with jaccard ≥ 0.6. Recall at the verify threshold is
-    1−(1−J^{R})^{B} ≈ 0.97 at J=0.6 and ≈ 1 at the planted-twin 0.82 —
-    pinned vs exact truth in tests/test_dedup_determinism.py."""
+    pairs with jaccard ≥ 0.6.
+
+    ORACLE: the DuckDB twin is the NAIVE ALL-PAIRS exact algorithm, so
+    the driver gate re-proves detection-completeness on the pinned data
+    every round (feasible at oracle scale; the banded index is the same
+    answer computed without all-pairs). The contract is probabilistic by
+    construction — recall 1−(1−J^{R})^{B} ≈ 0.97 at exactly J=0.6, ≈ 1
+    at the planted-twin 0.82 — so this is dataset-pinned like the CMS
+    ε·N bound: measured complete (28/28, 25/25 pairs) at both driver
+    SFs, and a future dataset with a pair at the J≈0.6 boundary can
+    legitimately sit in the ~3% per-pair miss window. Also pinned vs
+    exact truth in tests/test_dedup_determinism.py.
+
+    PySpark trap fixed here (caught by a missed J=0.989 pair): a
+    two-parameter lambda in a higher-order function binds by ARITY to
+    (element, index) — the `lambda t, s=s:` closure idiom silently fed
+    the element INDEX as the 'seed', collapsing all {NH} minhash
+    functions into one."""
     d = _docs_fanout(spark, sf_dir)
     ws = F.split(F.trim(F.col("text")), r"\s+")
     shingles = F.array_distinct(
@@ -336,12 +375,19 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", shingles.alias("ts"))
     )
     n_hash = _MHB_BANDS * _MHB_ROWS
-    sigs = [
-        F.array_min(
-            F.transform(F.col("ts"), lambda t, s=s: F.xxhash64(t, F.lit(s)))
-        ).alias(f"h{s}")
-        for s in range(n_hash)
-    ]
+
+    # NOT `lambda t, s=s: ...`: PySpark binds higher-order-function lambdas
+    # by ARITY — a two-parameter lambda receives (element, index), so the
+    # "captured" default would be silently overridden by the element index
+    # and all 16 "seeded" minhashes collapse to one function (caught by a
+    # J=0.989 pair the bands then missed; the factory closure keeps the
+    # lambda unary)
+    def _minhash(s: int):
+        return F.array_min(
+            F.transform(F.col("ts"), lambda t: F.xxhash64(t, F.lit(s)))
+        )
+
+    sigs = [_minhash(s).alias(f"h{s}") for s in range(n_hash)]
     signed = docsets.select("doc_id", *sigs)
     band_keys = F.array(
         *[
