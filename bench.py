@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     # shingle -> minhash -> band -> bucket join: the canonical near-dup
     # blocking shape (nothing above exercises the banded LSH join).
     "dedup_minhash_lsh",
+    # the round-10 b x r banded replacement (ml.feature's single-hash OR
+    # bands cliff at 500K docs; this is the production spelling).
+    "dedup_minhash_banded",
     # global line index + keep-first survivorship + doc-grain reassembly —
     # two keyed shuffles over the exploded line stream.
     "pipeline_line_dedup",
