@@ -228,13 +228,14 @@ def test_graph_search_beats_floor_with_bounded_touch(spark, sf_smoke):
         _GS_HOPS,
         _GS_SEEDS,
         _SERVE_DEG,
+        _SERVE_RND,
     )
 
     rows = QUERIES["ann_graph_search"](spark, sf_smoke).collect()
     assert len(rows) == 5
     mean = sum(r.recall_at_10 for r in rows) / len(rows)
     assert mean >= 0.8, [tuple(r) for r in rows]
-    bound = _GS_SEEDS + _GS_HOPS * _GS_BEAM * _SERVE_DEG
+    bound = _GS_SEEDS + _GS_HOPS * _GS_BEAM * (_SERVE_DEG + _SERVE_RND)
     for r in rows:
         assert r.n_scored < r.n_corpus, tuple(r)
         assert r.n_scored <= bound, (tuple(r), bound)

@@ -27,9 +27,22 @@ import pyarrow.parquet as pq
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    clustered = "--clustered" in sys.argv
     work = tempfile.mkdtemp(prefix="ann_decade_")
     rng = np.random.default_rng(20260815)
-    vecs = rng.standard_normal((n, 64)).astype(np.float32)
+    if clustered:
+        # realistic-embedding regime: points concentrate around cluster
+        # centers (what trained text/image encoders produce), so the
+        # K-NN graph has navigable neighborhood structure — the regime
+        # graph ANN is designed for, vs the near-iid worst case below
+        n_clusters = max(8, n // 100)
+        centers = rng.standard_normal((n_clusters, 64))
+        assign = rng.integers(0, n_clusters, n)
+        vecs = (centers[assign] + 0.35 * rng.standard_normal((n, 64))).astype(
+            np.float32
+        )
+    else:
+        vecs = rng.standard_normal((n, 64)).astype(np.float32)
     tbl = pa.table(
         {
             "vec_id": pa.array(range(n), pa.int64()),

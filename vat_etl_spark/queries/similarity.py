@@ -1255,6 +1255,9 @@ _NND_ROUNDS = 7
 # serve-graph out-degree cap: 2K keeps every forward edge plus the most
 # similar reverse edges; hub in-degree beyond that adds cost, not recall
 _SERVE_DEG = 2 * _NND_K
+# hash-scattered long-range links per node, cap-exempt (global
+# connectivity on clustered data — HNSW's upper-layer role)
+_SERVE_RND = 4
 
 
 def _nnd_graph(em: DataFrame) -> tuple[DataFrame, DataFrame]:
@@ -1572,8 +1575,9 @@ def _index_root(sf_dir: str) -> str:
 
 # bump when the on-disk index LAYOUT changes
 # (v2: +edges_init; v3: meta carries the corpus content fingerprint;
-#  v4: +edges_serve — reverse-edge-augmented, degree-capped serve graph)
-_IDX_VERSION = 4
+#  v4: +edges_serve — reverse-edge-augmented, degree-capped serve graph;
+#  v5: edges_serve carries cap-exempt hash-random long-range links)
+_IDX_VERSION = 5
 
 
 def _corpus_sig(em: DataFrame) -> tuple[int, int]:
@@ -1663,7 +1667,7 @@ def build_graph_index(
     # build time, where it is one extra co-partitioned union + top-cap,
     # instead of at serve time where it would double every hop join.
     wdeg = W.partitionBy("v").orderBy(F.desc("sim"), "n")
-    serve = (
+    near = (
         graph.select("v", "n", "sim")
         .unionByName(
             graph.select(
@@ -1675,6 +1679,37 @@ def build_graph_index(
         .withColumn("rk", F.row_number().over(wdeg))
         .where(F.col("rk") <= _SERVE_DEG)
         .drop("rk")
+    )
+    # LONG-RANGE links (round 10): on clustered embeddings every node's
+    # K-NN edges are intra-cluster, so the pure K-NN serve graph is as
+    # many disconnected components as there are clusters and beam search
+    # can never leave the seeds' clusters (measured: bimodal 1.0/0.0
+    # per-query recall at 20 K points / 200 clusters). A few
+    # hash-scattered random edges per node restore expander-like global
+    # connectivity — the role of HNSW's upper layers — and MUST bypass
+    # the similarity degree cap (random links always lose a sim
+    # ordering). sim = -1 marks them; serve only reads (v, n).
+    rnd = (
+        em.select(F.col("vec_id").alias("v"))
+        .select(
+            "v",
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(
+                            F.xxhash64(F.col("v"), F.lit(0x10 + i)),
+                            F.lit(n_vec),
+                        )
+                        for i in range(_SERVE_RND)
+                    ]
+                )
+            ).alias("n"),
+        )
+        .where(F.col("v") != F.col("n"))
+        .select("v", "n", F.lit(-1.0).alias("sim"))
+    )
+    serve = near.unionByName(rnd).groupBy("v", "n").agg(
+        F.max("sim").alias("sim")
     )
     (
         serve.repartition(_IDX_BUCKETS, "v")
