@@ -1435,8 +1435,9 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output is the serving audit: per query, recall@10 of the beam vs
     exact brute force, plus n_scored — the corpus fraction the search
     actually touched (the entire point of the index; pytest pins
-    recall ≥ 0.8; measured 0.94 at sf0.1 with 43% touched at N=2000,
-    0.98 at sf0.01). The serve budget is sized for the testdata
+    recall ≥ 0.8; measured 0.96 at sf0.1 at N=2000, 0.98 at sf0.01, and
+    1.0 at BOTH 2 K and 20 K on clustered vectors with the touched
+    fraction falling 36% → 6.9% — tools/ann_decade.py). The serve budget is sized for the testdata
     embeddings, which are near-iid random (top-10 cosine ≈ 3σ above
     the similarity noise floor; a query's true-NN's neighbor list
     shares ~1 of the query's top-10): on such UNNAVIGABLE data every
