@@ -241,6 +241,47 @@ def test_graph_search_beats_floor_with_bounded_touch(spark, sf_smoke):
         assert r.n_scored <= bound, (tuple(r), bound)
 
 
+def test_serve_graph_has_capexempt_long_range_links(spark, sf_smoke, tmp_path, monkeypatch):
+    """The serve graph must carry the hash-random long-range links
+    (sim = -1, cap-exempt) on EVERY node: without them a clustered corpus
+    makes the K-NN serve graph as many disconnected components as there
+    are clusters and beam search bimodally fails (measured 1.0/0.0
+    per-query at 20 K points / 200 clusters before the v5 index). The
+    similarity degree cap must NOT evict them — random links always lose
+    a sim ordering."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.similarity import (
+        _SERVE_DEG,
+        _SERVE_RND,
+        build_graph_index,
+    )
+
+    monkeypatch.setenv("VAT_ETL_INDEX_DIR", str(tmp_path / "idx"))
+    p = build_graph_index(spark, sf_smoke)
+    serve = spark.read.parquet(f"{p}/edges_serve")
+    n_nodes = serve.select("v").distinct().count()
+    per_node = (
+        serve.groupBy("v")
+        .agg(
+            F.count(F.when(F.col("sim") == -1.0, 1)).alias("n_rnd"),
+            F.count("*").alias("deg"),
+        )
+        .agg(
+            F.min("n_rnd").alias("min_rnd"),
+            F.max("deg").alias("max_deg"),
+            F.count("*").alias("n"),
+        )
+        .first()
+    )
+    assert per_node["n"] == n_nodes == 500
+    # every node keeps at least one long-range link (a random target can
+    # coincide with a near edge, whose sim then wins the max — so the
+    # floor is 1, not _SERVE_RND) and the cap bounds the rest
+    assert per_node["min_rnd"] >= 1, per_node
+    assert per_node["max_deg"] <= _SERVE_DEG + _SERVE_RND, per_node
+
+
 def test_ann_index_build_serve_lifecycle(spark, sf_smoke, tmp_path, monkeypatch):
     """The persisted-index contract: first serve call builds, subsequent
     calls reuse the artifact untouched (mtime-stable), and a corpus-size
