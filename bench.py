@@ -61,10 +61,11 @@ BENCH_QUERIES = [
     "pipeline_span_removal",
     # --- round-8 additions: the heavy LLM tier under the regression gate ---
     # shingle -> minhash -> band -> bucket join: the canonical near-dup
-    # blocking shape (nothing above exercises the banded LSH join).
-    "dedup_minhash_lsh",
-    # the round-10 b x r banded replacement (ml.feature's single-hash OR
-    # bands cliff at 500K docs; this is the production spelling).
+    # blocking shape (nothing above exercises the banded LSH join). The
+    # round-10 b x r banded spelling is the ONLY benched MinHash since
+    # round 11: ml.feature's single-hash OR bands cliff at 500 K docs
+    # (SCALE.md), so that path is fenced as dedup_minhash_ml_reference
+    # (oracle-checked A/B, never benched as production).
     "dedup_minhash_banded",
     # global line index + keep-first survivorship + doc-grain reassembly —
     # two keyed shuffles over the exploded line stream.

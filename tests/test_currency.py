@@ -108,8 +108,12 @@ def test_registered_pandas_udf_currency_matches_native(spark, sf_smoke):
     for k in got:
         assert abs(got[k] - want[k]) < 1e-9, (k, got[k], want[k])
     # non-unit rate (USD 3.67): UDF vs native agree everywhere EXCEPT the
-    # exact half-cent ties (cents * 367 ≡ 50 mod 100), where float round
-    # and decimal half-up legitimately differ by one cent
+    # exact half-cent ties (cents * 367 ≡ ±50 mod 100), where float round
+    # and decimal half-up legitimately differ by one cent. pmod, not %:
+    # Spark's % keeps the dividend's sign, so a NEGATIVE balance's tie
+    # lands on -50 and the plain ==50 test would misclassify it as a
+    # non-tie and fail the strict 1e-9 assertion on a legitimate one-cent
+    # divergence (round-10 ADVICE; s_acctbal can be negative).
     udf = make_currency_pandas_udf()
     raw_usd = F.concat(F.lit("USD "), F.format_string("%.2f", F.col("s_acctbal")))
     cents = F.round(F.col("s_acctbal") * 100).cast("long")
@@ -117,7 +121,7 @@ def test_registered_pandas_udf_currency_matches_native(spark, sf_smoke):
         "s_suppkey",
         udf(raw_usd).alias("udf_aed"),
         F.round(currency_to_aed(raw_usd), 2).alias("native_aed"),
-        ((cents * 367) % 100 == 50).alias("is_tie"),
+        (F.pmod(cents * 367, F.lit(100)) == 50).alias("is_tie"),
     ).collect()
     n_tie = sum(1 for r in rows if r.is_tie)
     for r in rows:

@@ -12,10 +12,20 @@ def _rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
-def test_minhash_lsh_deterministic(spark, sf_smoke):
-    a = _rows(QUERIES["dedup_minhash_lsh"](spark, sf_smoke))
-    b = _rows(QUERIES["dedup_minhash_lsh"](spark, sf_smoke))
+def test_minhash_ml_reference_deterministic(spark, sf_smoke):
+    a = _rows(QUERIES["dedup_minhash_ml_reference"](spark, sf_smoke))
+    b = _rows(QUERIES["dedup_minhash_ml_reference"](spark, sf_smoke))
     assert a == b and len(a) > 0
+
+
+def test_minhash_ml_reference_equals_banded(spark, sf_smoke):
+    """The fenced ml.feature reference and the production banded path
+    share one detection contract (exact shingle-Jaccard ≥ 0.6 over their
+    respective candidate sets) — on the pinned corpus their outputs are
+    identical, which is what lets both carry the same all-pairs oracle."""
+    ml = _rows(QUERIES["dedup_minhash_ml_reference"](spark, sf_smoke))
+    banded = _rows(QUERIES["dedup_minhash_banded"](spark, sf_smoke))
+    assert ml == banded and len(ml) > 0
 
 
 def test_minhash_banded_deterministic_and_complete_vs_exact(spark, sf_smoke):
@@ -142,9 +152,11 @@ def test_prefix_filter_shrinks_candidates_losslessly(spark, sf_smoke):
 
 
 def test_lsh_recall_against_exact_ground_truth(spark, sf_smoke):
-    row = QUERIES["dedup_lsh_recall_eval"](spark, sf_smoke).collect()[0]
-    assert row.n_truth_pairs > 0  # a vacuous audit verifies nothing
-    assert row.recall >= 0.9, (row.n_hits, row.n_truth_pairs)
+    rows = QUERIES["dedup_lsh_recall_eval"](spark, sf_smoke).collect()
+    assert {r.generator for r in rows} == {"banded", "ml_reference"}
+    for row in rows:
+        assert row.n_truth_pairs > 0  # a vacuous audit verifies nothing
+        assert row.recall >= 0.9, (row.generator, row.n_hits, row.n_truth_pairs)
 
 
 def test_phonetic_blocking_deterministic_and_blocked(spark, sf_smoke):

@@ -36,7 +36,7 @@ CLUSTER_SET = [
     "text_bm25_ranking",
     "pipeline_domain_mix",
     "pipeline_contamination_containment",
-    "dedup_minhash_lsh",
+    "dedup_minhash_banded",
     "text_bpe_merges",
     "retrieval_prf_rm3",
     "ann_ivfpq_search",

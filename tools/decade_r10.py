@@ -8,7 +8,7 @@ untimed warm pass at 50 K (codegen/JVM) then ONE timed pass per scale —
 medians-of-3 at 500 K would triple an ~hour-long session for exponents
 that the single-pass spread (reported) already brackets.
 
-ml.feature's dedup_minhash_lsh is deliberately NOT in the 500 K list: its
+ml.feature's dedup_minhash_ml_reference (pre-r11: dedup_minhash_lsh) is deliberately NOT in the 500 K list: its
 single-hash OR-amplification bands collide at probability = raw Jaccard,
 and at 500 K Zipfian docs the hot buckets go per-bucket-quadratic - the
 join's 4-task straggler tail ran >55 min before being aborted (round-10

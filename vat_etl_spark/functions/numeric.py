@@ -64,10 +64,14 @@ def dsumx(expr: Column) -> Column:
     double conversions disagree in the last ulp (Spark's
     BigDecimal.doubleValue is correctly rounded; DuckDB divides by the
     scale factor in floating point — two roundings). Integer-decimal→
-    double is correctly rounded in BOTH engines at any magnitude, and the
-    final /1e6 is one shared IEEE op, so this form stays bit-identical
-    past 2^53 (agg_statistics_exact / agg_linear_trend diverged at sf0.1
-    under the old form; the sf0.01 gate was passing on luck)."""
+    double is correctly rounded in BOTH engines while the micros TOTAL
+    fits in int64 (DuckDB runs the sum in HUGEINT and its int128→double
+    cast double-rounds once the upper word is more than zero/sign
+    extension — unreachable under the stated per-row |value| < ~10^9
+    domain until ~10^12 rows/group), and the final /1e6 is one shared
+    IEEE op, so this form stays bit-identical past 2^53 micros
+    (agg_statistics_exact / agg_linear_trend diverged at sf0.1 under the
+    old form; the sf0.01 gate was passing on luck)."""
     tot = F.sum(micros(expr).cast("decimal(26,0)"))
     return F.coalesce(tot.cast("double") / F.lit(1e6), F.lit(0.0))
 

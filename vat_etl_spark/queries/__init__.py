@@ -56,13 +56,28 @@ from vat_etl_spark.queries import llm_pipeline  # noqa: E402,F401
 _FIRST = [
     # vat flagship (= entry())
     "vat_summary",
+    # --- round-11 changes: the two rows-only→hash graduations
+    # (dedup_simhash — exported-signature bit_count twin;
+    # dedup_minhash_ml_reference — the FENCED ml.feature path, renamed
+    # from dedup_minhash_lsh, now exact-verified and sharing the banded
+    # all-pairs oracle), the banded path whose candidate generator was
+    # factored out, the A/B recall eval (now two rows), and the ANN
+    # queries rebuilt on the v6 index (rank-scattered links/seeds) ---
+    "dedup_simhash",
+    "dedup_minhash_ml_reference",
+    "dedup_minhash_banded",
+    "dedup_lsh_recall_eval",
+    "ann_graph_search",
+    "ann_nndescent",
+    # --- full rows-only tier (4 after round-11: the ANN pair above plus
+    # the two below): the weakest external-evidence class stays inside
+    # the driver window every round ---
+    "corpus_neardup_admit_twin",
     # --- round-10 changes: the four sketch-quartet rows-only→hash
     # graduations, the widened agg_approx_distinct contract, the
     # degenerate-group-guarded agg_statistics, the quantized-argmax
-    # kmeans, the heap BPE encoder, and the rebuilt (v4, reverse-
-    # augmented) ANN serve index; multimodal_dedup_phash enters the
-    # window per verdict-r9 task 7 (the one oracle-backed query with no
-    # driver row in any round) ---
+    # kmeans, the heap BPE encoder, and multimodal_dedup_phash's first
+    # driver row ---
     "agg_hll_mergeable",
     "agg_countmin_heavy_hitters",
     "agg_hll_intersection",
@@ -73,15 +88,6 @@ _FIRST = [
     "text_bpe_apply_trie",
     "text_bpe_apply",
     "multimodal_dedup_phash",
-    "dedup_minhash_banded",
-    "ann_graph_search",
-    "ann_nndescent",
-    # --- full rows-only tier (6 incl. the ANN pair above): the weakest
-    # external-evidence class stays inside the driver window every round ---
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_lsh_recall_eval",
-    "corpus_neardup_admit_twin",
     # --- round-9 changes: production-K BPE encoder registration, BPE
     # null-parity + separator-guard fixes, index fingerprint guard, and
     # the five rows-only→hash graduations ---
@@ -133,9 +139,9 @@ _FIRST = [
     # stratum-hash fix + corpus mergeSchema change
     "dedup_lsh_recall_eval",
     "corpus_ingest_admit_twin",
-    # --- rows-only tier (6 after round-10 graduations: the ANN pair, the
-    # MinHash/SimHash signature pair, LSH recall eval, the stream twin)
-    # plus recently-graduated sketch entries kept fresh ---
+    # --- rows-only tier (4 after round-11 graduations: the ANN pair,
+    # the A/B recall eval, the stream twin) plus recently-graduated
+    # entries kept fresh ---
     "agg_approx_distinct",
     "agg_countmin_heavy_hitters",
     "agg_hll_intersection",
@@ -146,7 +152,7 @@ _FIRST = [
     "ann_ivfpq_search",
     "ann_lsh_bucketed",
     "ann_pq_recall_eval",
-    "dedup_minhash_lsh",
+    "dedup_minhash_ml_reference",
     "dedup_phonetic_blocking",
     "dedup_phonetic_recall_eval",
     "dedup_simhash",

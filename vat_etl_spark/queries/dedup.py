@@ -265,33 +265,6 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("vec_a", "vec_b", cos.alias("cosine")).filter(F.col("cosine") >= 0.3)
 
 
-@query("dedup_minhash_lsh")  # rows-only: ml.feature hashing is Spark-specific
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup candidates: shingle → HashingTF → MinHashLSH →
-    approxSimilarityJoin (Jaccard distance ≤ 0.4). The production-scale path
-    for fuzzy dedup: candidate pairs come from banded signature buckets, so
-    cost is per-bucket, not quadratic."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
-
-    d = _docs_fanout(spark, sf_dir).select("doc_id", "text")
-    tok = RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+")
-    ng = NGram(n=3, inputCol="toks", outputCol="shingles")
-    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
-    shingled = ng.transform(tok.transform(d)).filter(F.size("shingles") > 0)
-    staged = tf.transform(shingled)
-    mh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
-    model = mh.fit(staged)
-    pairs = model.approxSimilarityJoin(staged, staged, 0.4, distCol="jaccard_dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
-            F.col("jaccard_dist"),
-        )
-    )
-
-
 _MHB_BANDS = 8
 _MHB_ROWS = 2
 
@@ -318,6 +291,89 @@ SELECT doc_a, doc_b, CAST(common AS INT) AS common,
 FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
 WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.6
 """
+
+
+def _shingle_docsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ts) with ts = the doc's DISTINCT 3-word shingles — the
+    shared input of the banded MinHash index, the ml.feature A/B
+    reference's exact-verify stage, and their common all-pairs oracle."""
+    d = _docs_fanout(spark, sf_dir)
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    shingles = F.array_distinct(
+        F.expr(
+            "transform(sequence(0, size(ws) - 3),"
+            " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
+        )
+    )
+    return (
+        d.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 3)
+        .select("doc_id", shingles.alias("ts"))
+    )
+
+
+def _ml_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from Spark ml.feature's MinHashLSH
+    approxSimilarityJoin (hashed-Jaccard distance ≤ 0.4) — the candidate
+    GENERATOR of the A/B reference path; see dedup_minhash_ml_reference
+    for the scale fence."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    d = _docs_fanout(spark, sf_dir).select("doc_id", "text")
+    tok = RegexTokenizer(inputCol="text", outputCol="toks", pattern=r"\s+")
+    ng = NGram(n=3, inputCol="toks", outputCol="shingles")
+    tf = HashingTF(inputCol="shingles", outputCol="features", numFeatures=1 << 18)
+    shingled = ng.transform(tok.transform(d)).filter(F.size("shingles") > 0)
+    staged = tf.transform(shingled)
+    mh = MinHashLSH(inputCol="features", outputCol="sig", numHashTables=8, seed=42)
+    model = mh.fit(staged)
+    pairs = model.approxSimilarityJoin(staged, staged, 0.4, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+@query("dedup_minhash_ml_reference", oracle=_MHB_SQL)
+def dedup_minhash_ml_reference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ml.feature MinHashLSH kept ONLY as an explicitly-named A/B reference
+    against the production banded path (dedup_minhash_banded) — NOT a
+    production path.
+
+    SCALE FENCE (round-10 decade, SCALE.md): MinHashLSH OR-amplifies
+    numHashTables SINGLE-hash bands, so a band collision is as likely as
+    the pair's RAW Jaccard — on a 500 K-doc Zipfian corpus the hot
+    buckets go per-bucket-quadratic and the approxSimilarityJoin's
+    straggler tail ran > 55 min before being aborted, while the b×r
+    banded replacement finished the same decade output-linear (0.94
+    exponent) and 4-16× faster at 50 K. Do not route pipeline or bench
+    traffic through this query; it exists so the A/B recall comparison
+    (dedup_lsh_recall_eval) and the oracle gate keep proving the banded
+    path equivalent on the pinned data.
+
+    DETECTION CONTRACT (round-11 graduation from rows-only): candidates
+    from approxSimilarityJoin are re-verified by the SAME exact
+    shingle-set Jaccard stage as the banded path (_verify_common_tokens,
+    ≥ 0.6), so the output equals the banded query's and shares its naive
+    all-pairs DuckDB oracle (_MHB_SQL). Probabilistic like every MinHash
+    index — 8 OR-ed single-hash bands miss an exactly-J=0.6 pair with
+    probability (1−0.6)⁸ ≈ 0.07 % — measured complete at both driver
+    SFs; the lowercasing RegexTokenizer and HashingTF collisions can
+    only MERGE shingles (raise a pair's hashed similarity), so the 0.4
+    hashed-distance cut keeps every exact-J ≥ 0.6 candidate."""
+    cands = _ml_minhash_candidates(spark, sf_dir)
+    docsets = _shingle_docsets(spark, sf_dir)
+    pairs = _verify_common_tokens(cands, docsets)
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "common", "n_a", "n_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.6)
 
 
 @query("dedup_minhash_banded", oracle=_MHB_SQL)
@@ -361,19 +417,22 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (element, index) — the `lambda t, s=s:` closure idiom silently fed
     the element INDEX as the 'seed', collapsing all {NH} minhash
     functions into one."""
-    d = _docs_fanout(spark, sf_dir)
-    ws = F.split(F.trim(F.col("text")), r"\s+")
-    shingles = F.array_distinct(
-        F.expr(
-            "transform(sequence(0, size(ws) - 3),"
-            " i -> concat_ws(' ', ws[i], ws[i+1], ws[i+2]))"
-        )
+    docsets = _shingle_docsets(spark, sf_dir)
+    cands = _banded_minhash_candidates(docsets)
+    pairs = _verify_common_tokens(cands, docsets)
+    jac = F.col("common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("common")
     )
-    docsets = (
-        d.select("doc_id", ws.alias("ws"))
-        .filter(F.size("ws") >= 3)
-        .select("doc_id", shingles.alias("ts"))
-    )
+    return pairs.select(
+        "doc_a", "doc_b", "common", "n_a", "n_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= 0.6)
+
+
+def _banded_minhash_candidates(docsets: DataFrame) -> DataFrame:
+    """Candidate (doc_a, doc_b) pairs from the b×r banded MinHash index —
+    the candidate GENERATOR of dedup_minhash_banded, split out so the
+    stratified recall audit (dedup_lsh_recall_eval) can A/B it against
+    the ml.feature generator on identical shingle sets."""
     n_hash = _MHB_BANDS * _MHB_ROWS
 
     # NOT `lambda t, s=s: ...`: PySpark binds higher-order-function lambdas
@@ -412,13 +471,7 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    pairs = _verify_common_tokens(cands, docsets)
-    jac = F.col("common").cast("double") / (
-        F.col("n_a") + F.col("n_b") - F.col("common")
-    )
-    return pairs.select(
-        "doc_a", "doc_b", "common", "n_a", "n_b", jac.alias("jaccard")
-    ).filter(F.col("jaccard") >= 0.6)
+    return cands
 
 
 dedup_minhash_banded.__doc__ = dedup_minhash_banded.__doc__.replace(
@@ -501,22 +554,117 @@ def simhash_frame(df: DataFrame, text_col: str = "text", out: str = "simhash") -
     ).drop("_sh_hashes")
 
 
-@query("dedup_simhash")  # rows-only: xxhash64 is Spark-specific
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document from token hashes — near-dup docs land on
-    nearby signatures; grouping on a signature prefix gives cheap candidate
-    blocks. Hashing is native (xxhash64); the 64-bit vote runs on the
-    Arrow fast path (simhash_frame — bit-identical to the expression
-    form, 17× faster at 50 K docs)."""
-    d = _docs_fanout(spark, sf_dir)
-    sig = simhash_frame(d).select("doc_id", "simhash")
-    return sig.select(
-        "doc_id", "simhash", F.shiftrightunsigned("simhash", 48).alias("block16")
+_NEARDUP_BANDS = 4  # 4 × 16-bit bands: pigeonhole-lossless for hamming <= 3
+_NEARDUP_T = 3
+
+
+def _simhash_sig_export_dir() -> str:
+    """artifacts/simhash_sigs under the repo root — where dedup_simhash
+    exports its per-corpus signature tables for the DuckDB oracle twin."""
+    import os
+
+    return os.path.join(
+        os.path.dirname(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        ),
+        "artifacts",
+        "simhash_sigs",
     )
 
 
-_NEARDUP_BANDS = 4  # 4 × 16-bit bands: pigeonhole-lossless for hamming <= 3
-_NEARDUP_T = 3
+# The oracle twin verifies the two stages downstream of the (Spark-
+# specific, xxhash64-based) signature itself: candidate BANDING must be
+# lossless at the threshold and the Hamming verify must be exact. It runs
+# the NAIVE ALL-PAIRS bit_count(xor) over the signatures dedup_simhash
+# exports (deterministic content, rewritten on every call), picking the
+# export matching THIS corpus by a CONTENT fingerprint both engines
+# compute identically (order-insensitive sum of per-doc md5 residues;
+# probed bit-equal Spark vs DuckDB incl. unicode) — a doc COUNT key is
+# not enough: sf0.001 and sf0.01 both hold 500 docs. One static SQL
+# string thereby serves every scale factor the sweep runs, and committed
+# exports for the pinned testdata SFs make the SQL runnable before the
+# Spark side has executed in a fresh checkout.
+_SIMHASH_FP_MOD = 1_000_000_007
+
+_SIMHASH_SQL = f"""
+WITH sigs AS (
+  SELECT doc_id, simhash
+  FROM read_parquet('{_simhash_sig_export_dir()}/fp=*/*.parquet',
+                    hive_partitioning = true)
+  WHERE fp = (SELECT sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+                         % {_SIMHASH_FP_MOD})
+              FROM documents
+              WHERE text IS NOT NULL AND trim(text) <> '')
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {{T}}
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_SQL.format(T=_NEARDUP_T))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit SimHash per document from token
+    hashes (native xxhash64; the 64-bit majority vote runs on the Arrow
+    fast path — simhash_frame, bit-identical to the expression form, 17×
+    faster at 50 K docs), banded into 4×16-bit blocks — pigeonhole-
+    LOSSLESS for the Hamming ≤ 3 admit threshold — then candidate pairs
+    from the banded self-join are verified by exact Hamming
+    (xor + bit_count). The same signature → band → verify pipeline the
+    streaming near-dup admission gate runs per micro-batch
+    (neardup_admit_plan), expressed as the batch pair-finder.
+
+    ORACLE (round-11 graduation from rows-only): the signatures are
+    exported to artifacts/simhash_sigs/fp=<fingerprint>/ (deterministic — pure
+    xxhash64 of pinned data — so the write is idempotent), and the DuckDB
+    twin recomputes the pairs NAIVE ALL-PAIRS over that export with its
+    own bit_count(xor). What the gate thereby pins every round: banding
+    loses no pair at the threshold (the pigeonhole claim) and the exact
+    Hamming verify agrees bit-for-bit cross-engine. The signature
+    function itself stays Spark-hash-specific (xxhash64 has no DuckDB
+    twin) — its determinism and 64-bit shape are pytest-pinned
+    (test_dedup_determinism.py, test_streaming.py)."""
+    import os
+
+    d = _docs_fanout(spark, sf_dir)
+    nonempty = d.where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    sigd = simhash_frame(nonempty).select("doc_id", "simhash")
+    fp = nonempty.agg(
+        F.sum(
+            F.pmod(
+                F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
+                F.lit(_SIMHASH_FP_MOD),
+            )
+        ).alias("fp")
+    ).collect()[0].fp
+    out = os.path.join(_simhash_sig_export_dir(), f"fp={fp}")
+    sigd.coalesce(1).write.mode("overwrite").parquet(out)
+    # re-read the export so the pair plan and the oracle share one input
+    # (and the signature job runs once, not once per banded branch)
+    sig = spark.read.parquet(out).select("doc_id", "simhash")
+    bands = sig.select("doc_id", "simhash", _sim_bands(F.col("simhash"))).select(
+        "doc_id", "simhash", "b.band_no", "b.band_key"
+    )
+    other = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        "band_no",
+        "band_key",
+    )
+    hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_b")))
+    return (
+        bands.join(other, ["band_no", "band_key"])
+        .where((F.col("doc_id") < F.col("doc_b")) & (hamming <= _NEARDUP_T))
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            hamming.cast("int").alias("hamming"),
+        )
+        .distinct()
+    )
 
 
 def _sim_bands(sig_col):
@@ -1024,24 +1172,28 @@ def dedup_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_lsh_recall_eval")  # rows-only: evaluates the Spark-specific LSH path
+@query("dedup_lsh_recall_eval")  # rows-only: evaluates the Spark-specific LSH paths
 def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall audit of the MinHash-LSH candidate generator against exact
+    """A/B recall audit of BOTH MinHash candidate generators — the
+    production b×r banded index (dedup_minhash_banded) and the fenced
+    ml.feature reference (dedup_minhash_ml_reference) — against exact
     ground truth: every 3-shingle-set pair with true Jaccard ≥ 0.6 (the
     integer cross-multiplied 5·common ≥ 3·(|A|+|B|−common) test — no float
-    boundary) is checked for presence in dedup_minhash_lsh's candidate set.
-    One row out: truth size, candidate size, hits, recall — the number
-    that tells you whether the banded index is safe to swap in for the
-    exact join at 100 TB (precision is cheap to recover by re-verifying
-    candidates; RECALL loss is silent data corruption, so it is the
-    audited quantity). tests/test_dedup_determinism.py pins recall ≥ 0.9.
+    boundary) is checked for presence in each generator's candidate set.
+    One row per generator: truth size, candidate size, hits, recall — the
+    number that tells you whether a banded index is safe to swap in for
+    the exact join at 100 TB (precision is cheap to recover by
+    re-verifying candidates; RECALL loss is silent data corruption, so it
+    is the audited quantity), and the A/B comparison the round-10 scale
+    fence rests on (SCALE.md: equal detection, ml path dead at 500 K).
+    tests/test_dedup_determinism.py pins recall ≥ 0.9 for both.
 
     The truth side runs on a deterministic 10% seed stratum (pairs whose
-    LOWER doc id hashes into the stratum; the candidate set under audit
-    is filtered identically, the INDEX itself still runs in full) — the
-    only form an exact-truth audit can take at 100 TB, where all-pairs
-    ground truth is uncomputable; recall over a random stratum is an
-    unbiased estimate of corpus recall."""
+    LOWER doc id hashes into the stratum; the candidate sets under audit
+    are filtered identically, the INDEXES themselves still run in full) —
+    the only form an exact-truth audit can take at 100 TB, where
+    all-pairs ground truth is uncomputable; recall over a random stratum
+    is an unbiased estimate of corpus recall."""
     toks = F.split(F.trim(F.col("text")), r"\s+")
     d = _docs_fanout(spark, sf_dir).select("doc_id", "text")
     # materialize the token array before the shingle lambda: inlining the
@@ -1089,15 +1241,28 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_stratum = (
         F.pmod(F.xxhash64(F.least("doc_a", "doc_b"), F.lit(0x5EED)), F.lit(10)) == 0
     )
-    cand_all = QUERIES["dedup_minhash_lsh"](spark, sf_dir).select("doc_a", "doc_b")
-    cand = cand_all.where(in_stratum).localCheckpoint(eager=True)
     n_truth = truth.count()
-    n_cand = cand.count()
-    n_hit = truth.join(cand, ["doc_a", "doc_b"]).count()
-    recall = (n_hit / n_truth) if n_truth else 1.0
+    generators = {
+        "banded": _banded_minhash_candidates(
+            sh.withColumnRenamed("shingles", "ts")
+        ),
+        "ml_reference": _ml_minhash_candidates(spark, sf_dir),
+    }
+    out = []
+    for gen, cand_all in generators.items():
+        cand = (
+            cand_all.select("doc_a", "doc_b")
+            .where(in_stratum)
+            .localCheckpoint(eager=True)
+        )
+        n_cand = cand.count()
+        n_hit = truth.join(cand, ["doc_a", "doc_b"]).count()
+        recall = (n_hit / n_truth) if n_truth else 1.0
+        out.append((gen, n_truth, n_cand, n_hit, float(recall)))
     return spark.createDataFrame(
-        [(n_truth, n_cand, n_hit, float(recall))],
-        "n_truth_pairs long, n_candidates long, n_hits long, recall double",
+        out,
+        "generator string, n_truth_pairs long, n_candidates long,"
+        " n_hits long, recall double",
     )
 
 

@@ -782,11 +782,24 @@ def build_corpus(
         # isdir probe is local-FS-only and on an object store would
         # silently skip base near-dup gating (admitting near-duplicates
         # of the base corpus); a read attempt works on any Hadoop FS.
+        # Round-11 ADVICE: downgrade ONLY the missing-path condition.
+        # A present-but-unreadable index (corrupt files, empty dir /
+        # UNABLE_TO_INFER_SCHEMA, permission analysis errors) must fail
+        # loudly — swallowing it would silently disable base near-dup
+        # gating, the exact failure mode the try-read probe exists to
+        # close.
         sig_path = os.path.join(base_dir, "neardup_sig_index")
         if "neardup" in stages:
             try:
                 base_sigs = spark.read.parquet(sig_path)
-            except AnalysisException:
+            except AnalysisException as e:
+                cond = (
+                    e.getCondition()
+                    if hasattr(e, "getCondition")
+                    else e.getErrorClass()
+                )
+                if cond != "PATH_NOT_FOUND":
+                    raise
                 import logging
 
                 logging.getLogger(__name__).warning(
