@@ -641,7 +641,25 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fp")
     ).collect()[0].fp
     out = os.path.join(_simhash_sig_export_dir(), f"fp={fp}")
-    sigd.coalesce(1).write.mode("overwrite").parquet(out)
+    # deterministic single-file pyarrow write (sorted rows, fixed name):
+    # a Spark write would mint a fresh UUID part name per run and churn
+    # the committed artifact; byte-stable output keeps git quiet. The
+    # collect is bounded by the signature table (8 B/doc — 4 MB even at
+    # the 500 K decade); the export-backed oracle is a pinned-testdata
+    # device, not a 100 TB path (there the gate is the stratified recall
+    # audit + pytest pins, as for every index).
+    pdf = sigd.orderBy("doc_id").toPandas()
+    os.makedirs(out, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(out, "sigs.parquet"),
+    )
+    for stale in os.listdir(out):
+        if stale != "sigs.parquet":
+            os.remove(os.path.join(out, stale))
     # re-read the export so the pair plan and the oracle share one input
     # (and the signature job runs once, not once per banded branch)
     sig = spark.read.parquet(out).select("doc_id", "simhash")
