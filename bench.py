@@ -92,10 +92,14 @@ MULTI_JOB_BENCH = [
     # fused count/anchor aggregate = 3 driver jobs, down from 9)
     "events_rfm_segmentation",
     # serve-only beam search over the PERSISTED NN-Descent graph (round-8
-    # build/serve split): driver-coordinated hop loop with eager
-    # checkpoints, so the plan must be rebuilt per pass; the warm pass
-    # builds the index once, timed passes measure search alone.
-    "ann_graph_search",
+    # build/serve split; round-11 audit split): driver-coordinated hop
+    # loop with checkpoints, so the plan must be rebuilt per pass; the
+    # warm pass builds the index once, timed passes measure SEARCH alone
+    # — the exact-truth recall audit stays in the registered
+    # ann_graph_search (oracle/pytest tier), so the gate stops re-flagging
+    # the audit harness every time the recall budget moves. Runs via
+    # _run_ann_serve below, not the QUERIES registry.
+    "ann_graph_serve",
     # the composed end-to-end corpus build (round-10 ask): the FULL
     # curation funnel (Gopher -> classifier -> perplexity -> exact dedup
     # -> line dedup -> span removal -> SimHash gate -> leakage-safe split)
@@ -105,13 +109,25 @@ MULTI_JOB_BENCH = [
     "corpus_build_full",
 ]
 
-# Entries whose single run is ~85 s at sf0.1: timed ONCE after one untimed
-# warm run instead of median-of-N — N passes would dominate the whole
-# bench wall for a composed pipeline whose stage boundaries are persisted
-# (variance comes from the same shuffle machinery the other 25 entries
-# already sample 5x). The regression gate handles a 1-sample entry fine
-# (median == min == the sample).
-SINGLE_PASS = {"corpus_build_full"}
+# Per-entry pass caps for the very expensive composed pipelines: a full
+# median-of-5 on an ~80 s entry would triple the bench wall. Round-11
+# hygiene (verdict r10 item 3): corpus_build_full now records TWO timed
+# passes instead of one — the 1-sample median made the regression gate
+# noise-blind on the most expensive entry; with two, `median` vs `min`
+# separates spread from shift like every other entry.
+PASS_CAP = {"corpus_build_full": 2}
+
+
+def _run_ann_serve(spark, sf_dir: str) -> None:
+    """One serve-only ANN pass (audit-preset budget, no exact-truth
+    audit) into the noop sink — the index is built/validated by the warm
+    pass, so timed passes measure beam search against the persisted
+    graph."""
+    from vat_etl_spark.queries.similarity import ann_graph_serve
+
+    ann_graph_serve(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
 
 def _run_corpus_build(spark, sf_dir: str) -> None:
@@ -158,6 +174,8 @@ def main() -> None:
     for name in BENCH_QUERIES + MULTI_JOB_BENCH:
         if name == "corpus_build_full":
             _run_corpus_build(spark, sf_dir)
+        elif name == "ann_graph_serve":
+            _run_ann_serve(spark, sf_dir)
         else:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
@@ -186,11 +204,13 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)
         for name in MULTI_JOB_BENCH:
-            if name in SINGLE_PASS and samples[name]:
+            if len(samples[name]) >= PASS_CAP.get(name, n_passes):
                 continue
             t0 = time.perf_counter()
             if name == "corpus_build_full":
                 _run_corpus_build(spark, sf_dir)
+            elif name == "ann_graph_serve":
+                _run_ann_serve(spark, sf_dir)
             else:
                 QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[name].append(time.perf_counter() - t0)

@@ -282,6 +282,78 @@ def test_serve_graph_has_capexempt_long_range_links(spark, sf_smoke, tmp_path, m
     assert per_node["max_deg"] <= _SERVE_DEG + _SERVE_RND, per_node
 
 
+def test_long_range_links_and_seeds_on_sparse_ids(spark, tmp_path, monkeypatch):
+    """Round-11 ADVICE regression: long-range links (and init edges /
+    serve seeds) must land on ACTUAL node ids. The pre-v6 spelling
+    targeted pmod(xxhash64(v), n_vec) directly as an id, which dangles on
+    sparse/non-contiguous vec_ids — every dangling edge is silently
+    dropped by the id join, so the global-connectivity guarantee the
+    links exist for quietly degrades. v6 scatters over the persisted
+    rank table, making real targets structural on ANY id space."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.similarity import build_graph_index
+
+    rng = np.random.default_rng(11)
+    # ids 0..4 exist (the serve query stratum) but the tail is sparse:
+    # gaps of ~97 make >98% of pmod(hash, n_vec) draws miss real ids
+    ids = list(range(5)) + [100 + 97 * i for i in range(295)]
+    vecs = rng.standard_normal((len(ids), 16)).astype(np.float64)
+    corpus = tmp_path / "sparse"
+    corpus.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "embedding": pa.array(
+                    [list(v) for v in vecs], pa.list_(pa.float64())
+                ),
+                "label": pa.array(["x"] * len(ids)),
+            }
+        ),
+        str(corpus / "embeddings.parquet"),
+    )
+    monkeypatch.setenv("VAT_ETL_INDEX_DIR", str(tmp_path / "idx"))
+    p = build_graph_index(spark, str(corpus))
+    serve = spark.read.parquet(f"{p}/edges_serve")
+    id_set = spark.createDataFrame([(i,) for i in ids], "n long")
+    # 1. no dangling targets: every serve edge endpoint is a real node
+    assert serve.join(id_set, "n", "left_anti").count() == 0
+    # 2. every node still carries >= 1 cap-exempt long-range link
+    per_node = (
+        serve.groupBy("v")
+        .agg(F.count(F.when(F.col("sim") == -1.0, 1)).alias("n_rnd"))
+        .agg(F.min("n_rnd").alias("min_rnd"), F.count("*").alias("n"))
+        .first()
+    )
+    assert per_node["n"] == len(ids)
+    assert per_node["min_rnd"] >= 1, per_node
+    # 3. the audited serve path works end-to-end on the sparse id space
+    rows = QUERIES["ann_graph_search"](spark, str(corpus)).collect()
+    assert len(rows) == 5
+    mean = sum(r.recall_at_10 for r in rows) / len(rows)
+    assert mean >= 0.8, [tuple(r) for r in rows]
+
+
+def test_serve_presets_bound_touched_work(spark, sf_smoke):
+    """SERVE_PRESETS parameterize the beam budget (round-11 ask): the
+    clustered/production preset must do strictly less work than the
+    near-iid audit preset while returning the same shape; its recall on
+    CLUSTERED data is measured by tools/ann_decade.py (SCALE.md)."""
+    from vat_etl_spark.queries.similarity import ann_graph_serve
+
+    audit = ann_graph_serve(spark, sf_smoke, preset="audit").collect()
+    clus = ann_graph_serve(spark, sf_smoke, preset="clustered").collect()
+    assert {r.qid for r in audit} == {r.qid for r in clus} == set(range(5))
+    a_scored = {r.qid: r.n_scored for r in audit}
+    c_scored = {r.qid: r.n_scored for r in clus}
+    for q in a_scored:
+        assert c_scored[q] < a_scored[q], (q, c_scored[q], a_scored[q])
+
+
 def test_ann_index_build_serve_lifecycle(spark, sf_smoke, tmp_path, monkeypatch):
     """The persisted-index contract: first serve call builds, subsequent
     calls reuse the artifact untouched (mtime-stable), and a corpus-size

@@ -1260,11 +1260,44 @@ _SERVE_DEG = 2 * _NND_K
 _SERVE_RND = 4
 
 
-def _nnd_graph(em: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _rank_targets(
+    src: DataFrame, nodes: DataFrame, n_vec: int, seeds: list[int], id_col: str = "v"
+) -> DataFrame:
+    """(id_col, n) hash-scattered edges whose targets are ACTUAL node ids:
+    each seed draws a rank in [1, n_vec] via pmod(xxhash64(id, seed)) and
+    the rank is mapped to its vec_id through the persisted rank table.
+    The pre-v6 spelling targeted pmod(hash, n_vec) DIRECTLY AS AN ID,
+    which silently dangles on sparse/non-contiguous vec_ids (round-10
+    ADVICE): every dangling edge is dropped by the downstream id join, so
+    on a renumbered corpus the init graph thins out and the serve graph's
+    global-connectivity guarantee quietly degrades. Rank scatter makes
+    hitting a real node structural, not a property of the id space."""
+    draws = src.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col(id_col), F.lit(s)), F.lit(n_vec)) + 1
+                    for s in seeds
+                ]
+            )
+        ).alias("_rk"),
+    )
+    return (
+        draws.join(nodes.select(F.col("rk").alias("_rk"), "vec_id"), "_rk")
+        .select(id_col, F.col("vec_id").alias("n"))
+        .where(F.col(id_col) != F.col("n"))
+        .distinct()
+    )
+
+
+def _nnd_graph(em: DataFrame, nodes: DataFrame) -> tuple[DataFrame, DataFrame]:
     """NN-Descent graph construction (shared by the build audit and the
     graph search): returns (initial scored graph, descended graph), both
     as (v, n, sim) edge lists with ≤ K={K} out-edges per node. See
-    ann_nndescent for the algorithm and scale notes."""
+    ann_nndescent for the algorithm and scale notes. ``nodes`` is the
+    (rk, vec_id) contiguous rank table (two_pass_rank) so hash scatter
+    lands on actual ids even when vec_ids are sparse."""
     k = _NND_K
     n_vec = em.count()
     src = em.select(F.col("vec_id").alias("v"), F.col("ev").alias("sv"))
@@ -1279,17 +1312,9 @@ def _nnd_graph(em: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     # deterministic SCATTERED init (hash jumps, not a ring: a ring init
     # mixes in O(diameter) rounds; hash seeds reach every region at once)
-    init = src.select(
-        "v",
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.col("v"), F.lit(i)), F.lit(n_vec))
-                    for i in range(k)
-                ]
-            )
-        ).alias("n"),
-    ).where(F.col("v") != F.col("n")).distinct()
+    init = _rank_targets(
+        src.select("v"), nodes, n_vec, list(range(k)), id_col="v"
+    )
     b0 = score(init).localCheckpoint(eager=False)
     topk = W.partitionBy("v").orderBy(F.desc("sim"), "n")
     b = b0
@@ -1413,53 +1438,75 @@ _GS_SEEDS = 64
 _GS_BEAM = 24
 _GS_HOPS = 10
 
+# Serve-budget presets (round-11 ask): the budget is a property of the
+# DATA REGIME, not of the algorithm. The testdata embeddings are near-iid
+# random — the UNNAVIGABLE worst case for graph search (top-10 cosine is
+# barely above the similarity noise floor, a true-NN's neighbor list
+# shares ~1 of the query's top-10) — so the audit preset carries a wide
+# budget, enters from hash-SCATTERED seeds, and touches ~43 % of the
+# sf0.1 corpus. Real trained embeddings cluster; there the entry problem
+# changes shape: the number of clusters grows with the corpus (n/100 in
+# the decade generator), so ANY fixed random-scatter budget eventually
+# misses the query's cluster — measured at 20 K/200 clusters: every
+# sub-audit scatter budget failed bimodally (per-query recall 1.0/0.0).
+# The clustered preset therefore enters through a HUB LAYER — HNSW's
+# upper layer, flattened: score the query against a deterministic
+# hash-sample of 1-in-`hub_rate` nodes (no index artifact needed — pure
+# hash filter) and start the beam from the best hubs. Entry is then
+# similarity-SELECTED, not lucky: P(some hub in a 100-member cluster) =
+# 1−(1−1/rate)^100 ≈ 98 % at rate 25 INDEPENDENT of corpus size, and the
+# local beam recovers the top-k from a near-cluster entry. Per-query hub
+# work is n/rate scores (map-only, broadcast queries) — sublinear
+# fraction; at true web scale the hub layer itself gets a hub layer
+# (that recursion is exactly HNSW's log-layer hierarchy).
+# Measured by tools/ann_decade.py; SCALE.md round-11: recall + touched
+# fraction at 20 K and 200 K clustered points.
+SERVE_PRESETS: dict[str, dict] = {
+    "audit": {
+        "entry": "scatter",
+        "seeds": _GS_SEEDS,
+        "beam": _GS_BEAM,
+        "hops": _GS_HOPS,
+    },
+    "clustered": {"entry": "hubs", "hub_rate": 25, "beam": 8, "hops": 4},
+}
 
-@query("ann_graph_search")  # rows-only: float cosine ordering is Spark-specific
-def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beam search over the NN-Descent graph — the query half of
-    graph-based ANN (what HNSW/NSG do at serve time), batched
-    Spark-shaped: ALL queries advance one hop per round through one
-    edge-list join, instead of one query walking pointer-by-pointer.
 
-    Per query: {S} hash-scattered seed nodes are scored, then {H} hops of
-    [take the current beam (top-{B} scored so far) → expand every beam
-    member's out-edges via one join against the graph → score only
-    never-visited candidates] — monotone by construction (the beam only
-    improves), deterministic (hash seeds + (sim desc, id) tie-break).
-    The expansion runs over the REVERSE-AUGMENTED serve graph
-    (``edges_serve``: forward ∪ reverse edges, degree-capped — what
-    NSW/HNSW store by construction); a directed K-NN graph leaves n→v
-    edges with no v→n back-edge and beam search never reaches n, which
-    capped serve recall at 0.64 before round 10.
-
-    Output is the serving audit: per query, recall@10 of the beam vs
-    exact brute force, plus n_scored — the corpus fraction the search
-    actually touched (the entire point of the index; pytest pins
-    recall ≥ 0.8; measured 0.96 at sf0.1 at N=2000, 0.98 at sf0.01, and
-    1.0 at BOTH 2 K and 20 K on clustered vectors with the touched
-    fraction falling 36% → 6.9% — tools/ann_decade.py). The serve budget is sized for the testdata
-    embeddings, which are near-iid random (top-10 cosine ≈ 3σ above
-    the similarity noise floor; a query's true-NN's neighbor list
-    shares ~1 of the query's top-10): on such UNNAVIGABLE data every
-    graph method needs a wide beam — on real clustered embeddings the
-    same budget over-delivers and can be dialed down.
+def _graph_serve(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    seeds: int = _GS_SEEDS,
+    beam: int = _GS_BEAM,
+    hops: int = _GS_HOPS,
+    k: int = 10,
+    n_queries: int = 5,
+    entry: str = "scatter",
+    hub_rate: int = 25,
+) -> dict:
+    """Serve-only beam search over the persisted NN-Descent serve graph —
+    the budget-parameterized core shared by the registered audit query
+    (ann_graph_search), the serve-only bench entry (ann_graph_serve) and
+    the decade harness. Returns dict(topk, visited, qs, dst, n_vec):
+    ``topk`` is the per-query top-``k`` (qid, node, sim); ``visited`` the
+    scored set (its per-qid size is the touched-work metric); qs/dst are
+    exposed so the audit wrapper can run the exact pass without a second
+    corpus scan definition.
 
     Scale shape: each hop is one co-partitioned join of a (queries×beam)
-    edge list against the K-out-degree graph — per-query work is
-    O(beam·K) per hop regardless of N; the visited set grows by at most
-    beam·K per hop so the anti-join stays query-bounded; lineage cut per
-    hop. The graph is SERVED from the persisted index
-    (``build_graph_index`` — built once, reused across calls, rebuilt
-    only when the corpus row count changes), so this query's cost is
-    search alone: per-query work independent of N except the exact-truth
-    audit, which is the evaluation harness, not the search."""
+    edge list against the capped-degree graph — per-query work is
+    O(seeds + hops·beam·deg) ABSOLUTE, independent of N; the visited set
+    grows by at most beam·deg per hop so the anti-join stays
+    query-bounded; lineage cut per hop. Seeds scatter over the persisted
+    rank table (v6) so they land on actual ids on any id space."""
     em = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl(F.col("embedding")).alias("ev")
     )
     graph, n_vec = load_graph_index(spark, sf_dir, serve=True)
+    nodes = load_graph_nodes(spark, sf_dir)
     g = graph.select("v", "n")
     dst = em.select(F.col("vec_id").alias("node"), F.col("ev").alias("dv"))
-    qs = em.where(F.col("vec_id") < 5).select(
+    qs = em.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("ev").alias("qv")
     )
 
@@ -1474,27 +1521,45 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    seeds = qs.select(
-        "qid",
-        F.explode(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.col("qid"), F.lit(100 + i)), F.lit(n_vec))
-                    for i in range(_GS_SEEDS)
-                ]
+    if entry == "hubs":
+        # hub-layer entry (clustered preset): score the query against the
+        # deterministic 1-in-hub_rate hash sample of the corpus — a pure
+        # filter on the embedding scan, broadcast-joined to the k query
+        # vectors — and let the hop loop's top-beam window pick the best
+        # entries. All hub scores stay in `visited` (they were computed,
+        # so they count as touched work).
+        hubs = dst.where(
+            F.pmod(F.xxhash64(F.col("node"), F.lit(0x48B)), F.lit(hub_rate))
+            == 0
+        )
+        visited = (
+            hubs.crossJoin(F.broadcast(qs))
+            .where(F.col("qid") != F.col("node"))
+            .select(
+                "qid", "node",
+                cosine_expr(F.col("qv"), F.col("dv")).alias("sim"),
             )
-        ).alias("node"),
-    ).distinct()
-    visited = score(seeds).localCheckpoint(eager=False)
+            .localCheckpoint(eager=False)
+        )
+    else:
+        seed_nodes = (
+            _rank_targets(
+                qs.select("qid"), nodes, n_vec,
+                [100 + i for i in range(seeds)],
+                id_col="qid",
+            )
+            .withColumnRenamed("n", "node")
+        )
+        visited = score(seed_nodes).localCheckpoint(eager=False)
     wq = W.partitionBy("qid").orderBy(F.desc("sim"), "node")
-    for _ in range(_GS_HOPS):
-        beam = (
+    for _ in range(hops):
+        bm = (
             visited.withColumn("rk", F.row_number().over(wq))
-            .where(F.col("rk") <= _GS_BEAM)
+            .where(F.col("rk") <= beam)
             .select("qid", F.col("node").alias("v"))
         )
         frontier = (
-            beam.join(g, "v")
+            bm.join(g, "v")
             .select("qid", F.col("n").alias("node"))
             .distinct()
             .join(visited.select("qid", "node"), ["qid", "node"], "left_anti")
@@ -1503,11 +1568,88 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=False
         )
 
-    result = (
+    topk = (
         visited.withColumn("rk", F.row_number().over(wq))
-        .where(F.col("rk") <= 10)
-        .select("qid", "node")
+        .where(F.col("rk") <= k)
+        .select("qid", "node", "sim")
     )
+    return {
+        "topk": topk,
+        "visited": visited,
+        "qs": qs,
+        "dst": dst,
+        "n_vec": n_vec,
+    }
+
+
+def ann_graph_serve(
+    spark: SparkSession, sf_dir: str, preset: str = "audit"
+) -> DataFrame:
+    """THE THING THAT SHIPS: serve-only beam search against the persisted
+    graph index — per-query top-10 (qid, node, sim) plus n_scored (the
+    work actually done). No exact-truth pass: the O(N·queries) brute-force
+    audit lives in the registered ann_graph_search / pytest tier, so the
+    bench gate measures search latency, not the evaluation harness
+    (round-10 verdict: the audit dominated the benched wall and the gate
+    kept re-flagging the recall budget). Bench entry 'ann_graph_serve'
+    times this with the audit preset on the near-iid testdata."""
+    s = _graph_serve(spark, sf_dir, **SERVE_PRESETS[preset])
+    n_scored = s["visited"].groupBy("qid").agg(
+        F.count("*").alias("n_scored")
+    )
+    return s["topk"].join(n_scored, "qid")
+
+
+@query("ann_graph_search")  # rows-only: float cosine ordering is Spark-specific
+def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam search over the NN-Descent graph — the query half of
+    graph-based ANN (what HNSW/NSG do at serve time), batched
+    Spark-shaped: ALL queries advance one hop per round through one
+    edge-list join, instead of one query walking pointer-by-pointer.
+
+    Per query: {S} rank-scattered seed nodes are scored, then {H} hops of
+    [take the current beam (top-{B} scored so far) → expand every beam
+    member's out-edges via one join against the graph → score only
+    never-visited candidates] — monotone by construction (the beam only
+    improves), deterministic (hash seeds + (sim desc, id) tie-break).
+    The expansion runs over the REVERSE-AUGMENTED serve graph
+    (``edges_serve``: forward ∪ reverse edges, degree-capped, plus
+    cap-exempt long-range links — what NSW/HNSW store by construction);
+    a directed K-NN graph leaves n→v edges with no v→n back-edge and
+    beam search never reaches n, which capped serve recall at 0.64
+    before round 10.
+
+    This registered query is the serving AUDIT (the serve core itself is
+    _graph_serve / ann_graph_serve — benched separately since round 11 so
+    the regression gate measures search, not this harness): per query,
+    recall@10 of the beam vs exact brute force, plus n_scored — the
+    corpus fraction the search actually touched (pytest pins
+    recall ≥ 0.8; measured 0.96 at sf0.1 at N=2000, 0.98 at sf0.01, and
+    1.0 at BOTH 2 K and 20 K on clustered vectors with the touched
+    fraction falling 36% → 6.9% — tools/ann_decade.py). Budget presets:
+    SERVE_PRESETS — 'audit' ({S}/{B}/{H}) is sized for near-iid data,
+    'clustered' for the production regime (SCALE.md round-11 measures
+    its recall + touched fraction at 20 K / 200 K).
+
+    The graph is SERVED from the persisted index (``build_graph_index``
+    — built once, reused across calls, rebuilt only when the corpus
+    count or content fingerprint changes), so this query's cost is
+    search + the exact-truth audit, which is the evaluation harness, not
+    the search."""
+    return graph_search_audit(spark, sf_dir, preset="audit")
+
+
+def graph_search_audit(
+    spark: SparkSession, sf_dir: str, preset: str = "audit"
+) -> DataFrame:
+    """The exact-truth recall audit under any SERVE_PRESETS budget — the
+    body of ann_graph_search, parameterized so tools/ann_decade.py can
+    measure the clustered/production preset's recall + touched fraction
+    on seeded clustered corpora."""
+    s = _graph_serve(spark, sf_dir, **SERVE_PRESETS[preset])
+    qs, dst, n_vec = s["qs"], s["dst"], s["n_vec"]
+    wq = W.partitionBy("qid").orderBy(F.desc("sim"), "node")
+    result = s["topk"].select("qid", "node")
     exact = (
         qs.join(dst, F.col("qid") != F.col("node"))
         .select(
@@ -1522,7 +1664,7 @@ def ann_graph_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = result.join(truth, ["qid", "node"]).groupBy("qid").agg(
         F.count("*").alias("h")
     )
-    n_scored = visited.groupBy("qid").agg(F.count("*").alias("n_scored"))
+    n_scored = s["visited"].groupBy("qid").agg(F.count("*").alias("n_scored"))
     return (
         truth.groupBy("qid").agg(F.count("*").alias("n_truth"))
         .join(hits, "qid", "left")
@@ -1577,8 +1719,10 @@ def _index_root(sf_dir: str) -> str:
 # bump when the on-disk index LAYOUT changes
 # (v2: +edges_init; v3: meta carries the corpus content fingerprint;
 #  v4: +edges_serve — reverse-edge-augmented, degree-capped serve graph;
-#  v5: edges_serve carries cap-exempt hash-random long-range links)
-_IDX_VERSION = 5
+#  v5: edges_serve carries cap-exempt hash-random long-range links;
+#  v6: +nodes rank table — links/seeds scatter over ranks joined to
+#      actual ids, so sparse vec_ids can't dangle)
+_IDX_VERSION = 6
 
 
 def _corpus_sig(em: DataFrame) -> tuple[int, int]:
@@ -1652,7 +1796,25 @@ def build_graph_index(
     n_vec, fp = _corpus_sig(raw)
     if not force and _meta_sig(spark, path) == (n_vec, fp):
         return path
-    init, graph = _nnd_graph(em)
+    # contiguous 1-based rank ↔ vec_id bijection (range-partitioned
+    # two-pass rank, no single-partition window): hash scatter draws a
+    # rank and joins through this table, so init edges, long-range links
+    # and serve seeds land on ACTUAL ids even when vec_ids are sparse
+    # (v6; round-10 ADVICE — pmod(hash, n_vec) as a direct id dangles on
+    # non-contiguous corpora). Persisted with the index: the serve side
+    # needs the same bijection for seed scatter.
+    from vat_etl_spark.functions.ranks import two_pass_rank
+
+    nodes = two_pass_rank(
+        em.select("vec_id"), [("vec_id", "asc")], rank_col="rk"
+    ).localCheckpoint(eager=True)
+    (
+        nodes.repartition(_IDX_BUCKETS, "rk")
+        .sortWithinPartitions("rk")
+        .write.mode("overwrite")
+        .parquet(f"{path}/nodes")
+    )
+    init, graph = _nnd_graph(em, nodes)
     (
         graph.repartition(_IDX_BUCKETS, "v")
         .sortWithinPartitions("v")
@@ -1690,28 +1852,46 @@ def build_graph_index(
     # connectivity — the role of HNSW's upper layers — and MUST bypass
     # the similarity degree cap (random links always lose a sim
     # ordering). sim = -1 marks them; serve only reads (v, n).
-    rnd = (
-        em.select(F.col("vec_id").alias("v"))
-        .select(
-            "v",
+    # v6 (round-11 ADVICE): targets are drawn as RANKS over [1, n−1]
+    # with a shift past the node's own rank — so every link structurally
+    # lands on an actual, distinct node (never self, never a dangling
+    # id) and each node keeps exactly _SERVE_RND draws (distinct targets
+    # may collapse below that only when two seeds draw the same rank).
+    if n_vec >= 2:
+        draws = nodes.select(
+            F.col("vec_id").alias("v"),
+            F.col("rk").alias("_self"),
             F.explode(
                 F.array(
                     *[
                         F.pmod(
-                            F.xxhash64(F.col("v"), F.lit(0x10 + i)),
-                            F.lit(n_vec),
+                            F.xxhash64(F.col("vec_id"), F.lit(0x10 + i)),
+                            F.lit(n_vec - 1),
                         )
+                        + 1
                         for i in range(_SERVE_RND)
                     ]
                 )
-            ).alias("n"),
+            ).alias("_u"),
+        ).select(
+            "v",
+            (
+                F.col("_u")
+                + F.when(F.col("_u") >= F.col("_self"), 1).otherwise(0)
+            ).alias("_rk"),
         )
-        .where(F.col("v") != F.col("n"))
-        .select("v", "n", F.lit(-1.0).alias("sim"))
-    )
-    serve = near.unionByName(rnd).groupBy("v", "n").agg(
-        F.max("sim").alias("sim")
-    )
+        rnd = (
+            draws.join(
+                nodes.select(F.col("rk").alias("_rk"), "vec_id"), "_rk"
+            )
+            .select("v", F.col("vec_id").alias("n"), F.lit(-1.0).alias("sim"))
+            .distinct()
+        )
+        serve = near.unionByName(rnd).groupBy("v", "n").agg(
+            F.max("sim").alias("sim")
+        )
+    else:
+        serve = near
     (
         serve.repartition(_IDX_BUCKETS, "v")
         .sortWithinPartitions("v")
@@ -1741,6 +1921,13 @@ def load_graph_index(
     path = build_graph_index(spark, sf_dir)
     which = "edges_init" if init else ("edges_serve" if serve else "edges")
     return spark.read.parquet(f"{path}/{which}"), _meta_n_vec(spark, path)
+
+
+def load_graph_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted (rk, vec_id) rank bijection of the graph index —
+    the serve side's seed scatter joins through it (v6)."""
+    path = build_graph_index(spark, sf_dir)
+    return spark.read.parquet(f"{path}/nodes")
 
 
 def build_ivfpq_index(
