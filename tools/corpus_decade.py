@@ -30,12 +30,24 @@ def main() -> None:
     work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/decade_r10"
     os.makedirs(work, exist_ok=True)
     here = os.path.dirname(os.path.abspath(__file__))
-    scales = [(50_000, f"{work}/fuzzy50k"), (500_000, f"{work}/fuzzy500k")]
+    # the GOPHERABLE variant of the fuzzy corpus (separate dirs — the
+    # plain seed-7 corpora stay reproducible for decade_r10.py's stage
+    # tables): the default pseudo-word regime fails every Gopher rule and
+    # the composed funnel zeroes at stage 1 (found by this tool's first
+    # run), measuring nothing downstream.
+    scales = [(50_000, f"{work}/fuzzy50k_g"), (500_000, f"{work}/fuzzy500k_g")]
     for n, out in scales:
         if not os.path.isdir(f"{out}/documents.parquet"):
             t0 = time.time()
             subprocess.run(
-                [sys.executable, f"{here}/gen_fuzzy_corpus.py", out, str(n), "7"],
+                [
+                    sys.executable,
+                    f"{here}/gen_fuzzy_corpus.py",
+                    out,
+                    str(n),
+                    "7",
+                    "--gopherable",
+                ],
                 check=True,
             )
             print(f"generated {n} docs in {round(time.time() - t0, 1)}s", flush=True)

@@ -64,13 +64,37 @@ def generate(
     dup_frac: float = 0.03,
     edit_rate: float = 0.1,
     n_files: int = 8,
+    gopherable: bool = False,
 ) -> pathlib.Path:
+    """``gopherable=True`` (round 11, for the composed-funnel decade —
+    tools/corpus_decade.py): the default pseudo-word regime fails EVERY
+    Gopher rule (no stopwords, mean word length ~6, lengths 40-250), so
+    the full build_corpus funnel zeroes at stage 1 and measures nothing.
+    Gopherable mode makes the corpus statistically survivable while
+    keeping the dedup-relevant structure (Zipf vocabulary, planted
+    twins): the top-10 Zipf ranks ARE the engine's STOPWORDS (real text's
+    most frequent words are stopwords — this is what makes the stopword
+    fraction and the 4.0-5.0 mean-word-length band reachable), and doc
+    lengths center in the 25-80 Gopher window with a lognormal tail that
+    realistically fails word_count_ok for part of the corpus."""
     rng = np.random.default_rng(seed)
     vocab = np.array(_vocab(vocab_size, rng))
+    if gopherable:
+        # mirror of vat_etl_spark.queries.text.STOPWORDS (kept inline so
+        # the generator stays importable without pyspark on sys.path)
+        stopwords = ["the", "a", "and", "of", "to", "in", "is", "it", "on", "for"]
+        vocab[: len(stopwords)] = stopwords
     n_base = int(n_docs / (1 + dup_frac))
-    lengths = np.clip(
-        rng.lognormal(mean=4.4, sigma=0.5, size=n_base).astype(int), 40, 250
-    )
+    if gopherable:
+        lengths = np.clip(
+            rng.lognormal(mean=3.85, sigma=0.35, size=n_base).astype(int),
+            25,
+            250,
+        )
+    else:
+        lengths = np.clip(
+            rng.lognormal(mean=4.4, sigma=0.5, size=n_base).astype(int), 40, 250
+        )
     # Zipf token draws: bounded rejection-free via truncated zipf ranks
     docs: list[str] = []
     for n in lengths:
@@ -120,8 +144,10 @@ def generate(
 
 
 if __name__ == "__main__":
-    out_dir = sys.argv[1]
-    n_docs = int(sys.argv[2])
-    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 7
-    p = generate(out_dir, n_docs, seed=seed)
-    print(f"wrote {p} ({n_docs} docs, seed {seed})")
+    args = [a for a in sys.argv[1:] if a != "--gopherable"]
+    out_dir = args[0]
+    n_docs = int(args[1])
+    seed = int(args[2]) if len(args) > 2 else 7
+    g = "--gopherable" in sys.argv
+    p = generate(out_dir, n_docs, seed=seed, gopherable=g)
+    print(f"wrote {p} ({n_docs} docs, seed {seed}, gopherable={g})")

@@ -430,7 +430,7 @@ def pipeline_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 _XSOURCE_SQL = r"""
 WITH keyed AS (
   SELECT doc_id, lang, source,
-         CAST(substr(source, 4) AS INTEGER) AS src_prio,
+         COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER), 2147483647) AS src_prio,
          array_to_string(list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 2), ' ') AS content_key
   FROM documents
 ),
@@ -458,7 +458,14 @@ def pipeline_cross_source_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id", "lang", "source",
-        F.substring("source", 4, 10).cast("int").alias("src_prio"),
+        # digits-suffix priority, TRY-cast (round-11: the 500 K fuzzy-corpus
+        # funnel run found this — 'shardN' sources made the old
+        # substring(4).cast('int') throw under ANSI; unknown formats now
+        # sort LAST in both engines instead of erroring/NULL-ordering)
+        F.coalesce(
+            F.expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) as int)"),
+            F.lit(2147483647),
+        ).alias("src_prio"),
         F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 2)).alias(
             "content_key"
         ),
@@ -538,7 +545,7 @@ feat AS (
           AND (len(regexp_replace(text, '\\s+', '', 'g')) * 1.0 / len(t)) BETWEEN 4.0 AND 5.0
           AND (len(list_filter(t, x -> x IN {_STOP_IN_SQL})) * 1.0 / len(t)) >= 0.02) AS q_ok,
          array_to_string(list_slice(t, 1, 2), ' ') AS content_key,
-         CAST(substr(source, 4) AS INTEGER) AS src_prio
+         COALESCE(TRY_CAST(regexp_extract(source, '([0-9]+)$', 1) AS INTEGER), 2147483647) AS src_prio
   FROM toks
 ),
 ranked AS (
@@ -580,7 +587,14 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tokens.alias("n_tokens"),
         q_ok.alias("q_ok"),
         F.concat_ws(" ", F.slice(toks, 1, 2)).alias("content_key"),
-        F.substring("source", 4, 10).cast("int").alias("src_prio"),
+        # digits-suffix priority, TRY-cast (round-11: the 500 K fuzzy-corpus
+        # funnel run found this — 'shardN' sources made the old
+        # substring(4).cast('int') throw under ANSI; unknown formats now
+        # sort LAST in both engines instead of erroring/NULL-ordering)
+        F.coalesce(
+            F.expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) as int)"),
+            F.lit(2147483647),
+        ).alias("src_prio"),
     )
     w = W.partitionBy("content_key").orderBy("src_prio", "doc_id")
     ranked = feat.withColumn("rn", F.row_number().over(w))
