@@ -56,23 +56,28 @@ from vat_etl_spark.queries import llm_pipeline  # noqa: E402,F401
 _FIRST = [
     # vat flagship (= entry())
     "vat_summary",
-    # --- round-11 changes: the two rows-only→hash graduations
+    # --- round-11 changes: the three rows-only→hash graduations
     # (dedup_simhash — exported-signature bit_count twin;
-    # dedup_minhash_ml_reference — the FENCED ml.feature path, renamed
-    # from dedup_minhash_lsh, now exact-verified and sharing the banded
-    # all-pairs oracle), the banded path whose candidate generator was
-    # factored out, the A/B recall eval (now two rows), and the ANN
-    # queries rebuilt on the v6 index (rank-scattered links/seeds) ---
+    # corpus_neardup_admit_twin — greedy-gate semantics re-derived
+    # all-pairs over the same export; dedup_minhash_ml_reference — the
+    # FENCED ml.feature path, renamed from dedup_minhash_lsh, now
+    # exact-verified and sharing the banded all-pairs oracle), the
+    # banded path whose candidate generator was factored out, the A/B
+    # recall eval (now two rows), the src_prio try_cast fix
+    # (cross-source dedup + dataset card), and the ANN queries rebuilt
+    # on the v6 index (rank-scattered links/seeds, hub-layer preset) ---
     "dedup_simhash",
+    "corpus_neardup_admit_twin",
     "dedup_minhash_ml_reference",
     "dedup_minhash_banded",
     "dedup_lsh_recall_eval",
+    "pipeline_cross_source_dedup",
+    "pipeline_dataset_card",
+    # --- full rows-only tier (3 after round-11 — all audits: the ANN
+    # pair + the A/B recall eval above): the weakest external-evidence
+    # class stays inside the driver window every round ---
     "ann_graph_search",
     "ann_nndescent",
-    # --- full rows-only tier (4 after round-11: the ANN pair above plus
-    # the two below): the weakest external-evidence class stays inside
-    # the driver window every round ---
-    "corpus_neardup_admit_twin",
     # --- round-10 changes: the four sketch-quartet rows-only→hash
     # graduations, the widened agg_approx_distinct contract, the
     # degenerate-group-guarded agg_statistics, the quantized-argmax
@@ -139,8 +144,8 @@ _FIRST = [
     # stratum-hash fix + corpus mergeSchema change
     "dedup_lsh_recall_eval",
     "corpus_ingest_admit_twin",
-    # --- rows-only tier (4 after round-11 graduations: the ANN pair,
-    # the A/B recall eval, the stream twin) plus recently-graduated
+    # --- rows-only tier (3 after round-11 graduations — all audits:
+    # the ANN pair, the A/B recall eval) plus recently-graduated
     # entries kept fresh ---
     "agg_approx_distinct",
     "agg_countmin_heavy_hitters",

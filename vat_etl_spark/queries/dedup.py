@@ -603,6 +603,48 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {{T}}
 """
 
 
+def _export_simhash_sigs(spark: SparkSession, sf_dir: str) -> str:
+    """Compute and export the per-doc SimHash signatures of a corpus's
+    non-empty docs to artifacts/simhash_sigs/fp=<fingerprint>/ and return
+    the path — the shared DuckDB-oracle input of dedup_simhash AND
+    corpus_neardup_admit_twin. Deterministic single-file pyarrow write
+    (sorted rows, fixed name): a Spark write would mint a fresh UUID part
+    name per run and churn the committed artifact; byte-stable output
+    keeps git quiet. The collect is bounded by the signature table
+    (8 B/doc — 4 MB even at the 500 K decade); the export-backed oracle
+    is a pinned-testdata device, not a 100 TB path (there the gate is the
+    stratified recall audit + pytest pins, as for every index)."""
+    import os
+
+    d = _docs_fanout(spark, sf_dir)
+    nonempty = d.where(
+        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
+    )
+    sigd = simhash_frame(nonempty).select("doc_id", "simhash")
+    fp = nonempty.agg(
+        F.sum(
+            F.pmod(
+                F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
+                F.lit(_SIMHASH_FP_MOD),
+            )
+        ).alias("fp")
+    ).collect()[0].fp
+    out = os.path.join(_simhash_sig_export_dir(), f"fp={fp}")
+    pdf = sigd.orderBy("doc_id").toPandas()
+    os.makedirs(out, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.Table.from_pandas(pdf, preserve_index=False),
+        os.path.join(out, "sigs.parquet"),
+    )
+    for stale in os.listdir(out):
+        if stale != "sigs.parquet":
+            os.remove(os.path.join(out, stale))
+    return out
+
+
 @query("dedup_simhash", oracle=_SIMHASH_SQL.format(T=_NEARDUP_T))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs: 64-bit SimHash per document from token
@@ -625,44 +667,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     function itself stays Spark-hash-specific (xxhash64 has no DuckDB
     twin) — its determinism and 64-bit shape are pytest-pinned
     (test_dedup_determinism.py, test_streaming.py)."""
-    import os
-
-    d = _docs_fanout(spark, sf_dir)
-    nonempty = d.where(
-        F.col("text").isNotNull() & (F.trim(F.col("text")) != "")
-    )
-    sigd = simhash_frame(nonempty).select("doc_id", "simhash")
-    fp = nonempty.agg(
-        F.sum(
-            F.pmod(
-                F.conv(F.substring(F.md5("text"), 1, 15), 16, 10).cast("long"),
-                F.lit(_SIMHASH_FP_MOD),
-            )
-        ).alias("fp")
-    ).collect()[0].fp
-    out = os.path.join(_simhash_sig_export_dir(), f"fp={fp}")
-    # deterministic single-file pyarrow write (sorted rows, fixed name):
-    # a Spark write would mint a fresh UUID part name per run and churn
-    # the committed artifact; byte-stable output keeps git quiet. The
-    # collect is bounded by the signature table (8 B/doc — 4 MB even at
-    # the 500 K decade); the export-backed oracle is a pinned-testdata
-    # device, not a 100 TB path (there the gate is the stratified recall
-    # audit + pytest pins, as for every index).
-    pdf = sigd.orderBy("doc_id").toPandas()
-    os.makedirs(out, exist_ok=True)
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    pq.write_table(
-        pa.Table.from_pandas(pdf, preserve_index=False),
-        os.path.join(out, "sigs.parquet"),
-    )
-    for stale in os.listdir(out):
-        if stale != "sigs.parquet":
-            os.remove(os.path.join(out, stale))
     # re-read the export so the pair plan and the oracle share one input
     # (and the signature job runs once, not once per banded branch)
-    sig = spark.read.parquet(out).select("doc_id", "simhash")
+    sig = spark.read.parquet(_export_simhash_sigs(spark, sf_dir)).select(
+        "doc_id", "simhash"
+    )
     bands = sig.select("doc_id", "simhash", _sim_bands(F.col("simhash"))).select(
         "doc_id", "simhash", "b.band_no", "b.band_key"
     )
@@ -795,7 +804,48 @@ def neardup_admit_plan(
 neardup_admit_plan.__doc__ = neardup_admit_plan.__doc__.format(t=_NEARDUP_T)
 
 
-@query("corpus_neardup_admit_twin")  # rows-only: xxhash64 simhash is Spark-specific
+# Oracle twin of the greedy near-dup admission gate, NAIVE over the
+# shared signature export (see _SIMHASH_SQL's header for the export /
+# fingerprint mechanics): the gate's banded-candidate + representative
+# skew-guard machinery reduces, by the documented equivalence in
+# neardup_admit_plan, to plain EXISTS logic — a doc is rejected iff SOME
+# EARLIER same-epoch doc (admitted or not) or SOME ADMITTED earlier-epoch
+# doc sits within Hamming {T}. DuckDB re-derives both epochs' greedy
+# outcomes all-pairs from the exported signatures, so the gate gets a
+# cross-engine hash check of its admission SEMANTICS every round (the
+# banding/skew-guard implementation is additionally pinned equal to the
+# streaming execution in tests/test_streaming.py).
+_NEARDUP_TWIN_SQL = f"""
+WITH sigs AS (
+  SELECT s.doc_id, s.simhash, d.lang, d.source
+  FROM read_parquet('{_simhash_sig_export_dir()}/fp=*/*.parquet',
+                    hive_partitioning = true) s
+  JOIN documents d USING (doc_id)
+  WHERE s.fp = (SELECT sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+                           % {_SIMHASH_FP_MOD})
+                FROM documents
+                WHERE text IS NOT NULL AND trim(text) <> '')
+),
+epoch1 AS (SELECT * FROM sigs WHERE doc_id % 10 < 8),
+batch  AS (SELECT * FROM sigs WHERE doc_id % 10 >= 8),
+idx AS (
+  SELECT a.* FROM epoch1 a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM epoch1 b WHERE b.doc_id < a.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= {{T}})
+)
+SELECT a.doc_id, a.lang, a.source, a.simhash
+FROM batch a
+WHERE NOT EXISTS (
+    SELECT 1 FROM batch b WHERE b.doc_id < a.doc_id
+      AND bit_count(xor(a.simhash, b.simhash)) <= {{T}})
+  AND NOT EXISTS (
+    SELECT 1 FROM idx i
+      WHERE bit_count(xor(a.simhash, i.simhash)) <= {{T}})
+"""
+
+
+@query("corpus_neardup_admit_twin", oracle=_NEARDUP_TWIN_SQL.format(T=_NEARDUP_T))
 def corpus_neardup_admit_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of the streaming near-dup admission gate: the documents
     table split by ``doc_id % 10 >= 8`` into an earlier epoch (run
@@ -807,7 +857,15 @@ def corpus_neardup_admit_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     output equal to this query cell-for-cell. The testdata's planted
     token-shuffle near-dups hash to IDENTICAL SimHashes
     (bag-of-distinct-tokens signature), so this gate demonstrably
-    rejects arrivals here."""
+    rejects arrivals here.
+
+    ORACLE (round-11 graduation from rows-only): DuckDB re-derives BOTH
+    epochs' greedy admissions naive-all-pairs over the shared signature
+    export (_NEARDUP_TWIN_SQL above) — the same exported-signature
+    device as dedup_simhash, here checking the admission SEMANTICS
+    (greedy keep-first vs earlier arrivals + admitted index) rather than
+    the pair-finder."""
+    _export_simhash_sigs(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 10 >= 8
     prior = neardup_admit_plan(d.where(~is_new))
