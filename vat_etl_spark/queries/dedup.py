@@ -666,32 +666,62 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming verify agrees bit-for-bit cross-engine. The signature
     function itself stays Spark-hash-specific (xxhash64 has no DuckDB
     twin) — its determinism and 64-bit shape are pytest-pinned
-    (test_dedup_determinism.py, test_streaming.py)."""
+    (test_dedup_determinism.py, test_streaming.py).
+
+    SKEW GUARD (same discipline as the gate): the banded join and the
+    Hamming verify run at DISTINCT-SIGNATURE grain, then qualifying
+    signature pairs expand back to doc pairs through the signature→docs
+    mapping. On near-dup-saturated data identical signatures are the hot
+    case (the testdata's planted token-shuffle twins hash IDENTICAL), so
+    doc-grain banding re-verifies the same signature pair once per doc
+    pair and a popular boilerplate signature makes its 16-bit band bucket
+    quadratic in DOCS; signature-grain banding is quadratic only in
+    distinct signatures per bucket, and the doc-level fan-out is
+    output-bound by construction."""
     # re-read the export so the pair plan and the oracle share one input
     # (and the signature job runs once, not once per banded branch)
     sig = spark.read.parquet(_export_simhash_sigs(spark, sf_dir)).select(
         "doc_id", "simhash"
     )
-    bands = sig.select("doc_id", "simhash", _sim_bands(F.col("simhash"))).select(
-        "doc_id", "simhash", "b.band_no", "b.band_key"
+    usig = sig.select("simhash").distinct()
+    bands = usig.select("simhash", _sim_bands(F.col("simhash"))).select(
+        "simhash", "b.band_no", "b.band_key"
     )
     other = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sim_b"),
-        "band_no",
-        "band_key",
+        F.col("simhash").alias("sim_b"), "band_no", "band_key"
     )
     hamming = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sim_b")))
-    return (
+    sig_pairs = (
         bands.join(other, ["band_no", "band_key"])
-        .where((F.col("doc_id") < F.col("doc_b")) & (hamming <= _NEARDUP_T))
-        .select(
-            F.col("doc_id").alias("doc_a"),
-            "doc_b",
-            hamming.cast("int").alias("hamming"),
-        )
+        .where((F.col("simhash") < F.col("sim_b")) & (hamming <= _NEARDUP_T))
+        .select("simhash", "sim_b", hamming.cast("int").alias("hamming"))
         .distinct()
     )
+    # inter-signature doc pairs: expand each qualifying signature pair
+    # through the signature→docs mapping (output-bound fan-out)
+    a = sig.select(F.col("doc_id").alias("id_a"), "simhash")
+    b = sig.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"))
+    inter = (
+        sig_pairs.join(a, "simhash")
+        .join(b, "sim_b")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    # intra-signature doc pairs (Hamming 0): co-grouped self-join on the
+    # signature itself — never through a band bucket
+    intra = (
+        a.join(b, F.col("simhash") == F.col("sim_b"))
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra)
 
 
 def _sim_bands(sig_col):
