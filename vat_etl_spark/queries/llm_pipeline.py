@@ -826,19 +826,35 @@ def build_corpus(
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
     funnel: list[tuple[str, int, int]] = []
-    cached: list[DataFrame] = []
+
+    stage_walls: dict[str, float] = {}
 
     def _stage(df: DataFrame, name: str) -> DataFrame:
+        import time as _time
+
         obs = Observation(f"corpus_{name}")
+        t0 = _time.perf_counter()
+        # LOCALCHECKPOINT, not persist (round-11 profiling): the eager
+        # checkpoint materializes the boundary (firing the Observation
+        # exactly once) AND physically truncates the lineage, so every
+        # downstream job starts from the checkpointed blocks. The old
+        # persist() chain nested each stage's full plan inside the next,
+        # and past ~5 stages downstream jobs stopped matching the cache
+        # and silently recomputed the WHOLE funnel from parquet — measured
+        # at sf0.1: the post-funnel sig-index/shard writes cost 12-15 s
+        # each over 121 rows; with the lineage cut they are sub-second
+        # (the same per-round discipline kmeans/pagerank already use).
         out = df.observe(
             obs,
             F.count(F.lit(1)).alias("docs"),
             F.sum(F.length("text").cast("long")).alias("chars"),
-        ).persist()
-        out.count()  # materialize the boundary; populates obs exactly once
+        ).localCheckpoint(eager=True)
+        # wall to MATERIALIZE this stage from the previous boundary —
+        # makes a funnel regression attributable to a stage instead of
+        # one opaque end-to-end number (bench's most expensive entry)
+        stage_walls[name] = round(_time.perf_counter() - t0, 2)
         m = {k: int(v or 0) for k, v in obs.get.items()}
         funnel.append((name, m["docs"], m["chars"]))
-        cached.append(out)
         return out
 
     cur = _stage(d, "raw")
@@ -913,9 +929,13 @@ def build_corpus(
         sig_index = cur.select("simhash").distinct()
         if base_sigs is not None:
             sig_index = sig_index.union(base_sigs).distinct()
+        import time as _time
+
+        _t0 = _time.perf_counter()
         sig_index.write.mode("overwrite").parquet(
             f"{out_dir}/neardup_sig_index"
         )
+        stage_walls["sig_index_write"] = round(_time.perf_counter() - _t0, 2)
         cur = cur.drop("simhash")
 
     kept = with_content_split(cur).drop("bucket").withColumn(
@@ -935,14 +955,20 @@ def build_corpus(
         F.sum((F.col("split") == "test").cast("long")).alias("test_docs"),
         F.sum(F.length("text").cast("long")).alias("chars_written"),
     )
+    import time as _time
+
+    _t0 = _time.perf_counter()
     observed.write.mode("overwrite").partitionBy("split", "shard").parquet(
         f"{out_dir}/shards"
     )
+    stage_walls["shard_write"] = round(_time.perf_counter() - _t0, 2)
     # observed sums over ZERO rows are null (only count is 0) — a corpus
     # where nothing passes the gate must report zeros, not crash
     m = {k: int(v or 0) for k, v in obs.get.items()}
+    _t0 = _time.perf_counter()
     card = QUERIES["pipeline_dataset_card"](spark, sf_dir)
     card.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/dataset_card")
+    stage_walls["dataset_card"] = round(_time.perf_counter() - _t0, 2)
     keys = ("docs_written", "train_docs", "val_docs", "test_docs", "chars_written")
     spark.createDataFrame(
         [tuple(m[k] for k in keys)],
@@ -953,6 +979,7 @@ def build_corpus(
         "stage_no long, stage string, docs long, chars long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/funnel")
     splits = shards = 0
+    _t0 = _time.perf_counter()
     if m["docs_written"]:
         written = spark.read.parquet(f"{out_dir}/shards")
         splits = written.select("split").distinct().count()
@@ -968,8 +995,9 @@ def build_corpus(
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{out_dir}/dataset_card_by_split"
         )
-    for c in cached:
-        c.unpersist()
+    stage_walls["card_by_split"] = round(_time.perf_counter() - _t0, 2)
+    # checkpointed stage blocks are freed by the ContextCleaner once the
+    # local references drop at return
     return {
         "docs_written": m["docs_written"],
         "splits": splits,
@@ -979,6 +1007,7 @@ def build_corpus(
         "test_docs": m["test_docs"],
         "chars_written": m["chars_written"],
         "funnel": {s: docs for s, docs, _ in funnel},
+        "stage_walls": stage_walls,
     }
 
 
