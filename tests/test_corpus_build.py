@@ -48,6 +48,14 @@ def test_build_corpus_end_to_end(spark, sf_smoke, tmp_path):
         for r in spark.read.parquet(f"{out}/funnel").collect()
     }
     assert persisted == f
+    # per-stage materialization walls: one entry per funnel stage plus the
+    # post-funnel writes, all non-negative — the attribution contract that
+    # keeps a regression on bench's most expensive entry diagnosable
+    walls = stats["stage_walls"]
+    assert set(f) <= set(walls)
+    for extra in ("sig_index_write", "shard_write", "dataset_card"):
+        assert extra in walls
+    assert all(w >= 0 for w in walls.values())
     # layout: split/shard are partition columns, values from the contract
     assert set(r.split for r in shards.select("split").distinct().collect()) <= {
         "train", "val", "test"
