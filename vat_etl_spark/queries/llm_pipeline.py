@@ -18,6 +18,7 @@ production values (13-grams, 50-100k word bounds) are parameters.
 from __future__ import annotations
 
 import heapq
+import time as _time
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -830,8 +831,6 @@ def build_corpus(
     stage_walls: dict[str, float] = {}
 
     def _stage(df: DataFrame, name: str) -> DataFrame:
-        import time as _time
-
         obs = Observation(f"corpus_{name}")
         t0 = _time.perf_counter()
         # LOCALCHECKPOINT, not persist (round-11 profiling): the eager
@@ -929,8 +928,6 @@ def build_corpus(
         sig_index = cur.select("simhash").distinct()
         if base_sigs is not None:
             sig_index = sig_index.union(base_sigs).distinct()
-        import time as _time
-
         _t0 = _time.perf_counter()
         sig_index.write.mode("overwrite").parquet(
             f"{out_dir}/neardup_sig_index"
@@ -955,8 +952,6 @@ def build_corpus(
         F.sum((F.col("split") == "test").cast("long")).alias("test_docs"),
         F.sum(F.length("text").cast("long")).alias("chars_written"),
     )
-    import time as _time
-
     _t0 = _time.perf_counter()
     observed.write.mode("overwrite").partitionBy("split", "shard").parquet(
         f"{out_dir}/shards"
