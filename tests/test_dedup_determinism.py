@@ -81,6 +81,51 @@ def test_minhash_banded_deterministic_and_complete_vs_exact(spark, sf_smoke):
     assert recall >= 0.9, (recall, len(truth), len(got))
 
 
+def test_minhash_banded_bucket_cap_dormant_at_oracle_scale(spark, sf_smoke):
+    """The round-11 hot-bucket skew guard (_MHB_BUCKET_CAP) must NEVER
+    fire at oracle scale: the driver gate proves the banded query equal
+    to the all-pairs exact truth at sf0.001/0.01, and that proof is only
+    about the b×r amplification if no bucket was silently dropped. The
+    cap exists for the 5 M-doc regime (measured 12 K-doc degenerate
+    buckets, SCALE.md round-11); here every bucket must sit far under it."""
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.dedup import (
+        _MHB_BANDS,
+        _MHB_BUCKET_CAP,
+        _MHB_ROWS,
+        _hashed_sets,
+        _shingle_docsets,
+    )
+
+    hashed = _hashed_sets(_shingle_docsets(spark, sf_smoke))
+    n_hash = _MHB_BANDS * _MHB_ROWS
+    toks = hashed.select("doc_id", F.explode("ts").alias("t"))
+    mins = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("t"), F.lit(s))).alias(f"h{s}")
+            for s in range(n_hash)
+        ]
+    )
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"h{b * _MHB_ROWS + r}") for r in range(_MHB_ROWS)],
+            )
+            for b in range(_MHB_BANDS)
+        ]
+    )
+    max_bucket = (
+        mins.select(F.explode(band_keys).alias("bk"))
+        .groupBy("bk")
+        .count()
+        .agg(F.max("count"))
+        .collect()[0][0]
+    )
+    assert max_bucket <= _MHB_BUCKET_CAP // 4, max_bucket
+
+
 def test_simhash_deterministic_and_64bit(spark, sf_smoke):
     a = _rows(QUERIES["dedup_simhash"](spark, sf_smoke))
     b = _rows(QUERIES["dedup_simhash"](spark, sf_smoke))

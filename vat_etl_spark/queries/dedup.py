@@ -142,7 +142,15 @@ def _verify_common_tokens(cands: DataFrame, docsets: DataFrame) -> DataFrame:
     rows (measured 64 M rows for 3.2 M candidates at sf0.1); this one
     moves exactly one row per candidate with the id array in the row —
     the shuffle is output-bound. ``docsets`` must carry (doc_id, ts)."""
-    hashed = _hashed_sets(docsets)
+    return _verify_common_ids(cands, _hashed_sets(docsets))
+
+
+def _verify_common_ids(cands: DataFrame, hashed: DataFrame) -> DataFrame:
+    """_verify_common_tokens for inputs ALREADY in hashed-id form
+    (doc_id, ts: array<long> — i.e. a _hashed_sets output). Split out so
+    dedup_minhash_banded can hash the shingle sets once, checkpoint the
+    narrow id frame, and feed BOTH the banding index and this verify
+    stage from it without recomputing the string-shingle transform."""
     va = hashed.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("_ts_a"))
     vb = hashed.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("_ts_b"))
     return (
@@ -265,8 +273,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select("vec_a", "vec_b", cos.alias("cosine")).filter(F.col("cosine") >= 0.3)
 
 
-_MHB_BANDS = 8
-_MHB_ROWS = 2
+_MHB_BANDS = 15
+_MHB_ROWS = 3
+# Skew guard: a band bucket holding more docs than this is degenerate
+# (the band carries ~no information for its members — at 5 M Zipfian
+# docs the R=2 scheme produced 12 K-doc buckets = 72 M junk pairs EACH)
+# and is dropped from candidate generation; every true pair keeps its
+# other B−1 chances, so the recall cost at the planted-twin J≈0.82 is
+# (1−J^R)^(B−k) for k dropped bands ≈ 3e-5 even at k=2. pytest pins that
+# the cap never fires at oracle scale, so the all-pairs detection
+# contract the driver gate checks is unaffected.
+_MHB_BUCKET_CAP = 1000
 
 _MHB_SQL = r"""
 WITH w AS (
@@ -390,16 +407,31 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.79 exponent, round 7), but at 500 K docs the hot buckets go
     per-bucket-quadratic and the join's straggler tail ran >55 min before
     being aborted. AND-ing {R} min-hashes per band drops a band collision
-    to J^{R} (0.36 at J=0.6 vs 0.6), which keeps buckets
+    to J^{R} (0.22 at J=0.6 vs 0.6), which keeps buckets
     high-selectivity as the corpus grows — the b×r banding every
     at-scale MinHash system (and this repo's SimHash gate) uses.
 
-    Pipeline, all native expressions: distinct 3-word shingles →
-    {NH} min-hashes (array_min over xxhash64(shingle, seed)) → {B} band
-    keys (xxhash64 of the band's {R} sigs) → exploded band self-join
-    (candidates per bucket, never all-pairs) → EXACT shingle-set Jaccard
-    verification on candidates only (array_intersect, row-sized) →
-    pairs with jaccard ≥ 0.6.
+    Round-11 5M-doc hardening (SCALE.md third decade): the original
+    {B}=8×{R}=2 scheme survived 500 K docs but went per-bucket-quadratic
+    at 5 M on the same Zipfian corpus — measured 371 M candidate pairs,
+    300 M of them from buckets > 1 000 docs (top bucket 12 K docs), and
+    the verify join's spill filled 78 GB of disk. J² selectivity is not
+    enough once hot shingles dominate the per-seed argmin: bucket
+    membership grows ∝N, pair volume ∝N². Fixed three ways at once:
+    {R}=3 bands (J³ collision — 40× fewer candidates at 5 M, measured),
+    a {CAP}-doc bucket cap (see _MHB_BUCKET_CAP), and the signature
+    computation moved from {NH} interpreted higher-order transforms to
+    one explode + whole-stage-codegen min(xxhash64) aggregation whose
+    map-side partial collapse shuffles exactly one row per doc.
+
+    Pipeline, all native expressions: distinct 3-word shingles → 64-bit
+    shingle ids (_hashed_sets, computed once and checkpointed — shared
+    by index and verify) → explode → {NH} min-hashes (min over
+    xxhash64(id, seed), one codegen hash-aggregate) → {B} band keys
+    (xxhash64 of the band's {R} sigs) → bucket-capped exploded band
+    self-join (candidates per bucket, never all-pairs) → EXACT
+    shingle-set Jaccard verification on candidates only
+    (array_intersect, row-sized) → pairs with jaccard ≥ 0.6.
 
     ORACLE: the DuckDB twin is the NAIVE ALL-PAIRS exact algorithm, so
     the driver gate re-proves detection-completeness on the pinned data
@@ -412,14 +444,21 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     legitimately sit in the ~3% per-pair miss window. Also pinned vs
     exact truth in tests/test_dedup_determinism.py.
 
-    PySpark trap fixed here (caught by a missed J=0.989 pair): a
-    two-parameter lambda in a higher-order function binds by ARITY to
-    (element, index) — the `lambda t, s=s:` closure idiom silently fed
-    the element INDEX as the 'seed', collapsing all {NH} minhash
-    functions into one."""
+    PySpark trap fixed here in round 10 (caught by a missed J=0.989
+    pair): a two-parameter lambda in a higher-order function binds by
+    ARITY to (element, index) — the `lambda t, s=s:` closure idiom
+    silently fed the element INDEX as the 'seed', collapsing all the
+    "seeded" minhash functions into one. The round-11 explode+aggregate
+    rewrite retired that HOF entirely (seeds are now plain second
+    arguments to xxhash64 in an ordinary aggregate)."""
     docsets = _shingle_docsets(spark, sf_dir)
-    cands = _banded_minhash_candidates(docsets)
-    pairs = _verify_common_tokens(cands, docsets)
+    # hash the shingle sets ONCE and checkpoint the narrow id frame —
+    # both the banding index and the exact verify read it (the string
+    # transform is the dominant per-doc cost; see
+    # _banded_minhash_candidates_ids for the pushdown trap this dodges)
+    hashed = _hashed_sets(docsets).localCheckpoint(eager=False)
+    cands = _banded_minhash_candidates_ids(hashed)
+    pairs = _verify_common_ids(cands, hashed)
     jac = F.col("common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("common")
     )
@@ -432,22 +471,46 @@ def _banded_minhash_candidates(docsets: DataFrame) -> DataFrame:
     """Candidate (doc_a, doc_b) pairs from the b×r banded MinHash index —
     the candidate GENERATOR of dedup_minhash_banded, split out so the
     stratified recall audit (dedup_lsh_recall_eval) can A/B it against
-    the ml.feature generator on identical shingle sets."""
+    the ml.feature generator on identical shingle sets.
+
+    Signature computation is ONE explode + hash-aggregate: min over
+    xxhash64(shingle, seed) per seed, all inside whole-stage codegen —
+    the previous spelling ({NH} separate higher-order array transforms)
+    ran on the interpreted expression path and was the dominant linear
+    cost of the whole query (measured ~7 min of a 5 M-doc run just for
+    signatures+counts at 45 hashes). Partial aggregation collapses the
+    exploded rows map-side, so the shuffle is one {NH}-long row per doc.
+
+    Skew guard: buckets holding more than {CAP} docs are dropped (hot
+    keys are collected via a broadcast anti-join — a handful of keys
+    even at 5 M docs). A bucket that large means the band's {R}-hash key
+    has degenerated on hot shingles and carries ~no pair information;
+    its members keep their other B−1 band chances. Without the cap the
+    two ~1 900-doc buckets left at 5 M docs still contribute 3.6 M junk
+    pairs of the 9.4 M total (measured, SCALE.md round-11)."""
+    return _banded_minhash_candidates_ids(_hashed_sets(docsets))
+
+
+def _banded_minhash_candidates_ids(hashed: DataFrame) -> DataFrame:
+    """_banded_minhash_candidates over an ALREADY-HASHED id frame
+    (doc_id, ts: array<long>) — min-wise hashing over the 64-bit shingle
+    ids is min-wise hashing over the shingle set (the id mapping is a
+    bijection up to the collision bound documented in _hashed_sets), and
+    it lets the expensive interpreted string-shingle transform run
+    exactly once per doc upstream: Catalyst pushes the explode's
+    inferred size(ts)>0 filter below the fan-out repartition into the
+    single-row-group scan, which re-evaluates the full shingle pipeline
+    per doc on ONE core when ts is still the string expression (measured
+    9 s of an 11 s sf0.1 wall). Over a checkpointed id frame the filter
+    is a size() on a materialized array."""
     n_hash = _MHB_BANDS * _MHB_ROWS
-
-    # NOT `lambda t, s=s: ...`: PySpark binds higher-order-function lambdas
-    # by ARITY — a two-parameter lambda receives (element, index), so the
-    # "captured" default would be silently overridden by the element index
-    # and all 16 "seeded" minhashes collapse to one function (caught by a
-    # J=0.989 pair the bands then missed; the factory closure keeps the
-    # lambda unary)
-    def _minhash(s: int):
-        return F.array_min(
-            F.transform(F.col("ts"), lambda t: F.xxhash64(t, F.lit(s)))
-        )
-
-    sigs = [_minhash(s).alias(f"h{s}") for s in range(n_hash)]
-    signed = docsets.select("doc_id", *sigs)
+    toks = hashed.select("doc_id", F.explode("ts").alias("t"))
+    mins = toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("t"), F.lit(s))).alias(f"h{s}")
+            for s in range(n_hash)
+        ]
+    )
     band_keys = F.array(
         *[
             F.xxhash64(
@@ -457,9 +520,19 @@ def _banded_minhash_candidates(docsets: DataFrame) -> DataFrame:
             for b in range(_MHB_BANDS)
         ]
     )
-    banded = signed.select("doc_id", F.explode(band_keys).alias("bk"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # checkpointed: consumed three times (hot-key count + both join sides)
+    banded = mins.select(
+        "doc_id", F.explode(band_keys).alias("bk")
+    ).localCheckpoint(eager=False)
+    hot = (
+        banded.groupBy("bk")
+        .count()
+        .filter(F.col("count") > _MHB_BUCKET_CAP)
+        .select("bk")
+    )
+    kept = banded.join(F.broadcast(hot), "bk", "left_anti")
+    a = kept.alias("a")
+    b = kept.alias("b")
     cands = (
         a.join(
             b,
@@ -474,9 +547,13 @@ def _banded_minhash_candidates(docsets: DataFrame) -> DataFrame:
     return cands
 
 
-dedup_minhash_banded.__doc__ = dedup_minhash_banded.__doc__.replace(
-    "{B}", str(_MHB_BANDS)
-).replace("{R}", str(_MHB_ROWS)).replace("{NH}", str(_MHB_BANDS * _MHB_ROWS))
+for _fn in (dedup_minhash_banded, _banded_minhash_candidates):
+    _fn.__doc__ = (
+        _fn.__doc__.replace("{B}", str(_MHB_BANDS))
+        .replace("{R}", str(_MHB_ROWS))
+        .replace("{NH}", str(_MHB_BANDS * _MHB_ROWS))
+        .replace("{CAP}", str(_MHB_BUCKET_CAP))
+    )
 
 
 def simhash_expr(text_col):
