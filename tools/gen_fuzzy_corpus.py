@@ -117,6 +117,30 @@ def generate(
         ]
         docs.append(" ".join(toks))
 
+    # planted-twin sidecar (round 11): the (base, twin) id pairs, so
+    # recall can be measured against EXACT planted ground truth at
+    # scales where an all-pairs oracle is infeasible (truth = planted
+    # pairs whose exact shingle-Jaccard clears the query's threshold —
+    # at edit_rate 0.1 a twin's 3-gram-shingle Jaccard averages ~0.58,
+    # so roughly half the planted pairs are legitimately below a 0.6
+    # contract and the sidecar is what lets truth be computed per-pair).
+    # Written AFTER the doc loop from values already drawn — the corpus
+    # bytes are identical with or without the sidecar.
+    twins_out = pathlib.Path(out_dir) / "twins.parquet"
+    twins_out.parent.mkdir(parents=True, exist_ok=True)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_a": pa.array(twin_of.astype(np.int64), pa.int64()),
+                "doc_b": pa.array(
+                    np.arange(n_base, n_base + n_dups, dtype=np.int64),
+                    pa.int64(),
+                ),
+            }
+        ),
+        twins_out,
+    )
+
     out = pathlib.Path(out_dir) / "documents.parquet"
     out.mkdir(parents=True, exist_ok=True)
     ids = np.arange(len(docs), dtype=np.int64)
