@@ -61,6 +61,7 @@ DURATION_HINTS = {
     "test_dates_properties.py": 36,
     "test_months_properties.py": 32,
     "test_currency.py": 21,
+    "test_fuzzy_corpus.py": 25,
     "test_dates.py": 15,
     "test_headers.py": 9,
     "test_months.py": 14,
