@@ -91,33 +91,22 @@ def test_minhash_banded_bucket_cap_dormant_at_oracle_scale(spark, sf_smoke):
     from pyspark.sql import functions as F
 
     from vat_etl_spark.queries.dedup import (
-        _MHB_BANDS,
         _MHB_BUCKET_CAP,
-        _MHB_ROWS,
+        _band_membership,
         _hashed_sets,
+        _minhash_sig_frame,
         _shingle_docsets,
+        _sig_groups,
     )
 
+    # The PRODUCTION signature/grouping/banding helpers — not an inline
+    # re-implementation — so a seed, key-layout, or R/B change reaches
+    # this pin automatically (round-12 ADVICE).
     hashed = _hashed_sets(_shingle_docsets(spark, sf_smoke))
-    n_hash = _MHB_BANDS * _MHB_ROWS
-    toks = hashed.select("doc_id", F.explode("ts").alias("t"))
-    mins = toks.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("t"), F.lit(s))).alias(f"h{s}")
-            for s in range(n_hash)
-        ]
-    )
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col(f"h{b * _MHB_ROWS + r}") for r in range(_MHB_ROWS)],
-            )
-            for b in range(_MHB_BANDS)
-        ]
-    )
+    sigs = _sig_groups(_minhash_sig_frame(hashed))
+    reps = sigs.filter(F.col("doc_id") == F.col("srep"))
     max_bucket = (
-        mins.select(F.explode(band_keys).alias("bk"))
+        _band_membership(reps, id_col="srep")
         .groupBy("bk")
         .count()
         .agg(F.max("count"))

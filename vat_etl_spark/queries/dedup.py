@@ -275,14 +275,25 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MHB_BANDS = 15
 _MHB_ROWS = 3
-# Skew guard: a band bucket holding more docs than this is degenerate
-# (the band carries ~no information for its members — at 5 M Zipfian
-# docs the R=2 scheme produced 12 K-doc buckets = 72 M junk pairs EACH)
-# and is dropped from candidate generation; every true pair keeps its
-# other B−1 chances, so the recall cost at the planted-twin J≈0.82 is
-# (1−J^R)^(B−k) for k dropped bands ≈ 3e-5 even at k=2. pytest pins that
-# the cap never fires at oracle scale, so the all-pairs detection
-# contract the driver gate checks is unaffected.
+# Skew guard: a band bucket holding more DISTINCT SIGNATURES than this is
+# degenerate (the band carries ~no information for its members — at 5 M
+# Zipfian docs the R=2 scheme produced 12 K-doc buckets = 72 M junk pairs
+# EACH) and is dropped from candidate generation. The cap counts
+# signature-grain representatives, NOT docs (_sig_groups collapses
+# identical-signature clusters to one banded rep first), so the one case
+# where per-band drops are perfectly correlated — a >CAP cluster of
+# exact dups / J≈1 boilerplate sharing all B band keys — can never trip
+# it: such a cluster occupies ONE slot per bucket and its pairs are
+# emitted via the membership expansion regardless of the cap. For the
+# sig-DISTINCT members that remain, band keys are driven by different
+# min-hash coordinates, so a pair that loses k buckets to the cap keeps
+# its other B−k chances and the residual miss probability is bounded by
+# (1−J^R)^(B−k) ≈ 3e-5 at the planted-twin J≈0.82 even at k=2 — an
+# upper bound on correlated drops too, since a pair collapsed by EVERY
+# capped band is sig-identical and immune by construction. pytest pins
+# that the cap never fires at oracle scale (all-pairs contract intact)
+# and the skew-stress harness (tools/mhb_capstress.py) measures recall
+# with the cap ACTIVE on 100+ buckets.
 _MHB_BUCKET_CAP = 1000
 
 _MHB_SQL = r"""
@@ -452,11 +463,19 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite retired that HOF entirely (seeds are now plain second
     arguments to xxhash64 in an ordinary aggregate)."""
     docsets = _shingle_docsets(spark, sf_dir)
-    # hash the shingle sets ONCE and checkpoint the narrow id frame —
-    # both the banding index and the exact verify read it (the string
+    # hash the shingle sets ONCE and persist the narrow id frame — both
+    # the banding index and the exact verify read it (the string
     # transform is the dominant per-doc cost; see
-    # _banded_minhash_candidates_ids for the pushdown trap this dodges)
-    hashed = _hashed_sets(docsets).localCheckpoint(eager=False)
+    # _banded_minhash_candidates_ids for the pushdown trap this dodges).
+    # persist(), not localCheckpoint(): the cache boundary fences the
+    # filter pushdown just the same (consumers substitute the
+    # InMemoryRelation), but cached blocks keep their lineage, so on a
+    # real cluster an executor loss recomputes the lost partitions
+    # instead of failing the job. localCheckpoint remains only in
+    # explicitly local-mode tooling (decade harnesses) and in the
+    # iterative connected-components loop, where the lineage CUT is the
+    # point and a cluster deployment would use a reliable checkpoint dir.
+    hashed = _hashed_sets(docsets).persist()
     cands = _banded_minhash_candidates_ids(hashed)
     pairs = _verify_common_ids(cands, hashed)
     jac = F.col("common").cast("double") / (
@@ -491,6 +510,57 @@ def _banded_minhash_candidates(docsets: DataFrame) -> DataFrame:
     return _banded_minhash_candidates_ids(_hashed_sets(docsets))
 
 
+def _minhash_sig_frame(hashed: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{NH-1}): the per-doc MinHash signature vector as one
+    explode + whole-stage-codegen min(xxhash64) hash-aggregate (partial
+    aggregation collapses the exploded rows map-side, so the shuffle is
+    one {NH}-long row per doc). Shared by the production candidate
+    generator and the dormant-cap pytest pin, so a seed/layout change
+    cannot leave the test pinning a stale copy."""
+    n_hash = _MHB_BANDS * _MHB_ROWS
+    toks = hashed.select("doc_id", F.explode("ts").alias("t"))
+    return toks.groupBy("doc_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("t"), F.lit(s))).alias(f"h{s}")
+            for s in range(n_hash)
+        ]
+    )
+
+
+def _sig_groups(sigs: DataFrame) -> DataFrame:
+    """``sigs`` + (k1, k2, srep): group docs by IDENTICAL full signature
+    vector (keyed by two independent xxhash64s of all {NH} sigs — a
+    128-bit key, collision ~2^-128 at any corpus size) and elect the
+    min-doc_id member as the group's banding representative. One
+    hash-partitioned window shuffle; groups are singletons except for
+    exact-dup / J≈1 boilerplate clusters, which is the point."""
+    n_hash = _MHB_BANDS * _MHB_ROWS
+    hcols = [F.col(f"h{s}") for s in range(n_hash)]
+    keyed = sigs.withColumn("k1", F.xxhash64(*hcols)).withColumn(
+        "k2", F.xxhash64(F.lit(-1), *hcols)
+    )
+    return keyed.withColumn(
+        "srep", F.min("doc_id").over(W.partitionBy("k1", "k2"))
+    )
+
+
+def _band_membership(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id_col, bk): the {B} banded (AND-OR) bucket keys of each signature
+    row — xxhash64 over each band's {R} consecutive sigs. Shared by the
+    production generator, the dormant-cap pytest pin, and the skew-stress
+    harness; the banding layout lives here and nowhere else."""
+    band_keys = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b),
+                *[F.col(f"h{b * _MHB_ROWS + r}") for r in range(_MHB_ROWS)],
+            )
+            for b in range(_MHB_BANDS)
+        ]
+    )
+    return sigs.select(id_col, F.explode(band_keys).alias("bk"))
+
+
 def _banded_minhash_candidates_ids(hashed: DataFrame) -> DataFrame:
     """_banded_minhash_candidates over an ALREADY-HASHED id frame
     (doc_id, ts: array<long>) — min-wise hashing over the 64-bit shingle
@@ -501,29 +571,36 @@ def _banded_minhash_candidates_ids(hashed: DataFrame) -> DataFrame:
     inferred size(ts)>0 filter below the fan-out repartition into the
     single-row-group scan, which re-evaluates the full shingle pipeline
     per doc on ONE core when ts is still the string expression (measured
-    9 s of an 11 s sf0.1 wall). Over a checkpointed id frame the filter
-    is a size() on a materialized array."""
+    9 s of an 11 s sf0.1 wall). Over a persisted id frame the filter is
+    a size() on a materialized array.
+
+    Round-12 hardening (identical-signature clusters vs the bucket cap):
+    docs whose FULL {NH}-hash signature vectors are identical share all
+    {B} band keys, so a >CAP cluster of exact dups / J≈1 boilerplate
+    would blow every one of its band buckets AT ONCE — the per-band
+    independence behind the cap's (1−J^{R})^(B−k) recall bound fails and
+    the whole cluster would silently lose every pair. Fixed structurally:
+    docs are first collapsed to SIGNATURE-GRAIN representatives
+    (_sig_groups — one window shuffle), only representatives are banded,
+    and the cap counts DISTINCT SIGNATURES per bucket. Identical-sig
+    clusters of any size occupy one bucket slot and can never trip the
+    cap; their member pairs are emitted directly (every within-group pair
+    is a candidate — at {NH} hashes an all-sig collision implies
+    J^{NH}-level similarity, so these are near-certain true pairs and the
+    candidate volume is output-volume-bound, each still exactly
+    verified). Representative pairs from banding expand back through the
+    doc→rep membership map; doc→rep is functional, so each doc pair
+    appears exactly once and the distinct() runs at the (small) rep-pair
+    grain, not the expanded doc-pair grain."""
+    sigs = _sig_groups(_minhash_sig_frame(hashed)).persist()
+    mem = sigs.select("doc_id", "srep")
     n_hash = _MHB_BANDS * _MHB_ROWS
-    toks = hashed.select("doc_id", F.explode("ts").alias("t"))
-    mins = toks.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("t"), F.lit(s))).alias(f"h{s}")
-            for s in range(n_hash)
-        ]
+    reps = sigs.filter(F.col("doc_id") == F.col("srep")).select(
+        "srep", *[f"h{s}" for s in range(n_hash)]
     )
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col(f"h{b * _MHB_ROWS + r}") for r in range(_MHB_ROWS)],
-            )
-            for b in range(_MHB_BANDS)
-        ]
-    )
-    # checkpointed: consumed three times (hot-key count + both join sides)
-    banded = mins.select(
-        "doc_id", F.explode(band_keys).alias("bk")
-    ).localCheckpoint(eager=False)
+    # persisted (recomputable): consumed three times — hot-key count and
+    # both sides of the bucket self-join
+    banded = _band_membership(reps, id_col="srep").persist()
     hot = (
         banded.groupBy("bk")
         .count()
@@ -533,21 +610,39 @@ def _banded_minhash_candidates_ids(hashed: DataFrame) -> DataFrame:
     kept = banded.join(F.broadcast(hot), "bk", "left_anti")
     a = kept.alias("a")
     b = kept.alias("b")
-    cands = (
+    rep_cands = (
         a.join(
             b,
             (F.col("a.bk") == F.col("b.bk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.srep") < F.col("b.srep")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+        .select(F.col("a.srep").alias("ra"), F.col("b.srep").alias("rb"))
         .distinct()
     )
-    return cands
+    ma = mem.select(F.col("srep").alias("ra"), F.col("doc_id").alias("da"))
+    mb = mem.select(F.col("srep").alias("rb"), F.col("doc_id").alias("db"))
+    cross = rep_cands.join(ma, "ra").join(mb, "rb")
+    within = ma.join(
+        mb, (F.col("ra") == F.col("rb")) & (F.col("da") < F.col("db"))
+    )
+    return cross.select(
+        F.least("da", "db").alias("doc_a"),
+        F.greatest("da", "db").alias("doc_b"),
+    ).unionByName(
+        within.select(
+            F.col("da").alias("doc_a"), F.col("db").alias("doc_b")
+        )
+    )
 
 
-for _fn in (dedup_minhash_banded, _banded_minhash_candidates):
+for _fn in (
+    dedup_minhash_banded,
+    _banded_minhash_candidates,
+    _banded_minhash_candidates_ids,
+    _minhash_sig_frame,
+    _sig_groups,
+    _band_membership,
+):
     _fn.__doc__ = (
         _fn.__doc__.replace("{B}", str(_MHB_BANDS))
         .replace("{R}", str(_MHB_ROWS))
