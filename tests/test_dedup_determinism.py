@@ -81,6 +81,31 @@ def test_minhash_banded_deterministic_and_complete_vs_exact(spark, sf_smoke):
     assert recall >= 0.9, (recall, len(truth), len(got))
 
 
+def test_identical_sig_cluster_survives_bucket_cap(spark, monkeypatch):
+    """Round-12 ADVICE regression pin: a cluster of IDENTICAL docs larger
+    than the bucket cap must keep every within-cluster pair. Identical
+    docs share all band keys, so pre-fix every one of the cluster's
+    buckets tripped the cap AT ONCE and the whole cluster silently lost
+    all pairs (the per-band-independence recall bound does not apply to
+    identical signatures). Post-fix the cluster collapses to one banded
+    signature-grain representative (one slot per bucket — the cap cannot
+    see it) and its pairs are emitted through the membership expansion."""
+    import vat_etl_spark.queries.dedup as D
+
+    monkeypatch.setattr(D, "_MHB_BUCKET_CAP", 5)
+    rows = [(i, ["alpha beta gamma", "beta gamma delta"]) for i in range(20)]
+    rows += [
+        (100 + i, [f"u{i}a x y", f"x y u{i}b", f"y u{i}b z"])
+        for i in range(30)
+    ]
+    docsets = spark.createDataFrame(rows, "doc_id long, ts array<string>")
+    cands = D._banded_minhash_candidates_ids(D._hashed_sets(docsets))
+    got = {(r.doc_a, r.doc_b) for r in cands.collect()}
+    cluster = {(a, b) for a in range(20) for b in range(a + 1, 20)}
+    missing = cluster - got
+    assert not missing, f"cap dropped {len(missing)} identical-cluster pairs"
+
+
 def test_minhash_banded_bucket_cap_dormant_at_oracle_scale(spark, sf_smoke):
     """The round-11 hot-bucket skew guard (_MHB_BUCKET_CAP) must NEVER
     fire at oracle scale: the driver gate proves the banded query equal
