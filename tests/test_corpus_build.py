@@ -251,3 +251,40 @@ def test_build_corpus_incremental_delta(spark, sf_smoke, tmp_path):
         .filter("ns > 1")
     )
     assert straddle.count() == 0
+
+
+def test_fixed_lm_roundtrip_matches_self_estimated(spark, sf_smoke, tmp_path):
+    """CCNet split pin (verdict-r11 task 1): estimating the KN LM +
+    thresholds ONCE with kn_write_lm (reference = the full corpus) and
+    scoring against the persisted tables must reproduce the
+    self-estimated pipeline_perplexity_buckets kept set EXACTLY — the
+    fixed-LM funnel path is a pure refactor of where the LM lives, not a
+    semantic change, whenever the reference equals the input. (With a
+    narrower reference the unseen-bigram backoff engages — that path is
+    oracle-proven by pipeline_perplexity_fixed_lm.)"""
+    from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.queries.llm_pipeline import (
+        kn_load_lm,
+        kn_ppl_kept_fixed,
+        kn_write_lm,
+    )
+    from vat_etl_spark.sources.catalog import read_table
+
+    lm_dir = str(tmp_path / "knlm")
+    stats = kn_write_lm(spark, sf_smoke, lm_dir)
+    assert stats["bigram_types"] > 0
+    docs = read_table(spark, sf_smoke, "documents")
+    fixed = {
+        r.doc_id
+        for r in kn_ppl_kept_fixed(
+            spark, docs, kn_load_lm(spark, lm_dir)
+        ).collect()
+    }
+    self_kept = {
+        r.doc_id
+        for r in QUERIES["pipeline_perplexity_buckets"](spark, sf_smoke)
+        .filter(F.col("kept"))
+        .select("doc_id")
+        .collect()
+    }
+    assert fixed == self_kept

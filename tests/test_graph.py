@@ -468,3 +468,72 @@ def test_ann_index_rebuilds_on_content_drift_same_count(
     s1 = _meta_sig(spark, q1)
     build_ivfpq_index(spark, d2)
     assert _meta_sig(spark, q1) != s1
+
+
+def test_hub_entry_clustered_preset_recall_and_plan(
+    spark, tmp_path, monkeypatch
+):
+    """Verdict-r11 task 2 pin: the production clustered-regime serve path
+    (SERVE_PRESETS['clustered'], hub-layer entry) previously had no
+    in-repo regression coverage — only tools/ann_decade.py exercised
+    entry='hubs', so a serve refactor could silently break the measured
+    recall-0.98-at-200K claim. This pins, on a seeded clustered fixture
+    (the regime the preset is sized for): (a) hub-entry recall@10 >= 0.95
+    under the exact-truth audit, and (b) the hub-sample plan shape — a
+    pure hash filter over the embedding scan plus a broadcast join of the
+    query vectors, with NO index artifact read."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from vat_etl_spark.queries.similarity import (
+        SERVE_PRESETS,
+        _dbl,
+        _hub_entry_frame,
+        build_graph_index,
+        graph_search_audit,
+    )
+
+    rng = np.random.default_rng(1203)
+    n, n_clusters, dim = 3000, 30, 32
+    centers = rng.standard_normal((n_clusters, dim))
+    assign = rng.integers(0, n_clusters, n)
+    vecs = (centers[assign] + 0.35 * rng.standard_normal((n, dim))).astype(
+        np.float32
+    )
+    corpus = tmp_path / "clustered"
+    corpus.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array(
+                    [list(v) for v in vecs], pa.list_(pa.float32())
+                ),
+            }
+        ),
+        str(corpus / "embeddings.parquet"),
+    )
+    monkeypatch.setenv("VAT_ETL_INDEX_DIR", str(tmp_path / "idx"))
+    build_graph_index(spark, str(corpus))
+    rows = graph_search_audit(spark, str(corpus), preset="clustered").collect()
+    assert rows, "audit returned no queries"
+    mean = sum(r.recall_at_10 for r in rows) / len(rows)
+    assert mean >= 0.95, [r.recall_at_10 for r in rows]
+    # (b) plan shape of the hub entry, pre-checkpoint: hash-filter +
+    # broadcast join, and no scan of the index directory
+    em = spark.read.parquet(str(corpus / "embeddings.parquet")).select(
+        "vec_id", _dbl(F.col("embedding")).alias("ev")
+    )
+    dst = em.select(F.col("vec_id").alias("node"), F.col("ev").alias("dv"))
+    qs = em.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("ev").alias("qv")
+    )
+    frame = _hub_entry_frame(
+        dst, qs, SERVE_PRESETS["clustered"]["hub_rate"]
+    )
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "pmod" in plan and "xxhash64" in plan, plan
+    assert "Broadcast" in plan, plan
+    assert "idx" not in plan, plan  # no index artifact feeds the hub layer

@@ -107,6 +107,19 @@ def run_query(args: argparse.Namespace, spark: SparkSession | None = None) -> Da
     return df
 
 
+def run_estimate_lm(args, spark: SparkSession | None = None):
+    from vat_etl_spark.queries.llm_pipeline import kn_write_lm
+    from vat_etl_spark.session import get_spark
+
+    spark = spark or get_spark("vat-etl-estimate-lm")
+    stats = kn_write_lm(spark, args.sf_dir, args.out, where=args.where)
+    print(
+        f"estimated KN LM from {stats['ref_docs']} reference docs "
+        f"({stats['bigram_types']} bigram types) -> {stats['lm_dir']}"
+    )
+    return stats
+
+
 def run_corpus(args, spark: SparkSession | None = None):
     from vat_etl_spark.queries.llm_pipeline import build_corpus
     from vat_etl_spark.session import get_spark
@@ -124,7 +137,7 @@ def run_corpus(args, spark: SparkSession | None = None):
         raise SystemExit(f"unknown corpus stages: {sorted(unknown)}")
     stats = build_corpus(
         spark, args.sf_dir, args.out, n_shards=args.shards, stages=stages,
-        base_dir=args.base,
+        base_dir=args.base, lm_dir=args.lm_dir,
     )
     print("funnel: " + " -> ".join(f"{s}={n}" for s, n in stats["funnel"].items()))
     print(
@@ -234,7 +247,29 @@ def build_parser() -> argparse.ArgumentParser:
         help="previous build's out dir: incremental delta build gated "
         "against its written content keys and neardup_sig_index",
     )
+    c.add_argument(
+        "--lm-dir",
+        default=None,
+        help="persisted KN LM from 'estimate-lm': the perplexity stage "
+        "SCORES against it (CCNet train-once) instead of re-estimating "
+        "the LM from the full input corpus every build",
+    )
     c.set_defaults(fn=run_corpus)
+
+    e = sub.add_parser(
+        "estimate-lm",
+        help="estimate the Kneser-Ney LM + CCNet bucket thresholds once "
+        "from a reference corpus and persist them for 'corpus --lm-dir'",
+    )
+    e.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    e.add_argument("--out", required=True, help="LM output directory")
+    e.add_argument(
+        "--where",
+        default=None,
+        help="SQL predicate restricting the reference corpus "
+        "(e.g. 'doc_id % 10 < 3')",
+    )
+    e.set_defaults(fn=run_estimate_lm)
 
     a = sub.add_parser(
         "ann-build",

@@ -733,6 +733,7 @@ def build_corpus(
     n_shards: int = 8,
     stages: tuple[str, ...] = CORPUS_STAGES,
     base_dir: str | None = None,
+    lm_dir: str | None = None,
 ) -> dict:
     """The composed corpus build (the `corpus` CLI subcommand): the FULL
     curation funnel — Gopher rules → quality classifier → perplexity
@@ -868,15 +869,25 @@ def build_corpus(
         )
         cur = _stage(cur.join(keep, "doc_id"), "classifier")
     if "perplexity" in stages:
-        # CCNet-style: the LM and its bucket thresholds come from the FULL
-        # corpus (the reference distribution), the kept set joins back —
-        # so the stage is one (doc_id)-keyed join against the registered
-        # oracle-backed bucket assignment
-        keep = (
-            QUERIES["pipeline_perplexity_buckets"](spark, sf_dir)
-            .filter(F.col("kept"))
-            .select("doc_id")
-        )
+        if lm_dir:
+            # CCNet's actual shape (verdict-r11 task 1): the LM and its
+            # bucket thresholds were estimated ONCE from a reference
+            # corpus (kn_write_lm) — this build only SCORES against the
+            # persisted tables: three keyed joins + a broadcast threshold
+            # CASE, no per-build LM re-estimation. Amortized across
+            # builds, the previously most-expensive funnel stage becomes
+            # map-shaped work proportional to the input, not the LM.
+            keep = kn_ppl_kept_fixed(spark, d, kn_load_lm(spark, lm_dir))
+        else:
+            # self-estimated fallback: the LM and its bucket thresholds
+            # come from the FULL input corpus (the reference
+            # distribution), re-derived this build — the kept set joins
+            # back from the registered oracle-backed bucket assignment
+            keep = (
+                QUERIES["pipeline_perplexity_buckets"](spark, sf_dir)
+                .filter(F.col("kept"))
+                .select("doc_id")
+            )
         cur = _stage(cur.join(keep, "doc_id"), "perplexity")
     if "exact_dedup" in stages:
         keep = QUERIES["pipeline_cross_source_dedup"](spark, sf_dir).select(
@@ -2653,6 +2664,89 @@ GROUP BY b.doc_id
 """
 
 
+def _kn_hashed_bigrams(d: DataFrame) -> DataFrame:
+    """(doc_id, w1, w2): one row per bigram OCCURRENCE with the two words
+    as 64-bit xxhash64 token ids — the round-12 shuffle-volume fix
+    (verdict-r11 task 4). Bigrams previously shuffled as concatenated
+    strings through every aggregate and the final scoring join; here each
+    token is hashed ONCE map-side (n hashes/doc, vs 3 string ops per
+    bigram for the concat+split_part spelling) and every downstream
+    shuffle key is a fixed-width (long, long) pair — smaller rows, cheaper
+    hashing/sorting, and no UTF8String comparisons in the sort-merge
+    joins. The (w1, w2) id pair stands in for the bigram string exactly as
+    _hashed_sets' ids stand in for shingles: whitespace tokenization means
+    token↔id is a bijection up to the xxhash64 collision bound (~V²/2⁶⁵ —
+    ≈1e-9 even at a 10⁶ vocab), a collision can only merge two token
+    types, and the per-round DuckDB oracle (which keys on the STRINGS)
+    re-proves exact equality at both pinned SFs."""
+    th = F.transform(tokens_expr(F.col("text")), lambda w: F.xxhash64(w))
+    d = d.select("doc_id", th.alias("th"))
+    n1 = F.greatest(F.size("th") - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice("th", F.lit(1), n1),
+        F.slice("th", F.lit(2), n1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    return d.select("doc_id", F.explode(pairs).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+
+
+def _kn_lm_frames(bi: DataFrame) -> dict[str, DataFrame]:
+    """Kneser-Ney LM sufficient statistics from a bigram-occurrence frame:
+    c2 (bigram type counts), heads (cw = c(w1,·), n1f = N1+(w1,·)),
+    tails (n1b = N1+(·,w2)), nd (N_types, 1 row). heads/tails/nd are
+    re-aggregations of c2 — one corpus scan total. This is the LM
+    *estimation* half of the CCNet split (verdict-r11 task 1): everything
+    a scorer needs, estimable once from a reference corpus and persistable
+    via kn_write_lm."""
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("cg"))
+    heads = c2.groupBy("w1").agg(
+        F.sum("cg").alias("cw"), F.count("*").alias("n1f")
+    )
+    tails = c2.groupBy("w2").agg(F.count("*").alias("n1b"))
+    nd = c2.agg(F.count("*").alias("nd"))
+    return {"c2": c2, "heads": heads, "tails": tails, "nd": nd}
+
+
+# Per-occurrence KN score in integer micros, with unseen-bigram backoff:
+# coalesce(cg→0) gives the pure continuation term for a bigram the LM
+# never saw; coalesce(n1b→0) zeroes it when the TAIL word is unknown; a
+# NULL head (cw/n1f unknown — w1 not in the LM) nulls the division and the
+# outer coalesce maps it to 0, the unknown-word floor. For a
+# self-estimated LM every bigram is seen and this reduces bit-exactly to
+# the seen-only formula.
+_KN_PTS_EXPR = (
+    "coalesce(cast((1000000 * (greatest(4 * coalesce(cg, 0L) - 3, 0L)"
+    " * cast(nd as decimal(38,0))"
+    " + 3 * n1f * cast(coalesce(n1b, 0L) as decimal(38,0))))"
+    " div (4 * cw * cast(nd as decimal(38,0))) as bigint), 0L)"
+)
+
+
+def _kn_score(bi: DataFrame, lm: dict[str, DataFrame]) -> DataFrame:
+    """Score a bigram-occurrence frame against FIXED LM statistics — the
+    map-shaped scoring half of the CCNet split: three keyed joins against
+    the (corpus-independent) LM tables plus a 1-row nd broadcast, then
+    one doc-grain aggregate. No LM estimation happens here; unseen
+    bigrams take the backoff in _KN_PTS_EXPR. Returns
+    (doc_id, n_bigrams, kn_sum, kn_mean) over ALL the corpus's bigram
+    occurrences (seen or not)."""
+    j = (
+        bi.join(lm["c2"], ["w1", "w2"], "left")
+        .join(lm["heads"], "w1", "left")
+        .join(lm["tails"], "w2", "left")
+        .crossJoin(F.broadcast(lm["nd"]))
+    )
+    return j.select("doc_id", F.expr(_KN_PTS_EXPR).alias("pts")).groupBy(
+        "doc_id"
+    ).agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("pts").alias("kn_sum"),
+        F.expr("sum(pts) div count(*)").alias("kn_mean"),
+    )
+
+
 @query("text_kneser_ney_bigram", oracle=_KN_SQL)
 def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995; Chen &
@@ -2683,27 +2777,23 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     TYPE table c2 is aggregated once; head stats (cw, N1f) and tail
     stats (N1b) are re-aggregations of c2, never extra corpus scans; ND
     is a 1-row broadcast; all features attach through ONE stream-sized
-    join on g with no forced broadcasts (AQE decides — a web-scale
-    bigram table outgrows the vocab)."""
+    join with no forced broadcasts (AQE decides — a web-scale bigram
+    table outgrows the vocab). Round 12 (verdict-r11 task 4): every
+    shuffle and join keys on 64-bit xxhash64 TOKEN IDS instead of bigram
+    strings (_kn_hashed_bigrams) — same aggregates, same integer-exact
+    values (oracle re-proven unchanged at sf0.01 and sf0.1), with
+    fixed-width shuffle rows in place of UTF8String keys."""
     d = _t(spark, sf_dir, "documents")
-    toked = d.select("doc_id", tokens_expr(F.col("text")).alias("t"))
-    bi = toked.select("doc_id", F.explode(_ngrams(F.col("t"), 2)).alias("g"))
-    c2 = bi.groupBy(
-        "g",
-        F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1"),
-        F.split_part(F.col("g"), F.lit(" "), F.lit(2)).alias("w2"),
-    ).agg(F.count("*").alias("cg"))
-    heads = c2.groupBy("w1").agg(
-        F.sum("cg").alias("cw"), F.count("*").alias("n1f")
-    )
-    tails = c2.groupBy("w2").agg(F.count("*").alias("n1b"))
-    nd = c2.agg(F.count("*").alias("nd"))
+    bi = _kn_hashed_bigrams(d)
+    lm = _kn_lm_frames(bi)
     feats = (
-        c2.join(heads, "w1")
-        .join(tails, "w2")
-        .crossJoin(F.broadcast(nd))
+        lm["c2"]
+        .join(lm["heads"], "w1")
+        .join(lm["tails"], "w2")
+        .crossJoin(F.broadcast(lm["nd"]))
         .select(
-            "g",
+            "w1",
+            "w2",
             F.expr(
                 "cast((1000000 * (greatest(4 * cg - 3, 0L)"
                 " * cast(nd as decimal(38,0))"
@@ -2712,7 +2802,7 @@ def text_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pts"),
         )
     )
-    scored = bi.join(feats, "g")
+    scored = bi.join(feats, ["w1", "w2"])
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_bigrams"),
         F.sum("pts").alias("kn_sum"),
@@ -2799,6 +2889,232 @@ def pipeline_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 pipeline_perplexity_buckets.__doc__ = pipeline_perplexity_buckets.__doc__.format(
     B=_PPL_B
 )
+
+
+# --- CCNet fixed-LM split: estimate once, score map-shaped ---------------------
+
+_KN_REF_MOD = 10
+_KN_REF_K = 3  # reference corpus = docs with doc_id % 10 < 3 (~30%)
+
+_KN_REF_PRED = f"doc_id % {_KN_REF_MOD} < {_KN_REF_K}"
+
+# DuckDB twin of _KN_PTS_EXPR over string-keyed LM tables (c2/heads/tails
+# aliased c, h, tl; nd in scope) — HUGEINT intermediates, same truncating
+# division, same NULL→0 backoff routing.
+_KN_PTS_SQL = """
+    coalesce(CAST((1000000 * (greatest(4 * coalesce(c.cg, 0) - 3, 0)::HUGEINT
+                              * nd.nd
+                              + 3 * h.n1f::HUGEINT * coalesce(tl.n1b, 0)))
+        // (4 * h.cw::HUGEINT * nd.nd) AS BIGINT), 0)
+"""
+
+_PPL_FIXED_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+big AS (
+  SELECT doc_id, array_to_string(list_slice(t, i, i + 1), ' ') AS g,
+         t[i] AS w1, t[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS s(i)
+),
+refc2 AS (
+  SELECT g, w1, w2, count(*) AS cg FROM big
+  WHERE {_KN_REF_PRED} GROUP BY 1, 2, 3
+),
+heads AS (SELECT w1, sum(cg) AS cw, count(*) AS n1f FROM refc2 GROUP BY w1),
+tails AS (SELECT w2, count(*) AS n1b FROM refc2 GROUP BY w2),
+nd AS (SELECT count(*) AS nd FROM refc2),
+occ AS (
+  SELECT b.doc_id, {_KN_PTS_SQL} AS pts
+  FROM big b
+  LEFT JOIN refc2 c ON b.g = c.g
+  LEFT JOIN heads h ON b.w1 = h.w1
+  LEFT JOIN tails tl ON b.w2 = tl.w2, nd
+),
+scored AS (
+  SELECT o.doc_id, d.lang, CAST(sum(o.pts) // count(*) AS BIGINT) AS kn_mean
+  FROM occ o JOIN documents d ON o.doc_id = d.doc_id
+  GROUP BY o.doc_id, d.lang
+),
+hist AS (
+  SELECT lang, kn_mean, count(*) AS c
+  FROM scored WHERE {_KN_REF_PRED} GROUP BY lang, kn_mean
+),
+cum AS (
+  SELECT lang, kn_mean, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY kn_mean) AS cc,
+         sum(c) OVER (PARTITION BY lang) AS n
+  FROM hist
+),
+buck AS (
+  SELECT lang, kn_mean,
+         CAST(CASE WHEN cc <= (n % {_PPL_B}) * (n // {_PPL_B} + 1)
+              THEN (cc - 1) // (n // {_PPL_B} + 1) + 1
+              ELSE (n % {_PPL_B})
+                + (cc - (n % {_PPL_B}) * (n // {_PPL_B} + 1) - 1)
+                  // (n // {_PPL_B}) + 1 END AS BIGINT) AS ppl_bucket
+  FROM cum
+),
+th AS (
+  SELECT lang,
+         max(CASE WHEN ppl_bucket = 1 THEN kn_mean END) AS hi1,
+         max(CASE WHEN ppl_bucket = 2 THEN kn_mean END) AS hi2
+  FROM buck GROUP BY lang
+)
+SELECT s.doc_id, s.lang, s.kn_mean,
+  CAST(CASE WHEN s.kn_mean <= th.hi1 THEN 1
+            WHEN s.kn_mean <= th.hi2 THEN 2
+            ELSE {_PPL_B} END AS BIGINT) AS ppl_bucket,
+  (CASE WHEN s.kn_mean <= th.hi1 THEN 1
+        WHEN s.kn_mean <= th.hi2 THEN 2
+        ELSE {_PPL_B} END) < {_PPL_B} AS kept
+FROM scored s LEFT JOIN th ON s.lang = th.lang
+"""
+
+
+def _kn_thresholds(scored_ref: DataFrame) -> DataFrame:
+    """(lang, hi1, hi2): CCNet bucket cutoffs from a REFERENCE corpus's
+    score distribution — per-(lang, kn_mean) histogram ntile (the same
+    scale-safe construction pipeline_perplexity_buckets uses), reduced to
+    the per-bucket max score. Because equal scores always share a bucket,
+    ``score <= hi_b`` reproduces the histogram-ntile bucket bit-exactly
+    for every reference doc, and assigns NEW scores to the first bucket
+    whose cutoff covers them (ties-share-bucket interpolation)."""
+    from vat_etl_spark.functions.ranks import histogram_ntile_grouped
+
+    bucketed = histogram_ntile_grouped(
+        scored_ref, ["lang"], "kn_mean", _PPL_B, out_col="ppl_bucket"
+    )
+    return bucketed.groupBy("lang").agg(
+        F.max(F.when(F.col("ppl_bucket") == 1, F.col("kn_mean"))).alias("hi1"),
+        F.max(F.when(F.col("ppl_bucket") == 2, F.col("kn_mean"))).alias("hi2"),
+    )
+
+
+def _kn_bucket_assign(scored: DataFrame, th: DataFrame) -> DataFrame:
+    """Assign CCNet buckets to (doc_id, lang, kn_mean) rows from a FIXED
+    (lang, hi1, hi2) threshold table — map-shaped: one broadcast join on
+    lang (the table is one row per language) plus a CASE. Docs of a
+    language absent from the reference fall through to the tail bucket
+    (dropped) — conservative and deterministic in both engines (NULL
+    comparisons are never TRUE)."""
+    b = (
+        F.when(F.col("kn_mean") <= F.col("hi1"), F.lit(1))
+        .when(F.col("kn_mean") <= F.col("hi2"), F.lit(2))
+        .otherwise(F.lit(_PPL_B))
+        .cast("bigint")
+    )
+    return (
+        scored.join(F.broadcast(th), "lang", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "kn_mean",
+            b.alias("ppl_bucket"),
+            (b < _PPL_B).alias("kept"),
+        )
+    )
+
+
+@query("pipeline_perplexity_fixed_lm", oracle=_PPL_FIXED_SQL)
+def pipeline_perplexity_fixed_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing with the LM *estimation* split from the
+    *scoring* (Wenzek et al. 2020, arXiv:1911.00359 — verdict-r11 task 1):
+    the Kneser-Ney LM and the per-language bucket cutoffs come from a
+    FIXED reference corpus (here the deterministic ~30% slice
+    ``{pred}``), and the whole corpus is then scored map-shaped against
+    those fixed statistics — three keyed joins + a broadcast threshold
+    CASE, no corpus-wide re-estimation. Bigrams the reference never saw
+    take the KN continuation backoff (cg=0); bigrams with an unknown head
+    word score 0 (_KN_PTS_EXPR). This is the production funnel shape: the
+    LM is estimated once (kn_write_lm) and every nightly build scores
+    against it, instead of re-deriving the LM from the full input corpus
+    per build. The registered form keeps the LM in-plan (no disk) so the
+    DuckDB twin can re-prove the whole path — including the backoff
+    arithmetic and the fixed-threshold bucket assignment — exactly."""
+    d = _t(spark, sf_dir, "documents")
+    bi = _kn_hashed_bigrams(d).persist()
+    ref_bi = bi.filter(F.expr(_KN_REF_PRED))
+    lm = _kn_lm_frames(ref_bi)
+    scored = (
+        _kn_score(bi, lm).join(d.select("doc_id", "lang"), "doc_id").persist()
+    )
+    th = _kn_thresholds(
+        scored.filter(F.expr(_KN_REF_PRED)).select("lang", "kn_mean")
+    )
+    return _kn_bucket_assign(scored, th)
+
+
+pipeline_perplexity_fixed_lm.__doc__ = pipeline_perplexity_fixed_lm.__doc__.format(
+    pred=_KN_REF_PRED
+)
+
+
+def kn_write_lm(
+    spark: SparkSession, sf_dir: str, lm_dir: str, where: str | None = None
+) -> dict:
+    """Estimate the Kneser-Ney LM and the per-language CCNet bucket
+    thresholds ONCE from a reference corpus and persist them under
+    ``lm_dir`` (c2/heads/tails/nd/thresholds parquet) — the train-once
+    half of CCNet's design. ``where`` optionally restricts the reference
+    (SQL predicate over documents). Every table is keyed by the same
+    xxhash64 token ids _kn_hashed_bigrams produces, so a persisted LM is
+    portable across corpora and builds on any cluster."""
+    d = _t(spark, sf_dir, "documents")
+    if where:
+        d = d.filter(where)
+    bi = _kn_hashed_bigrams(d).persist()
+    lm = _kn_lm_frames(bi)
+    c2 = lm["c2"].persist()
+    heads = c2.groupBy("w1").agg(
+        F.sum("cg").alias("cw"), F.count("*").alias("n1f")
+    )
+    tails = c2.groupBy("w2").agg(F.count("*").alias("n1b"))
+    nd = c2.agg(F.count("*").alias("nd"))
+    c2.write.mode("overwrite").parquet(f"{lm_dir}/c2")
+    heads.write.mode("overwrite").parquet(f"{lm_dir}/heads")
+    tails.write.mode("overwrite").parquet(f"{lm_dir}/tails")
+    nd.write.mode("overwrite").parquet(f"{lm_dir}/nd")
+    scored = _kn_score(
+        bi, {"c2": c2, "heads": heads, "tails": tails, "nd": nd}
+    ).join(d.select("doc_id", "lang"), "doc_id")
+    th = _kn_thresholds(scored.select("lang", "kn_mean"))
+    th.write.mode("overwrite").parquet(f"{lm_dir}/thresholds")
+    out = {
+        "lm_dir": lm_dir,
+        "ref_docs": d.count(),
+        "bigram_types": c2.count(),
+    }
+    bi.unpersist()
+    c2.unpersist()
+    return out
+
+
+def kn_load_lm(spark: SparkSession, lm_dir: str) -> dict[str, DataFrame]:
+    """Load a persisted KN LM (kn_write_lm output) for _kn_score /
+    _kn_bucket_assign."""
+    return {
+        name: spark.read.parquet(f"{lm_dir}/{name}")
+        for name in ("c2", "heads", "tails", "nd", "thresholds")
+    }
+
+
+def kn_ppl_kept_fixed(
+    spark: SparkSession, docs: DataFrame, lm: dict[str, DataFrame]
+) -> DataFrame:
+    """The funnel's fixed-LM perplexity keep set: score ``docs`` against a
+    persisted LM and keep head+middle per the LM's stored thresholds.
+    Scoring is three keyed joins against corpus-independent tables plus a
+    broadcast CASE — the conceptually-cheap gate finally has the cheap
+    shape (no per-build LM re-estimation)."""
+    scored = _kn_score(_kn_hashed_bigrams(docs), lm).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        _kn_bucket_assign(scored, lm["thresholds"])
+        .filter(F.col("kept"))
+        .select("doc_id")
+    )
 
 
 # --- fastText-style hashed linear quality classifier --------------------------

@@ -1472,6 +1472,28 @@ SERVE_PRESETS: dict[str, dict] = {
 }
 
 
+def _hub_entry_frame(dst: DataFrame, qs: DataFrame, hub_rate: int) -> DataFrame:
+    """Hub-layer entry (clustered preset): score the queries against the
+    deterministic 1-in-``hub_rate`` hash sample of the corpus — a pure
+    filter on the embedding scan (pmod(xxhash64(node)) — NO index
+    artifact), broadcast-joined to the k query vectors — and let the hop
+    loop's top-beam window pick the best entries. All hub scores stay in
+    the visited set (they were computed, so they count as touched work).
+    Factored out (verdict-r11 task 2) so the pytest pin can assert the
+    plan shape pre-checkpoint: filter + broadcast join, no index read."""
+    hubs = dst.where(
+        F.pmod(F.xxhash64(F.col("node"), F.lit(0x48B)), F.lit(hub_rate)) == 0
+    )
+    return (
+        hubs.crossJoin(F.broadcast(qs))
+        .where(F.col("qid") != F.col("node"))
+        .select(
+            "qid", "node",
+            cosine_expr(F.col("qv"), F.col("dv")).alias("sim"),
+        )
+    )
+
+
 def _graph_serve(
     spark: SparkSession,
     sf_dir: str,
@@ -1522,24 +1544,8 @@ def _graph_serve(
         )
 
     if entry == "hubs":
-        # hub-layer entry (clustered preset): score the query against the
-        # deterministic 1-in-hub_rate hash sample of the corpus — a pure
-        # filter on the embedding scan, broadcast-joined to the k query
-        # vectors — and let the hop loop's top-beam window pick the best
-        # entries. All hub scores stay in `visited` (they were computed,
-        # so they count as touched work).
-        hubs = dst.where(
-            F.pmod(F.xxhash64(F.col("node"), F.lit(0x48B)), F.lit(hub_rate))
-            == 0
-        )
-        visited = (
-            hubs.crossJoin(F.broadcast(qs))
-            .where(F.col("qid") != F.col("node"))
-            .select(
-                "qid", "node",
-                cosine_expr(F.col("qv"), F.col("dv")).alias("sim"),
-            )
-            .localCheckpoint(eager=False)
+        visited = _hub_entry_frame(dst, qs, hub_rate).localCheckpoint(
+            eager=False
         )
     else:
         seed_nodes = (
