@@ -107,6 +107,13 @@ MULTI_JOB_BENCH = [
     # asserted every pass. This is the flagship LLM deliverable; it runs
     # via _run_corpus_build below, not the QUERIES registry.
     "corpus_build_full",
+    # the same composed build with the CCNet train-once split (round 12):
+    # the perplexity stage SCORES against a persisted LM (estimated once
+    # in the warm phase — _bench_lm_dir) instead of re-deriving the KN LM
+    # from the full input corpus per build. Benched alongside the self-LM
+    # build so the production cadence's wall is a tracked number, not a
+    # one-off decade receipt.
+    "corpus_build_fixed_lm",
 ]
 
 # Per-entry pass caps for the very expensive composed pipelines: a full
@@ -115,7 +122,25 @@ MULTI_JOB_BENCH = [
 # passes instead of one — the 1-sample median made the regression gate
 # noise-blind on the most expensive entry; with two, `median` vs `min`
 # separates spread from shift like every other entry.
-PASS_CAP = {"corpus_build_full": 2}
+PASS_CAP = {"corpus_build_full": 2, "corpus_build_fixed_lm": 2}
+
+# one-time per-process KN LM estimate for corpus_build_fixed_lm: the whole
+# point of the fixed-LM shape is that estimation is AMORTIZED across
+# builds, so the bench estimates once (warm phase) and every timed pass
+# scores against the persisted tables — exactly the production cadence.
+_BENCH_LM_DIR: str | None = None
+
+
+def _bench_lm_dir(spark, sf_dir: str) -> str:
+    global _BENCH_LM_DIR
+    if _BENCH_LM_DIR is None:
+        import tempfile
+
+        from vat_etl_spark.queries.llm_pipeline import kn_write_lm
+
+        _BENCH_LM_DIR = tempfile.mkdtemp(prefix="bench_knlm_")
+        kn_write_lm(spark, sf_dir, _BENCH_LM_DIR)
+    return _BENCH_LM_DIR
 
 
 def _run_ann_serve(spark, sf_dir: str) -> None:
@@ -130,11 +155,12 @@ def _run_ann_serve(spark, sf_dir: str) -> None:
     ).save()
 
 
-def _run_corpus_build(spark, sf_dir: str) -> None:
+def _run_corpus_build(spark, sf_dir: str, lm_dir: str | None = None) -> None:
     """One timed end-to-end build_corpus run into a fresh temp dir, with
     the funnel-counter sanity contract asserted (monotone non-increasing
     doc counts, nonzero output) so a silently-empty funnel can never post
-    a fast time."""
+    a fast time. With ``lm_dir``: the fixed-LM perplexity stage (scores
+    against the persisted LM instead of re-estimating)."""
     import shutil
     import tempfile
 
@@ -142,7 +168,7 @@ def _run_corpus_build(spark, sf_dir: str) -> None:
 
     out = tempfile.mkdtemp(prefix="bench_corpus_")
     try:
-        m = build_corpus(spark, sf_dir, f"{out}/corpus")
+        m = build_corpus(spark, sf_dir, f"{out}/corpus", lm_dir=lm_dir)
         docs = list(m["funnel"].values())  # insertion-ordered stage counts
         assert docs[0] > 0 and docs[-1] > 0, m["funnel"]
         assert all(a >= b for a, b in zip(docs, docs[1:])), m["funnel"]
@@ -174,6 +200,8 @@ def main() -> None:
     for name in BENCH_QUERIES + MULTI_JOB_BENCH:
         if name == "corpus_build_full":
             _run_corpus_build(spark, sf_dir)
+        elif name == "corpus_build_fixed_lm":
+            _run_corpus_build(spark, sf_dir, lm_dir=_bench_lm_dir(spark, sf_dir))
         elif name == "ann_graph_serve":
             _run_ann_serve(spark, sf_dir)
         else:
@@ -209,6 +237,8 @@ def main() -> None:
             t0 = time.perf_counter()
             if name == "corpus_build_full":
                 _run_corpus_build(spark, sf_dir)
+            elif name == "corpus_build_fixed_lm":
+                _run_corpus_build(spark, sf_dir, lm_dir=_bench_lm_dir(spark, sf_dir))
             elif name == "ann_graph_serve":
                 _run_ann_serve(spark, sf_dir)
             else:
