@@ -528,20 +528,32 @@ def _minhash_sig_frame(hashed: DataFrame) -> DataFrame:
 
 
 def _sig_groups(sigs: DataFrame) -> DataFrame:
-    """``sigs`` + (k1, k2, srep): group docs by IDENTICAL full signature
-    vector (keyed by two independent xxhash64s of all {NH} sigs — a
-    128-bit key, collision ~2^-128 at any corpus size) and elect the
-    min-doc_id member as the group's banding representative. One
-    hash-partitioned window shuffle; groups are singletons except for
-    exact-dup / J≈1 boilerplate clusters, which is the point."""
+    """``sigs`` + (k1, k2, srep, gsz): group docs by IDENTICAL full
+    signature vector (keyed by two independent xxhash64s of all {NH}
+    sigs — a 128-bit key, collision ~2^-128 at any corpus size) and
+    elect the min-doc_id member as the group's banding representative.
+
+    Shuffle discipline (round-12 5 M re-measure): the first spelling
+    windowed over (k1, k2), which shuffled the FAT {NH}-column signature
+    frame — measured +150 s at 5 M docs. Group membership only needs the
+    24-byte (doc_id, k1, k2) projection: aggregate THAT (map-side partial
+    collapse), join the srep map back on the narrow keys, and attach it
+    to the fat frame by doc_id — the signature frame arrives already
+    hash-partitioned on doc_id from the min-hash aggregate, so Catalyst
+    reuses its partitioning and only the narrow srep map moves. Groups
+    are singletons except exact-dup / J≈1 boilerplate clusters, which is
+    the point."""
     n_hash = _MHB_BANDS * _MHB_ROWS
     hcols = [F.col(f"h{s}") for s in range(n_hash)]
     keyed = sigs.withColumn("k1", F.xxhash64(*hcols)).withColumn(
         "k2", F.xxhash64(F.lit(-1), *hcols)
     )
-    return keyed.withColumn(
-        "srep", F.min("doc_id").over(W.partitionBy("k1", "k2"))
+    m = keyed.select("doc_id", "k1", "k2")
+    grp = m.groupBy("k1", "k2").agg(
+        F.min("doc_id").alias("srep"), F.count("*").alias("gsz")
     )
+    mem = m.join(grp, ["k1", "k2"]).select("doc_id", "srep", "gsz")
+    return keyed.join(mem, "doc_id")
 
 
 def _band_membership(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -581,7 +593,7 @@ def _banded_minhash_candidates_ids(hashed: DataFrame) -> DataFrame:
     independence behind the cap's (1−J^{R})^(B−k) recall bound fails and
     the whole cluster would silently lose every pair. Fixed structurally:
     docs are first collapsed to SIGNATURE-GRAIN representatives
-    (_sig_groups — one window shuffle), only representatives are banded,
+    (_sig_groups — narrow-key shuffles only), only representatives are banded,
     and the cap counts DISTINCT SIGNATURES per bucket. Identical-sig
     clusters of any size occupy one bucket slot and can never trip the
     cap; their member pairs are emitted directly (every within-group pair
@@ -592,11 +604,16 @@ def _banded_minhash_candidates_ids(hashed: DataFrame) -> DataFrame:
     doc→rep membership map; doc→rep is functional, so each doc pair
     appears exactly once and the distinct() runs at the (small) rep-pair
     grain, not the expanded doc-pair grain."""
-    sigs = _sig_groups(_minhash_sig_frame(hashed)).persist()
-    mem = sigs.select("doc_id", "srep")
+    # the fat signature frame is persisted ONCE; _sig_groups touches it
+    # twice (narrow projection + doc_id join) against the cache, and the
+    # narrow (doc_id, srep, gsz) membership map is persisted separately —
+    # nothing {NH}-columns wide ever re-shuffles
+    base = _minhash_sig_frame(hashed).persist()
+    grouped = _sig_groups(base)
+    mem = grouped.select("doc_id", "srep", "gsz").persist()
     n_hash = _MHB_BANDS * _MHB_ROWS
-    reps = sigs.filter(F.col("doc_id") == F.col("srep")).select(
-        "srep", *[f"h{s}" for s in range(n_hash)]
+    reps = grouped.filter(F.col("doc_id") == F.col("srep")).select(
+        F.col("doc_id").alias("srep"), *[f"h{s}" for s in range(n_hash)]
     )
     # persisted (recomputable): consumed three times — hot-key count and
     # both sides of the bucket self-join
@@ -622,8 +639,14 @@ def _banded_minhash_candidates_ids(hashed: DataFrame) -> DataFrame:
     ma = mem.select(F.col("srep").alias("ra"), F.col("doc_id").alias("da"))
     mb = mem.select(F.col("srep").alias("rb"), F.col("doc_id").alias("db"))
     cross = rep_cands.join(ma, "ra").join(mb, "rb")
-    within = ma.join(
-        mb, (F.col("ra") == F.col("rb")) & (F.col("da") < F.col("db"))
+    # only multi-member groups can have within pairs — the gsz filter
+    # keeps the self-join to the (tiny) duplicated-signature slice
+    dup = mem.filter(F.col("gsz") > 1)
+    within = dup.select(
+        F.col("srep").alias("ra"), F.col("doc_id").alias("da")
+    ).join(
+        dup.select(F.col("srep").alias("rb"), F.col("doc_id").alias("db")),
+        (F.col("ra") == F.col("rb")) & (F.col("da") < F.col("db")),
     )
     return cross.select(
         F.least("da", "db").alias("doc_a"),
