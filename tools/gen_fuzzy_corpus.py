@@ -163,7 +163,16 @@ def generate(
                 ),
             }
         )
-        pq.write_table(table, out / f"part-{f:03d}.parquet")
+        # bounded row groups (round 12): one row group per part file put a
+        # 420 MB column chunk under every reader task at the 5 M scale —
+        # 3 concurrent stages x 8 tasks OOM'd a 16 GB local JVM in the
+        # parquet read itself. 100 K-row groups bound per-task read memory
+        # and give the scan real split granularity (same fix gen_tpch.py
+        # shipped for the relational sf1 decade). Logical content is
+        # unchanged (same seed -> same rows); only the page layout moves.
+        pq.write_table(
+            table, out / f"part-{f:03d}.parquet", row_group_size=100_000
+        )
     return out
 
 
