@@ -12,7 +12,7 @@ havg_merge divides-then-casts where davg casts-then-divides
 sequences that only sf0.1+ magnitudes exercise.
 
 Usage: python tools/oracle_sweep.py [out.json] [sf_dir]
-(defaults: artifacts/ORACLE_sf01_r11.json, /root/testdata/sf0.1;
+(defaults: artifacts/ORACLE_sf01_r12.json, /root/testdata/sf0.1;
 correctness-only — walls are NOT comparable, runs may share the box)
 """
 
@@ -34,7 +34,7 @@ def main() -> None:
     out_path = (
         sys.argv[1]
         if len(sys.argv) > 1
-        else os.path.join(repo, "artifacts", "ORACLE_sf01_r11.json")
+        else os.path.join(repo, "artifacts", "ORACLE_sf01_r12.json")
     )
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     spark = get_spark("oracle-sweep")
