@@ -750,10 +750,11 @@ def build_corpus(
     Stage boundaries are persisted and materialized by the counter's
     count() action — the rewrite stages (line dedup, span removal) and
     the SimHash gate fan their input out into self-joins, so an eagerly
-    cached boundary both populates the Observation exactly once and
+    checkpointed boundary both populates the Observation exactly once and
     stops the upstream funnel re-executing per branch. At 100 TB the
-    persist() becomes a staged parquet write (exactly how production
-    corpus builds checkpoint between funnel passes); every stage's
+    localCheckpoint becomes a staged parquet write to reliable storage
+    (exactly how production corpus builds checkpoint between funnel
+    passes — executor-local blocks are a single-box device); every stage's
     internal plan is key-partitioned or map-only — nothing here
     broadcasts corpus-derived data.
 
