@@ -205,7 +205,20 @@ def _compact_index(
         keys = keys.unionByName(df)
     keys = keys.distinct()
     staging = f"{idx_path}_compacting"
-    keys.coalesce(1).write.mode("overwrite").parquet(staging)
+    # Size the consolidated partition to the data (round-12 measured
+    # finding, artifacts/STREAM_COMPACTION_r12.json): the old
+    # unconditional coalesce(1) wrote ONE file with one row group, which
+    # serialized every future admit's index scan onto a single task —
+    # steady-state batch latency got WORSE than the fragmented layout it
+    # replaced (11.3 s vs 7.6 s on a 2.6 M-line index) even as the cold
+    # first batch improved 3× from the file-count cut. ~1 M keys per
+    # output file keeps the scan parallel and still folds 20 epochs of
+    # footers into a handful; at cluster scale this is where the index
+    # would instead be bucketed on the join key.
+    keys = keys.persist()
+    n_files = max(1, (keys.count() + 999_999) // 1_000_000)
+    keys.repartition(n_files).write.mode("overwrite").parquet(staging)
+    keys.unpersist()
     n = spark.read.parquet(staging).count()
     taken = {
         int(p.name.split("=", 1)[1])
