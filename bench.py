@@ -124,23 +124,32 @@ MULTI_JOB_BENCH = [
 # separates spread from shift like every other entry.
 PASS_CAP = {"corpus_build_full": 2, "corpus_build_fixed_lm": 2}
 
+# set in main() before the timed passes; reported in the artifact
+_CPU_PROBE: float | None = None
+
 # one-time per-process KN LM estimate for corpus_build_fixed_lm: the whole
 # point of the fixed-LM shape is that estimation is AMORTIZED across
 # builds, so the bench estimates once (warm phase) and every timed pass
 # scores against the persisted tables — exactly the production cadence.
-_BENCH_LM_DIR: str | None = None
+# Keyed by sf_dir (round-13 ADVICE: a second invocation in the same
+# process with a different sf_dir must not score against the wrong LM)
+# and cleaned up at process exit.
+_BENCH_LM_DIRS: dict[str, str] = {}
 
 
 def _bench_lm_dir(spark, sf_dir: str) -> str:
-    global _BENCH_LM_DIR
-    if _BENCH_LM_DIR is None:
+    if sf_dir not in _BENCH_LM_DIRS:
+        import atexit
+        import shutil
         import tempfile
 
         from vat_etl_spark.queries.llm_pipeline import kn_write_lm
 
-        _BENCH_LM_DIR = tempfile.mkdtemp(prefix="bench_knlm_")
-        kn_write_lm(spark, sf_dir, _BENCH_LM_DIR)
-    return _BENCH_LM_DIR
+        d = tempfile.mkdtemp(prefix="bench_knlm_")
+        atexit.register(shutil.rmtree, d, ignore_errors=True)
+        kn_write_lm(spark, sf_dir, d)
+        _BENCH_LM_DIRS[sf_dir] = d
+    return _BENCH_LM_DIRS[sf_dir]
 
 
 def _run_ann_serve(spark, sf_dir: str) -> None:
@@ -182,6 +191,25 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
     spark = get_spark("bench")
+
+    # Fixed pure-JVM/CPU probe (round-13, verdict task 6): the regression
+    # gate normalizes by machine drift estimated FROM prior-round query
+    # walls, which conflates plan changes with host state. This probe is
+    # invariant across rounds (no I/O, no shuffle, whole-stage-codegen
+    # xxhash64 fold over a fixed range), so its wall isolates the host:
+    # compare cpu_probe_sec across BENCH_r*.json artifacts to attribute a
+    # slow round to the box, not the code. Median of 3 after one warm.
+    global _CPU_PROBE
+
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 400_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS s"
+        ).collect()
+        return time.perf_counter() - t0
+
+    _probe()
+    _CPU_PROBE = round(statistics.median(_probe() for _ in range(3)), 3)
 
     # Warm-up: exercise the same codegen paths (broadcast hash join, decimal
     # hash aggregate, window, noop sink) once at smoke scale so the timings
@@ -251,6 +279,14 @@ def main() -> None:
         for name, s in samples.items()
     }
     total = round(sum(timings.values()), 3)
+    # tier subtotals (round-13, verdict task 5): the two ~20 s corpus
+    # builds dominate the total, so a regression in a sub-second query
+    # moves it by <1% — report the fast tier (registry one-shot queries)
+    # and slow tier (driver-coordinated composites) separately so the
+    # total stays interpretable. No entries removed; the per-entry flag
+    # logic is unchanged.
+    subtotal_fast = round(sum(timings[n] for n in BENCH_QUERIES), 3)
+    subtotal_slow = round(sum(timings[n] for n in MULTI_JOB_BENCH), 3)
     print(
         json.dumps(
             {
@@ -259,6 +295,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "spread": spread,
+                "subtotal_fast_tier": subtotal_fast,
+                "subtotal_slow_tier": subtotal_slow,
+                "cpu_probe_sec": _CPU_PROBE,
                 "passes": n_passes,
                 "sf": sf,
                 "regressions": find_regressions(timings, samples),

@@ -121,15 +121,14 @@ def test_minhash_banded_bucket_cap_dormant_at_oracle_scale(spark, sf_smoke):
         _hashed_sets,
         _minhash_sig_frame,
         _shingle_docsets,
-        _sig_groups,
+        _sig_reps,
     )
 
     # The PRODUCTION signature/grouping/banding helpers — not an inline
     # re-implementation — so a seed, key-layout, or R/B change reaches
     # this pin automatically (round-12 ADVICE).
     hashed = _hashed_sets(_shingle_docsets(spark, sf_smoke))
-    sigs = _sig_groups(_minhash_sig_frame(hashed))
-    reps = sigs.filter(F.col("doc_id") == F.col("srep"))
+    reps = _sig_reps(_minhash_sig_frame(hashed))
     max_bucket = (
         _band_membership(reps, id_col="srep")
         .groupBy("bk")

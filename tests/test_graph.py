@@ -536,4 +536,9 @@ def test_hub_entry_clustered_preset_recall_and_plan(
     plan = frame._jdf.queryExecution().executedPlan().toString()
     assert "pmod" in plan and "xxhash64" in plan, plan
     assert "Broadcast" in plan, plan
-    assert "idx" not in plan, plan  # no index artifact feeds the hub layer
+    # no index artifact feeds the hub layer: assert on the actual index
+    # directory path, not a bare "idx" substring (round-13 ADVICE — a tmp
+    # path component or codegen variable containing 'idx' must not fail
+    # this, and the check must track the env var, not a hardcoded name)
+    index_dir = str(tmp_path / "idx")
+    assert index_dir not in plan, plan

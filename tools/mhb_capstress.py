@@ -49,7 +49,7 @@ from vat_etl_spark.queries.dedup import (  # noqa: E402
     _hashed_sets,
     _minhash_sig_frame,
     _shingle_docsets,
-    _sig_groups,
+    _sig_reps,
     _verify_common_tokens,
 )
 from vat_etl_spark.session import get_spark  # noqa: E402
@@ -110,10 +110,7 @@ def main() -> None:
 
     # --- bucket histogram: how active is the cap, and what does it save?
     hashed = _hashed_sets(_shingle_docsets(spark, corpus)).persist()
-    reps = (
-        _sig_groups(_minhash_sig_frame(hashed))
-        .filter(F.col("doc_id") == F.col("srep"))
-    )
+    reps = _sig_reps(_minhash_sig_frame(hashed))
     hist = (
         _band_membership(reps, id_col="srep")
         .groupBy("bk")
@@ -152,14 +149,35 @@ def main() -> None:
     n_hit = truth.join(detected, ["doc_a", "doc_b"], "left_semi").count()
     wall = round(time.time() - t0, 1)
 
-    # --- identical-cluster completeness (the ADVICE failure mode)
+    # --- identical-cluster completeness (the ADVICE failure mode).
+    # Round-13 ADVICE fix: compare against the EXACT expected pair set
+    # (both ids in the same _CLUSTER_SIZE block) via a semi-join, not a
+    # count of detected pairs in the cluster id range — a count could let
+    # hypothetical cross-cluster false positives mask missing
+    # within-cluster pairs.
     n_cluster_docs = _N_CLUSTERS * _CLUSTER_SIZE
     expect_cluster_pairs = _N_CLUSTERS * (
         _CLUSTER_SIZE * (_CLUSTER_SIZE - 1) // 2
     )
-    got_cluster_pairs = detected.where(
-        (F.col("doc_a") >= cluster_base) & (F.col("doc_b") >= cluster_base)
+    ids = spark.range(cluster_base, cluster_base + n_cluster_docs)
+    blk = (F.col("id") - cluster_base) / _CLUSTER_SIZE
+    members = ids.select(
+        F.col("id"), F.floor(blk).alias("c")
+    )
+    expected = (
+        members.alias("x")
+        .join(members.alias("y"), F.col("x.c") == F.col("y.c"))
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("doc_a"), F.col("y.id").alias("doc_b")
+        )
+    )
+    got_cluster_pairs = expected.join(
+        detected, ["doc_a", "doc_b"], "left_semi"
     ).count()
+    cluster_false_pos = detected.where(
+        (F.col("doc_a") >= cluster_base) & (F.col("doc_b") >= cluster_base)
+    ).join(expected, ["doc_a", "doc_b"], "left_anti").count()
 
     doc = {
         "corpus": corpus,
@@ -177,6 +195,7 @@ def main() -> None:
         "recall": round(n_hit / n_truth, 4) if n_truth else None,
         "identical_cluster_pairs_expected": expect_cluster_pairs,
         "identical_cluster_pairs_detected": got_cluster_pairs,
+        "cluster_range_false_positives": cluster_false_pos,
         "detect_wall_sec": wall,
     }
     with open(out_json, "w") as f:

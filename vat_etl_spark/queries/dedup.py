@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -279,7 +280,7 @@ _MHB_ROWS = 3
 # degenerate (the band carries ~no information for its members — at 5 M
 # Zipfian docs the R=2 scheme produced 12 K-doc buckets = 72 M junk pairs
 # EACH) and is dropped from candidate generation. The cap counts
-# signature-grain representatives, NOT docs (_sig_groups collapses
+# signature-grain representatives, NOT docs (_sig_reps collapses
 # identical-signature clusters to one banded rep first), so the one case
 # where per-band drops are perfectly correlated — a >CAP cluster of
 # exact dups / J≈1 boilerplate sharing all B band keys — can never trip
@@ -475,6 +476,10 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicitly local-mode tooling (decade harnesses) and in the
     # iterative connected-components loop, where the lineage CUT is the
     # point and a cluster deployment would use a reliable checkpoint dir.
+    # Registered queries return a LAZY plan, so these persists cannot be
+    # unpersisted inside the function (the caller's action materializes
+    # them) — they are MEMORY_AND_DISK and intentionally left to LRU
+    # eviction across long sessions (round-13 ADVICE).
     hashed = _hashed_sets(docsets).persist()
     cands = _banded_minhash_candidates_ids(hashed)
     pairs = _verify_common_ids(cands, hashed)
@@ -500,9 +505,10 @@ def _banded_minhash_candidates(docsets: DataFrame) -> DataFrame:
     signatures+counts at 45 hashes). Partial aggregation collapses the
     exploded rows map-side, so the shuffle is one {NH}-long row per doc.
 
-    Skew guard: buckets holding more than {CAP} docs are dropped (hot
-    keys are collected via a broadcast anti-join — a handful of keys
-    even at 5 M docs). A bucket that large means the band's {R}-hash key
+    Skew guard: buckets holding more than {CAP} distinct signatures are
+    dropped (a count-window over the band-key shuffle since round 13 —
+    the filter rides the shuffle the self-join needs anyway). A bucket
+    that large means the band's {R}-hash key
     has degenerated on hot shingles and carries ~no pair information;
     its members keep their other B−1 band chances. Without the cap the
     two ~1 900-doc buckets left at 5 M docs still contribute 3.6 M junk
@@ -516,61 +522,101 @@ def _minhash_sig_frame(hashed: DataFrame) -> DataFrame:
     aggregation collapses the exploded rows map-side, so the shuffle is
     one {NH}-long row per doc). Shared by the production candidate
     generator and the dormant-cap pytest pin, so a seed/layout change
-    cannot leave the test pinning a stale copy."""
+    cannot leave the test pinning a stale copy.
+
+    Spelled as ONE parameterized spark.sql call, not {NH} Column-API
+    aggregate expressions: building 45 min(xxhash64(...)) Columns is
+    ~135 py4j round-trips and measured 0.4-0.5 s of DRIVER time per
+    bench pass at sf0.1 (the SQL string parses JVM-side in <0.1 s); the
+    resolved plan — and every hash value — is identical, equality pinned
+    in tests/test_dedup_determinism.py."""
     n_hash = _MHB_BANDS * _MHB_ROWS
-    toks = hashed.select("doc_id", F.explode("ts").alias("t"))
-    return toks.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64(F.col("t"), F.lit(s))).alias(f"h{s}")
-            for s in range(n_hash)
-        ]
+    # F.expr strings, not composed Column objects: ~45 py4j calls
+    # instead of ~225 (each min/xxhash64/lit/alias is a JVM round-trip;
+    # building these Columns measured 0.4-0.5 s of driver time per bench
+    # pass at sf0.1). Not spark.sql: parameterized {df} references
+    # bypass the CacheManager in Spark 4.1 (measured — a persisted input
+    # was fully recomputed), and temp-view references re-analyze the
+    # whole subtree per call; F.expr over the existing DataFrame keeps
+    # the analyzed child plan shared and the cache hot.
+    return hashed.select("doc_id", F.explode("ts").alias("t")).groupBy(
+        "doc_id"
+    ).agg(
+        *[F.expr(f"min(xxhash64(t, {s})) AS h{s}") for s in range(n_hash)]
     )
 
 
-def _sig_groups(sigs: DataFrame) -> DataFrame:
-    """``sigs`` + (k1, k2, srep, gsz): group docs by IDENTICAL full
-    signature vector (keyed by two independent xxhash64s of all {NH}
-    sigs — a 128-bit key, collision ~2^-128 at any corpus size) and
-    elect the min-doc_id member as the group's banding representative.
+def _band_keys_sql() -> str:
+    """The {B}-element banded (AND-OR) bucket-key array as a SQL
+    expression string — xxhash64 over each band's {R} consecutive sigs.
+    The banding layout lives here and nowhere else (_sig_slim bakes it
+    into the slim frame; _band_membership explodes it)."""
+    keys = ", ".join(
+        f"xxhash64({b}, "
+        + ", ".join(f"h{b * _MHB_ROWS + r}" for r in range(_MHB_ROWS))
+        + ")"
+        for b in range(_MHB_BANDS)
+    )
+    return f"array({keys})"
 
-    Shuffle discipline (round-12 5 M re-measure): the first spelling
-    windowed over (k1, k2), which shuffled the FAT {NH}-column signature
-    frame — measured +150 s at 5 M docs. Group membership only needs the
-    24-byte (doc_id, k1, k2) projection: aggregate THAT (map-side partial
-    collapse), join the srep map back on the narrow keys, and attach it
-    to the fat frame by doc_id — the signature frame arrives already
-    hash-partitioned on doc_id from the min-hash aggregate, so Catalyst
-    reuses its partitioning and only the narrow srep map moves. Groups
-    are singletons except exact-dup / J≈1 boilerplate clusters, which is
-    the point."""
+
+def _sig_slim(sigs: DataFrame) -> DataFrame:
+    """(doc_id, k1, k2, bks): the 128-bit identical-signature group key
+    (two independent xxhash64s over all {NH} sigs — collision ~2^-128 at
+    any corpus size) and the {B} banded bucket keys, computed in ONE
+    narrow projection directly over the min-hash aggregate. The fat
+    {NH}-column signature frame collapses to 4 columns HERE and never
+    enters a join, shuffle, or persist — round-13 profiling showed the
+    47-column frame flowing through the whole candidate DAG made
+    Catalyst/AQE re-planning the dominant sf0.1 cost (~2 s of a 3 s pass
+    was driver-side planning; executor time was done by +1.0 s)."""
     n_hash = _MHB_BANDS * _MHB_ROWS
-    hcols = [F.col(f"h{s}") for s in range(n_hash)]
-    keyed = sigs.withColumn("k1", F.xxhash64(*hcols)).withColumn(
-        "k2", F.xxhash64(F.lit(-1), *hcols)
+    hs = ", ".join(f"h{s}" for s in range(n_hash))
+    # ONE py4j call (selectExpr takes the whole string list at once)
+    return sigs.selectExpr(
+        "doc_id",
+        f"xxhash64({hs}) AS k1",
+        f"xxhash64(-1, {hs}) AS k2",
+        f"{_band_keys_sql()} AS bks",
     )
-    m = keyed.select("doc_id", "k1", "k2")
-    grp = m.groupBy("k1", "k2").agg(
-        F.min("doc_id").alias("srep"), F.count("*").alias("gsz")
-    )
-    mem = m.join(grp, ["k1", "k2"]).select("doc_id", "srep", "gsz")
-    return keyed.join(mem, "doc_id")
 
 
-def _band_membership(sigs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """(id_col, bk): the {B} banded (AND-OR) bucket keys of each signature
-    row — xxhash64 over each band's {R} consecutive sigs. Shared by the
-    production generator, the dormant-cap pytest pin, and the skew-stress
-    harness; the banding layout lives here and nowhere else."""
-    band_keys = F.array(
-        *[
-            F.xxhash64(
-                F.lit(b),
-                *[F.col(f"h{b * _MHB_ROWS + r}") for r in range(_MHB_ROWS)],
-            )
-            for b in range(_MHB_BANDS)
-        ]
+def _sig_grp(slim: DataFrame) -> DataFrame:
+    """(k1, k2, srep, gsz): one row per DISTINCT signature, electing the
+    min-doc_id member as the group's banding representative. Aggregates
+    only the 24-byte (doc_id, k1, k2) projection (map-side partial
+    collapse; nothing {NH}-wide shuffles — a round-12 window spelling
+    over the fat frame measured +150 s at 5 M docs and was rejected).
+    Groups are singletons except exact-dup / J≈1 boilerplate clusters,
+    which is the point."""
+    return (
+        slim.select("doc_id", "k1", "k2")
+        .groupBy("k1", "k2")
+        .agg(F.min("doc_id").alias("srep"), F.count("*").alias("gsz"))
     )
-    return sigs.select(id_col, F.explode(band_keys).alias("bk"))
+
+
+def _sig_reps(sigs: DataFrame) -> DataFrame:
+    """(srep, bks): the signature-grain banding representatives — one per
+    distinct signature vector, carrying its banded bucket keys. The
+    composition the dormant-cap pytest pin and the skew-stress harness
+    run, built from the SAME _sig_slim/_sig_grp helpers as the
+    production generator so a seed/key-layout change reaches them
+    automatically. Production inlines the same pieces (it reuses the
+    slim frame and the group table for membership expansion)."""
+    slim = _sig_slim(sigs)
+    grp = _sig_grp(slim)
+    return slim.join(
+        grp.select(F.col("srep").alias("doc_id")), "doc_id"
+    ).select(F.col("doc_id").alias("srep"), "bks")
+
+
+def _band_membership(slim: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(id_col, bk): one row per banded bucket key — the explode of the
+    ``bks`` array _sig_slim / _sig_reps carry (layout in _band_keys).
+    Shared by the production generator, the dormant-cap pytest pin, and
+    the skew-stress harness."""
+    return slim.select(id_col, F.explode("bks").alias("bk"))
 
 
 def _banded_minhash_candidates_ids(hashed: DataFrame) -> DataFrame:
@@ -593,7 +639,7 @@ def _banded_minhash_candidates_ids(hashed: DataFrame) -> DataFrame:
     independence behind the cap's (1−J^{R})^(B−k) recall bound fails and
     the whole cluster would silently lose every pair. Fixed structurally:
     docs are first collapsed to SIGNATURE-GRAIN representatives
-    (_sig_groups — narrow-key shuffles only), only representatives are banded,
+    (_sig_slim/_sig_grp — narrow-key shuffles only), only representatives are banded,
     and the cap counts DISTINCT SIGNATURES per bucket. Identical-sig
     clusters of any size occupy one bucket slot and can never trip the
     cap; their member pairs are emitted directly (every within-group pair
@@ -603,49 +649,97 @@ def _banded_minhash_candidates_ids(hashed: DataFrame) -> DataFrame:
     verified). Representative pairs from banding expand back through the
     doc→rep membership map; doc→rep is functional, so each doc pair
     appears exactly once and the distinct() runs at the (small) rep-pair
-    grain, not the expanded doc-pair grain."""
-    # the fat signature frame is persisted ONCE; _sig_groups touches it
-    # twice (narrow projection + doc_id join) against the cache, and the
-    # narrow (doc_id, srep, gsz) membership map is persisted separately —
-    # nothing {NH}-columns wide ever re-shuffles
-    base = _minhash_sig_frame(hashed).persist()
-    grouped = _sig_groups(base)
-    mem = grouped.select("doc_id", "srep", "gsz").persist()
-    n_hash = _MHB_BANDS * _MHB_ROWS
-    reps = grouped.filter(F.col("doc_id") == F.col("srep")).select(
-        F.col("doc_id").alias("srep"), *[f"h{s}" for s in range(n_hash)]
+    grain, not the expanded doc-pair grain.
+
+    Round-13 constant shave (driver flagged the r12 spelling at 2.09 s
+    median vs 0.63 s prior at sf0.1): per-job profiling showed executor
+    work finished by +1.0 s of a 3.0 s pass — the other ~2 s was
+    DRIVER-SIDE Catalyst/AQE re-planning of a DAG carrying the fat
+    {NH}-column signature frame through every join (84 exchanges, 8
+    sort-merge joins in the final plan). Fixed structurally: the group
+    keys AND the banded bucket keys are computed in one narrow
+    projection directly over the min-hash aggregate (_sig_slim), so the
+    persisted/joined frame is 4 columns; representative election is ONE
+    narrow (doc_id,k1,k2) aggregate plus ONE join-back of the rep-id
+    list onto the already-doc_id-partitioned slim cache (the r12
+    spelling aggregated, joined membership back on (k1,k2), then joined
+    THAT to the fat frame); and the membership map is restricted to
+    gsz>1 groups, which is EMPTY on corpora without exact-signature dups
+    — so the expansion joins are LEFT joins against a frame AQE sizes at
+    ~0 bytes and broadcasts; singleton reps expand to themselves via
+    coalesce. Semantics are identical: same reps, same cap grain, same
+    within-group pairs — pinned by the cap-override pytest, the
+    capstress pair count, and the unchanged oracle hashes at both
+    driver SFs."""
+    # persisted ONCE, 4 columns: consumed by the rep-election aggregate
+    # (narrow projection), the rep join-back (arrives already
+    # hash-partitioned on doc_id from the min-hash aggregate — only the
+    # rep-id list moves), and the dup-membership slice. Nothing
+    # {NH}-columns wide ever enters a join, shuffle, or persist.
+    slim = _sig_slim(_minhash_sig_frame(hashed)).persist()
+    grp = _sig_grp(slim)
+    reps = slim.join(
+        grp.select(F.col("srep").alias("doc_id")), "doc_id"
+    ).select(F.col("doc_id").alias("srep"), "bks")
+    # NOT persisted (round-13): banded is consumed three times (hot-key
+    # count and both sides of the bucket self-join), but every consumer
+    # recomputes it as a narrow explode over the slim CACHE and the
+    # grp/reps joins dedupe via AQE ReusedExchange — while a persist
+    # layer here measured ~0.4 s of fixed per-pass overhead at sf0.1
+    # (cache registration + TableCacheQueryStage jobs + the deepened
+    # cached-plan DAG serialized into every task). Same for dup below.
+    banded = _band_membership(reps, id_col="srep")
+    # bucket cap as ONE count-window over the band-key shuffle (round 13;
+    # replaces a count-aggregate + driver-collected broadcast anti-join):
+    # the banded stream shuffles by bk exactly once, the filter drops
+    # >CAP buckets in the same stage, and the persisted post-filter
+    # frame feeds both self-join sides already hash-partitioned on bk —
+    # the r12 spelling shuffled the banded stream for the hot-key count
+    # AND for each join side, plus a driver broadcast job. Same keep
+    # predicate (count <= CAP ⟺ not count > CAP), pairs identical.
+    kept = (
+        banded.withColumn(
+            "bc", F.count("*").over(W.partitionBy("bk"))
+        )
+        .filter(F.col("bc") <= _MHB_BUCKET_CAP)
+        .drop("bc")
+        .persist()
     )
-    # persisted (recomputable): consumed three times — hot-key count and
-    # both sides of the bucket self-join
-    banded = _band_membership(reps, id_col="srep").persist()
-    hot = (
-        banded.groupBy("bk")
-        .count()
-        .filter(F.col("count") > _MHB_BUCKET_CAP)
-        .select("bk")
-    )
-    kept = banded.join(F.broadcast(hot), "bk", "left_anti")
-    a = kept.alias("a")
-    b = kept.alias("b")
     rep_cands = (
-        a.join(
-            b,
+        kept.alias("a")
+        .join(
+            kept.alias("b"),
             (F.col("a.bk") == F.col("b.bk"))
             & (F.col("a.srep") < F.col("b.srep")),
         )
         .select(F.col("a.srep").alias("ra"), F.col("b.srep").alias("rb"))
         .distinct()
     )
-    ma = mem.select(F.col("srep").alias("ra"), F.col("doc_id").alias("da"))
-    mb = mem.select(F.col("srep").alias("rb"), F.col("doc_id").alias("db"))
-    cross = rep_cands.join(ma, "ra").join(mb, "rb")
-    # only multi-member groups can have within pairs — the gsz filter
-    # keeps the self-join to the (tiny) duplicated-signature slice
-    dup = mem.filter(F.col("gsz") > 1)
-    within = dup.select(
-        F.col("srep").alias("ra"), F.col("doc_id").alias("da")
-    ).join(
-        dup.select(F.col("srep").alias("rb"), F.col("doc_id").alias("db")),
+    # doc→rep membership, RESTRICTED to duplicated-signature groups —
+    # empty on dup-free corpora, output-volume-bound on boilerplate ones
+    dup = (
+        slim.select("doc_id", "k1", "k2")
+        .join(
+            grp.filter(F.col("gsz") > 1).select("k1", "k2", "srep"),
+            ["k1", "k2"],
+        )
+        .select("srep", "doc_id")
+        .persist()
+    )
+    ma = dup.select(F.col("srep").alias("ra"), F.col("doc_id").alias("da"))
+    mb = dup.select(F.col("srep").alias("rb"), F.col("doc_id").alias("db"))
+    # expansion: LEFT joins against the (normally empty) dup slice — AQE
+    # sizes it at ~0 bytes and broadcasts; singleton reps expand to
+    # themselves via coalesce. doc→rep is functional, so each doc pair
+    # appears exactly once.
+    cross = (
+        rep_cands.join(ma, "ra", "left")
+        .withColumn("da", F.coalesce("da", "ra"))
+        .join(mb, "rb", "left")
+        .withColumn("db", F.coalesce("db", "rb"))
+    )
+    within = ma.join(
+        mb,
         (F.col("ra") == F.col("rb")) & (F.col("da") < F.col("db")),
     )
     return cross.select(
@@ -663,7 +757,10 @@ for _fn in (
     _banded_minhash_candidates,
     _banded_minhash_candidates_ids,
     _minhash_sig_frame,
-    _sig_groups,
+    _band_keys_sql,
+    _sig_slim,
+    _sig_grp,
+    _sig_reps,
     _band_membership,
 ):
     _fn.__doc__ = (

@@ -2701,7 +2701,16 @@ def _kn_lm_frames(bi: DataFrame) -> dict[str, DataFrame]:
     *estimation* half of the CCNet split (verdict-r11 task 1): everything
     a scorer needs, estimable once from a reference corpus and persistable
     via kn_write_lm."""
-    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("cg"))
+    return _kn_lm_from_c2(
+        bi.groupBy("w1", "w2").agg(F.count("*").alias("cg"))
+    )
+
+
+def _kn_lm_from_c2(c2: DataFrame) -> dict[str, DataFrame]:
+    """_kn_lm_frames from an existing (possibly persisted) c2 frame —
+    heads/tails/nd are re-aggregations of c2, and this is the ONE place
+    that derivation lives (kn_write_lm persists c2 first so the three
+    re-aggregations and the parquet write all read the cache)."""
     heads = c2.groupBy("w1").agg(
         F.sum("cg").alias("cw"), F.count("*").alias("n1f")
     )
@@ -3034,6 +3043,12 @@ def pipeline_perplexity_fixed_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin can re-prove the whole path — including the backoff
     arithmetic and the fixed-threshold bucket assignment — exactly."""
     d = _t(spark, sf_dir, "documents")
+    # persist convention (round-13 ADVICE): registered queries return a
+    # LAZY plan — no action runs inside this function, so there is no
+    # point at which an unpersist would be safe (the caller's action is
+    # what materializes the cache). These MEMORY_AND_DISK entries are
+    # intentionally left to Spark's LRU eviction; eager tools that DO run
+    # actions (kn_write_lm, the funnel builders) unpersist explicitly.
     bi = _kn_hashed_bigrams(d).persist()
     ref_bi = bi.filter(F.expr(_KN_REF_PRED))
     lm = _kn_lm_frames(ref_bi)
@@ -3065,20 +3080,11 @@ def kn_write_lm(
     if where:
         d = d.filter(where)
     bi = _kn_hashed_bigrams(d).persist()
-    lm = _kn_lm_frames(bi)
-    c2 = lm["c2"].persist()
-    heads = c2.groupBy("w1").agg(
-        F.sum("cg").alias("cw"), F.count("*").alias("n1f")
-    )
-    tails = c2.groupBy("w2").agg(F.count("*").alias("n1b"))
-    nd = c2.agg(F.count("*").alias("nd"))
-    c2.write.mode("overwrite").parquet(f"{lm_dir}/c2")
-    heads.write.mode("overwrite").parquet(f"{lm_dir}/heads")
-    tails.write.mode("overwrite").parquet(f"{lm_dir}/tails")
-    nd.write.mode("overwrite").parquet(f"{lm_dir}/nd")
-    scored = _kn_score(
-        bi, {"c2": c2, "heads": heads, "tails": tails, "nd": nd}
-    ).join(d.select("doc_id", "lang"), "doc_id")
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("cg")).persist()
+    lm = _kn_lm_from_c2(c2)
+    for name in ("c2", "heads", "tails", "nd"):
+        lm[name].write.mode("overwrite").parquet(f"{lm_dir}/{name}")
+    scored = _kn_score(bi, lm).join(d.select("doc_id", "lang"), "doc_id")
     th = _kn_thresholds(scored.select("lang", "kn_mean"))
     th.write.mode("overwrite").parquet(f"{lm_dir}/thresholds")
     out = {
