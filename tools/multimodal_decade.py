@@ -1,0 +1,140 @@
+"""Round-13 multimodal decade (verdict-r12 task 3): the last §2.9 family
+without a 10× receipt. Measures, over the seed-7 fuzzy corpus family at
+500 K → 5 M docs (payloads = UTF-8 document bytes via attach_payload —
+10× the binary byte volume):
+
+- multimodal_dedup_phash: wall, band-join CANDIDATE volume (pairs
+  sharing ≥1 exact 7-bit band, pre-Hamming-verify), and verified pairs
+  at tau=3 — the pigeonhole-lossless banding claim (hamming ≤ 7 ⇒ ≥1
+  band equal) measured above sf0.1 for the first time.
+- multimodal_shard_packing: wall and shard skew (max/mean shard bytes
+  over the 8-shard manifest) — the two-pass-rank LPT stand-in's balance
+  property at 10×.
+
+Same protocol as tools/decade_r13.py: one session, untimed 50 K warm
+pass, one timed noop-write per scale. Prints one JSON line; writes
+artifacts/MULTIMODAL_DECADE_r13.json.
+
+Usage: python tools/multimodal_decade.py [WORK_DIR]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _phash_candidates(spark, sf_dir: str):
+    """The band-join candidate stream of _phash_near_dup_pairs, split out
+    for volume accounting (same band layout, pre-Hamming filter)."""
+    from vat_etl_spark.operators.multimodal import (
+        PHASH_BANDS,
+        attach_payload,
+        perceptual_hash,
+    )
+    from vat_etl_spark.sources.catalog import read_table
+
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = perceptual_hash(attach_payload(docs)).select("doc_id", "phash")
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("k"),
+                        F.shiftright("phash", 7 * k)
+                        .bitwiseAND(F.lit(0x7F))
+                        .alias("v"),
+                    )
+                    for k in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    )
+    a = bands.select(F.col("doc_id").alias("doc_a"), "band")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "band")
+    return (
+        a.join(b, "band")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+
+
+def main() -> None:
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/decade_r10"
+    os.makedirs(work, exist_ok=True)
+    here = os.path.dirname(os.path.abspath(__file__))
+    repo = os.path.dirname(here)
+    warm_dir = f"{work}/fuzzy50k"
+    scales = [(500_000, f"{work}/fuzzy500k"), (5_000_000, f"{work}/fuzzy5m")]
+    for n, out in [(50_000, warm_dir)] + scales:
+        if not os.path.isdir(f"{out}/documents.parquet"):
+            subprocess.run(
+                [sys.executable, f"{here}/gen_fuzzy_corpus.py", out, str(n), "7"],
+                check=True,
+            )
+
+    from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.session import get_spark
+
+    spark = get_spark("multimodal-decade")
+    for name in ("multimodal_dedup_phash", "multimodal_shard_packing"):
+        QUERIES[name](spark, warm_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    print("warm pass done", flush=True)
+
+    results: dict[str, dict] = {
+        "multimodal_dedup_phash": {},
+        "multimodal_shard_packing": {},
+    }
+    for n, sf in scales:
+        row = results["multimodal_dedup_phash"]
+        t0 = time.time()
+        QUERIES["multimodal_dedup_phash"](spark, sf).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        row[f"wall_{n}"] = round(time.time() - t0, 1)
+        row[f"verified_pairs_{n}"] = QUERIES["multimodal_dedup_phash"](
+            spark, sf
+        ).count()
+        row[f"band_candidates_{n}"] = _phash_candidates(spark, sf).count()
+        print(f"phash @ {n}: {row[f'wall_{n}']}s "
+              f"cands={row[f'band_candidates_{n}']}", flush=True)
+
+        row = results["multimodal_shard_packing"]
+        t0 = time.time()
+        QUERIES["multimodal_shard_packing"](spark, sf).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        row[f"wall_{n}"] = round(time.time() - t0, 1)
+        manifest = QUERIES["multimodal_shard_packing"](spark, sf).collect()
+        sizes = [r.shard_bytes for r in manifest]
+        row[f"shard_skew_{n}"] = round(
+            max(sizes) / (sum(sizes) / len(sizes)), 6
+        )
+        row[f"n_shards_{n}"] = len(sizes)
+        print(f"shards @ {n}: {row[f'wall_{n}']}s "
+              f"skew={row[f'shard_skew_{n}']}", flush=True)
+
+    for name, row in results.items():
+        w0, w1 = row["wall_500000"], row["wall_5000000"]
+        row["exponent"] = round(math.log10(w1 / w0), 2) if w0 > 0 else None
+    with open(
+        os.path.join(repo, "artifacts", "MULTIMODAL_DECADE_r13.json"), "w"
+    ) as f:
+        json.dump(results, f, indent=1, sort_keys=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,7 +55,9 @@ def _index_growth(out_dir: str, gate: str) -> list[dict]:
     for part in sorted(idx.glob("epoch=*")):
         epoch = int(part.name.split("=")[1])
         n = b = 0
-        for f in part.glob("*.parquet"):
+        # rglob: the line index stores hash-bucket subdirectories
+        # (epoch=N/bucket=K/part-*.parquet) since round 13
+        for f in part.rglob("*.parquet"):
             n += pq.ParquetFile(f).metadata.num_rows
             b += f.stat().st_size
         rows.append({"epoch": epoch, "rows": n, "bytes": b})
@@ -118,7 +120,11 @@ def main() -> None:
         else ["exact", "lines", "neardup"]
     )
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    out_json = os.path.join(repo, "artifacts", "STREAM_THROUGHPUT_r12.json")
+    out_json = (
+        sys.argv[4]
+        if len(sys.argv) > 4
+        else os.path.join(repo, "artifacts", "STREAM_THROUGHPUT_r13.json")
+    )
     corpus = f"/tmp/stream_tp/corpus_n{n_docs}_e{n_epochs}"
     if not os.path.exists(f"{corpus}/documents.parquet"):
         # gopherable: the exact gate quality-screens before admitting —
@@ -127,10 +133,22 @@ def main() -> None:
         generate(corpus, n_docs, seed=12, n_files=n_epochs, gopherable=True)
     src = f"{corpus}/documents.parquet"
     spark = get_spark("stream-throughput")
+
+    # fixed pure-JVM CPU probe (same as bench.py): isolates host state so
+    # cross-round docs/s comparisons can be drift-adjusted
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS s"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    _probe()
     doc = {
         "n_docs": n_docs,
         "n_epochs": n_epochs,
         "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+        "cpu_probe_sec": min(_probe() for _ in range(3)),
         "gates": {},
     }
     for gate in gates:

@@ -119,8 +119,12 @@ _SUPERSEDED_MARKER = "_SUPERSEDED"
 # shuffle width and the persistent state ~20× vs raw line text (the
 # measured 84.9 MB at 500 K docs was 20× the other gates), and the
 # bucket layout gives maintenance a per-bucket unit of work (and a
-# storage-partitioned join path on a real cluster).
-_LINE_IDX_BUCKETS = 64
+# storage-partitioned join path on a real cluster). 16 buckets: enough
+# for per-bucket maintenance grain while keeping per-epoch files
+# task-sized — 64 buckets measured 2.4× throughput loss from tiny-file
+# explosion at 20 epochs (the compactor folds epochs, so steady-state
+# file count is ~bucket count, not epochs × buckets).
+_LINE_IDX_BUCKETS = 16
 
 
 def compact_key_index(
@@ -240,12 +244,16 @@ def _compact_index(
     # would instead be bucketed on the join key.
     keys = keys.persist()
     n_files = max(1, (keys.count() + 999_999) // 1_000_000)
-    w = keys.repartition(n_files).write.mode("overwrite")
     if partition_col:
-        # preserve the hash-bucket layout through the fold (per-bucket
-        # file counts stay data-sized: n_files per bucket directory)
-        w = w.partitionBy(partition_col)
-    w.parquet(staging)
+        # preserve the hash-bucket layout through the fold at the FILE
+        # grain (see admit_lines_batch): bucket-pure, bucket-sorted files
+        # sized to the data — max(n_files, buckets) output files
+        keys = keys.repartition(
+            max(n_files, _LINE_IDX_BUCKETS), F.col(partition_col)
+        ).sortWithinPartitions(partition_col, *key_cols)
+    else:
+        keys = keys.repartition(n_files)
+    keys.write.mode("overwrite").parquet(staging)
     keys.unpersist()
     n = spark.read.parquet(staging).count()
     taken = {
@@ -314,10 +322,13 @@ def admit_lines_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
         F.xxhash64(F.lit(-1), F.col("line")).alias("lk2"),
     )
     if pathlib.Path(idx_path).exists():
+        # no mergeSchema: the hashed layout is uniform by construction
+        # (every partition carries lk/lk2/src_epoch — admit and compactor
+        # both write it), and schema merging re-read every footer per
+        # batch (measured +9 s on a 20-epoch index)
         idx = (
             spark.read.option("basePath", idx_path)
             .option("ignoreMissingFiles", "true")
-            .option("mergeSchema", "true")
             .parquet(idx_path)
         )
         # replay exclusion on DATA-column provenance (coalesced with the
@@ -325,10 +336,7 @@ def admit_lines_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
         # epoch's lines into a consolidated negative-epoch partition, and
         # a replay must still exclude its own lines or it would remove
         # them from its own documents (same rule as admit_batch)
-        if "src_epoch" in idx.columns:
-            prov = F.coalesce(F.col("src_epoch"), F.col("epoch"))
-        else:
-            prov = F.col("epoch")
+        prov = F.coalesce(F.col("src_epoch"), F.col("epoch"))
         seen = idx.filter(prov != epoch_id).select("lk", "lk2")
         fresh = lines.join(seen, ["lk", "lk2"], "left_anti")
     else:
@@ -369,7 +377,18 @@ def admit_lines_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
         .localCheckpoint(eager=True)
     )
     cleaned.write.mode("overwrite").parquet(f"{out_dir}/docs/epoch={epoch_id}")
-    kept_lines.write.mode("overwrite").partitionBy("bucket").parquet(
+    # hash buckets at the FILE grain, not directory grain: repartition by
+    # bucket writes one bucket-pure file per bucket per epoch (parquet
+    # min/max stats on the bucket column make per-bucket maintenance and
+    # scans file-prunable). Directory-grain partitionBy("bucket") was
+    # measured and rejected twice: per-input-task slivers cost 2.4×
+    # throughput (~2 000 files/epoch), and even one-file-per-dir kept a
+    # ~25% per-batch partition-discovery tax at 20 epochs. An epoch too
+    # large for one task per bucket would salt the repartition key — the
+    # bucket count, not the task layout, is the maintenance unit.
+    kept_lines.repartition(
+        _LINE_IDX_BUCKETS, "bucket"
+    ).sortWithinPartitions("bucket", "lk").write.mode("overwrite").parquet(
         f"{idx_path}/epoch={epoch_id}"
     )
 
