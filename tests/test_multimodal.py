@@ -176,9 +176,34 @@ def test_keyframe_select_matches_python_reference(mm):
     assert 0 < keys < total
 
 
+def _ref_phash_bands(b: bytes) -> list[int]:
+    """Pure-Python reference of the 256-bit band-word signature —
+    intentionally re-derived from the aHash definition (not the
+    production numpy code) so the pin is independent."""
+    from vat_etl_spark.operators.multimodal import (
+        PHASH_BAND_BITS,
+        PHASH_BANDS,
+        PHASH_BITS,
+    )
+
+    n = len(b)
+    bands = [0] * PHASH_BANDS
+    if not n:
+        return bands
+    total = sum(b)
+    for i in range(PHASH_BITS):
+        lo, hi = i * n // PHASH_BITS, (i + 1) * n // PHASH_BITS
+        if hi > lo and sum(b[lo:hi]) * n >= total * (hi - lo):
+            bands[i // PHASH_BAND_BITS] |= 1 << (i % PHASH_BAND_BITS)
+    return bands
+
+
+def _ref_hamming(a: list[int], b: list[int]) -> int:
+    return sum(bin(x ^ y).count("1") for x, y in zip(a, b))
+
+
 def test_phash_matches_pure_python_and_blocking_is_lossless(spark, sf_smoke):
     from vat_etl_spark.operators.multimodal import (
-        PHASH_BITS,
         attach_payload,
         perceptual_hash,
     )
@@ -187,26 +212,15 @@ def test_phash_matches_pure_python_and_blocking_is_lossless(spark, sf_smoke):
 
     docs = read_table(spark, sf_smoke, "documents")
     got = {
-        r.doc_id: (r.n_bytes, r.phash)
+        r.doc_id: (r.n_bytes, list(r.bands))
         for r in perceptual_hash(attach_payload(docs)).collect()
     }
-
-    def ref_phash(b: bytes) -> int:
-        n, sig = len(b), 0
-        if not n:
-            return 0
-        total = sum(b)
-        for i in range(PHASH_BITS):
-            lo, hi = i * n // PHASH_BITS, (i + 1) * n // PHASH_BITS
-            if hi > lo and sum(b[lo:hi]) * n >= total * (hi - lo):
-                sig |= 1 << i
-        return sig
 
     texts = {r.doc_id: r.text for r in docs.collect()}
     assert len(got) == len(texts)
     for doc_id, t in texts.items():
         b = t.encode("utf-8")
-        assert got[doc_id] == (len(b), ref_phash(b)), doc_id
+        assert got[doc_id] == (len(b), _ref_phash_bands(b)), doc_id
 
     # banding must find EVERY pair at hamming <= 3 (pigeonhole-lossless):
     # compare the query output against the brute-force pair set
@@ -218,7 +232,10 @@ def test_phash_matches_pure_python_and_blocking_is_lossless(spark, sf_smoke):
     brute = {}
     for i, da in enumerate(ids):
         for db in ids[i + 1 :]:
-            h = bin(got[da][1] ^ got[db][1]).count("1")
+            h = sum(
+                bin(x ^ y).count("1")
+                for x, y in zip(got[da][1], got[db][1])
+            )
             if h <= 3:
                 brute[(da, db)] = h
     assert pairs == brute
@@ -229,20 +246,8 @@ def test_phash_planted_family_detected_exactly(spark, sf_smoke):
     pairs the pure-Python phash reference predicts sit within tau=3 — a
     positive-path audit of the detection machinery on real corpus bytes
     (the production query's corpus answer is honestly zero)."""
-    from vat_etl_spark.operators.multimodal import PHASH_BITS
     from vat_etl_spark.queries import QUERIES
     from vat_etl_spark.sources.catalog import read_table
-
-    def ref_phash(b: bytes) -> int:
-        n, sig = len(b), 0
-        if not n:
-            return 0
-        total = sum(b)
-        for i in range(PHASH_BITS):
-            lo, hi = i * n // PHASH_BITS, (i + 1) * n // PHASH_BITS
-            if hi > lo and sum(b[lo:hi]) * n >= total * (hi - lo):
-                sig |= 1 << i
-        return sig
 
     texts = {
         r.doc_id: r.text
@@ -254,7 +259,9 @@ def test_phash_planted_family_detected_exactly(spark, sf_smoke):
         if doc_id % 20 != 0:
             continue
         v = chr(ord(t[0]) ^ 64) + t[1:]
-        h = bin(ref_phash(t.encode()) ^ ref_phash(v.encode())).count("1")
+        h = _ref_hamming(
+            _ref_phash_bands(t.encode()), _ref_phash_bands(v.encode())
+        )
         if h <= 3:
             want[(doc_id, doc_id)] = h
     got = {

@@ -4,7 +4,7 @@ without a 10× receipt. Measures, over the seed-7 fuzzy corpus family at
 10× the binary byte volume):
 
 - multimodal_dedup_phash: wall, band-join CANDIDATE volume (pairs
-  sharing ≥1 exact 7-bit band, pre-Hamming-verify), and verified pairs
+  sharing ≥1 exact 32-bit band word, pre-Hamming-verify), and verified pairs
   at tau=3 — the pigeonhole-lossless banding claim (hamming ≤ 7 ⇒ ≥1
   band equal) measured above sf0.1 for the first time.
 - multimodal_shard_packing: wall and shard skew (max/mean shard bytes
@@ -36,34 +36,20 @@ def _phash_candidates(spark, sf_dir: str):
     """The band-join candidate stream of _phash_near_dup_pairs, split out
     for volume accounting (same band layout, pre-Hamming filter)."""
     from vat_etl_spark.operators.multimodal import (
-        PHASH_BANDS,
         attach_payload,
         perceptual_hash,
     )
     from vat_etl_spark.sources.catalog import read_table
 
     docs = read_table(spark, sf_dir, "documents")
-    sigs = perceptual_hash(attach_payload(docs)).select("doc_id", "phash")
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("k"),
-                        F.shiftright("phash", 7 * k)
-                        .bitwiseAND(F.lit(0x7F))
-                        .alias("v"),
-                    )
-                    for k in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
+    sigs = perceptual_hash(attach_payload(docs)).select("doc_id", "bands")
+    exploded = sigs.select(
+        "doc_id", F.posexplode("bands").alias("band_no", "band_key")
     )
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band")
+    a = exploded.select(F.col("doc_id").alias("doc_a"), "band_no", "band_key")
+    b = exploded.select(F.col("doc_id").alias("doc_b"), "band_no", "band_key")
     return (
-        a.join(b, "band")
+        a.join(b, ["band_no", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
     )

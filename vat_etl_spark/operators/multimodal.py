@@ -389,41 +389,74 @@ PHASH_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
-        T.StructField("phash", T.LongType()),
+        T.StructField("bands", T.ArrayType(T.LongType())),
     ]
 )
 
-PHASH_BITS = 56
-PHASH_BANDS = 8  # 8 bands x 7 bits; pigeonhole: hamming <= 7 => >= 1 band equal
+PHASH_BITS = 256
+PHASH_BANDS = 8  # pigeonhole: hamming <= 7 => >= 1 band equal, any band width
+PHASH_BAND_BITS = PHASH_BITS // PHASH_BANDS  # 32
 
 
 def perceptual_hash(mm: DataFrame) -> DataFrame:
     """Block-average perceptual hash (the aHash recipe of classic image
-    near-dup, applied byte-domain): the payload is split into 56 equal
+    near-dup, applied byte-domain): the payload is split into 256 equal
     byte blocks, bit i is set when block i's mean byte value is >= the
     whole payload's mean. Visually/structurally similar payloads flip few
     bits, so near-duplicates sit at small Hamming distance — the property
-    banded LSH blocking exploits. Pure-integer, deterministic, Arrow
-    batches; 56 bits so the signature always fits a signed int64."""
+    banded LSH blocking exploits.
+
+    The signature is emitted as PHASH_BANDS unsigned 32-bit BAND WORDS
+    (band k = bits [32k, 32k+32), each < 2^32 so it is sign-safe as a
+    BIGINT in both engines) — the band word IS the LSH bucket key, and
+    Hamming distance is the sum of per-band popcounts. 256 bits, not the
+    round-12 56: a 7-bit band key has only 128 possible values, so at
+    500 K docs every band bucket held ~3 900 docs and the banded join
+    degenerated to 9.4 BILLION candidate pairs (measured, SCALE.md round
+    13) — band-key cardinality must exceed the corpus size, exactly the
+    lesson of the text MinHash R=2→3 cliff. The pigeonhole guarantee is
+    unchanged (8 bands ⇒ lossless for hamming ≤ 7 ≥ tau=3): widening
+    bands shrinks buckets without weakening it.
+
+    Pure-integer, deterministic, Arrow batches; block sums are one numpy
+    reduceat per payload (the 256-slice Python loop would be ~1.3 B
+    interpreter iterations at 5 M docs)."""
+    import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bounds_cache: dict[int, "np.ndarray"] = {}
         for pdf in it:
             out = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
                 n = len(b)
-                sig = 0
+                bands = [0] * PHASH_BANDS
                 if n:
-                    total = sum(b)
+                    arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                    total = int(arr.sum())
+                    bounds = bounds_cache.get(n)
+                    if bounds is None:
+                        bounds = (np.arange(PHASH_BITS + 1) * n) // PHASH_BITS
+                        bounds_cache[n] = bounds
+                    blen = np.diff(bounds)
+                    valid = blen > 0
+                    bs = np.zeros(PHASH_BITS, dtype=np.int64)
+                    # reduceat over only the non-empty starts: an empty
+                    # block's end equals the next non-empty block's start,
+                    # so consecutive valid starts delimit exact blocks
+                    bs[valid] = np.add.reduceat(arr, bounds[:-1][valid])
                     # integer-exact comparison: block_sum * n >= total * block_len
-                    for i in range(PHASH_BITS):
-                        lo = i * n // PHASH_BITS
-                        hi = (i + 1) * n // PHASH_BITS
-                        if hi > lo:
-                            bs = sum(b[lo:hi])
-                            if bs * n >= total * (hi - lo):
-                                sig |= 1 << i
-                out.append((doc_id, n, sig))
-            yield pd.DataFrame(out, columns=["doc_id", "n_bytes", "phash"])
+                    bits = (bs * n >= total * blen) & valid
+                    bands = [
+                        int(x)
+                        for x in (
+                            bits.astype(np.int64).reshape(
+                                PHASH_BANDS, PHASH_BAND_BITS
+                            )
+                            * (1 << np.arange(PHASH_BAND_BITS, dtype=np.int64))
+                        ).sum(axis=1)
+                    ]
+                out.append((doc_id, n, bands))
+            yield pd.DataFrame(out, columns=["doc_id", "n_bytes", "bands"])
 
     return mm.mapInPandas(batches, schema=PHASH_SCHEMA)

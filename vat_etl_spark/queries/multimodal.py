@@ -291,10 +291,13 @@ def multimodal_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # DuckDB replay of the block-average perceptual hash over ASCII payloads:
-# byte k = ascii(char k), the 56 Bresenham block boundaries are the same
-# integer divisions, the bit rule the same integer-exact cross product,
-# banding/Hamming the same shift/xor/bit_count — so the full detection
-# (signature -> 8x7-bit bands -> exact verify) is driver-hashable.
+# byte k = ascii(char k), the 256 Bresenham block boundaries are the same
+# integer divisions, the bit rule the same integer-exact cross product.
+# The signature is 8 unsigned 32-bit BAND WORDS (band k = bits
+# [32k, 32k+32), each < 2^32 — sign-safe as BIGINT in both engines);
+# banding joins on the band word, Hamming is the sum of per-band
+# xor-popcounts — so the full detection (signature -> 8x32-bit bands ->
+# exact verify) is driver-hashable.
 _PHASH_CTES = """
 d AS (
   SELECT doc_id, text, coalesce(octet_length(encode(text)), 0) AS nb
@@ -309,35 +312,40 @@ bsums AS (
          (b.hi - b.lo) AS blen,
          sum(ascii(substring(b.text, CAST(k AS INT), 1))) AS bs
   FROM (
-    SELECT doc_id, text, nb, i, (i * nb) // 56 AS lo, ((i + 1) * nb) // 56 AS hi
-    FROM d, UNNEST(generate_series(0, 55)) g(i)
+    SELECT doc_id, text, nb, i, (i * nb) // 256 AS lo, ((i + 1) * nb) // 256 AS hi
+    FROM d, UNNEST(generate_series(0, 255)) g(i)
     WHERE nb > 0
   ) b
   JOIN tot t USING (doc_id), UNNEST(generate_series(b.lo + 1, b.hi)) gk(k)
   WHERE b.hi > b.lo
   GROUP BY b.doc_id, b.i, b.nb, t.total, b.hi - b.lo
 ),
-sigs AS (
-  SELECT d.doc_id,
-         coalesce(s.phash, 0) AS phash
-  FROM d LEFT JOIN (
-    SELECT doc_id,
-           sum(CASE WHEN bs * nb >= total * blen
-                    THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS phash
-    FROM bsums GROUP BY doc_id
-  ) s USING (doc_id)
+bwords AS (
+  SELECT doc_id, i // 32 AS band_no,
+         sum(CASE WHEN bs * nb >= total * blen
+                  THEN (CAST(1 AS BIGINT) << CAST(i % 32 AS INT)) ELSE 0 END) AS band_key
+  FROM bsums GROUP BY doc_id, i // 32
 ),
-bands AS (
-  SELECT doc_id, phash, i AS band_no, (phash >> (7 * CAST(i AS INT))) & 127 AS band_key
-  FROM sigs, UNNEST(generate_series(0, 7)) g(i)
+sigs AS (
+  SELECT dg.doc_id, dg.band_no, coalesce(w.band_key, 0) AS band_key
+  FROM (SELECT d.doc_id, g.band_no
+        FROM d, (SELECT unnest(generate_series(0, 7)) AS band_no) g) dg
+  LEFT JOIN bwords w ON w.doc_id = dg.doc_id AND w.band_no = dg.band_no
+),
+vecs AS (
+  SELECT doc_id, list(band_key ORDER BY band_no) AS bl FROM sigs GROUP BY doc_id
 ),
 pairs AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         bit_count(xor(a.phash, b.phash)) AS hamming
-  FROM bands a JOIN bands b
+         list_sum(list_transform(list_zip(va.bl, vb.bl),
+                                 p -> bit_count(xor(p[1], p[2])))) AS hamming
+  FROM sigs a JOIN sigs b
     ON a.band_no = b.band_no AND a.band_key = b.band_key
    AND a.doc_id < b.doc_id
-  WHERE bit_count(xor(a.phash, b.phash)) <= 3
+  JOIN vecs va ON va.doc_id = a.doc_id
+  JOIN vecs vb ON vb.doc_id = b.doc_id
+  WHERE list_sum(list_transform(list_zip(va.bl, vb.bl),
+                                p -> bit_count(xor(p[1], p[2])))) <= 3
 )
 """
 
@@ -371,29 +379,29 @@ WHERE (doc_a < 0) <> (doc_b < 0)
 @query("multimodal_dedup_phash", oracle=_PHASH_PAIRS_SQL)
 def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate detection over BINARY payloads via perceptual-hash
-    banding — the multimodal twin of SimHash text dedup: a 56-bit
-    block-average signature per payload (operators/multimodal.py:
-    perceptual_hash), banded into 8x7-bit LSH buckets; only pairs sharing
-    at least one exact band are candidates, and candidates are verified
-    by exact Hamming distance (xor + bit_count, native integer ops).
-    Pigeonhole-lossless for hamming <= 7, so the tau = 3 threshold loses
-    nothing. Scale: candidate generation is a band-keyed equi-join (never
-    all-pairs); at web scale the signature widens (256-bit, 16 bands) so
-    per-bucket membership stays task-sized, exactly like the text LSH
-    family. Pytest pins the signature against a pure-Python reference and
-    the blocking against the brute-force pair set.
+    banding — the multimodal twin of SimHash text dedup: a 256-bit
+    block-average signature per payload, carried as 8 unsigned 32-bit
+    band words (operators/multimodal.py: perceptual_hash); only pairs
+    sharing at least one exact band word are candidates, and candidates
+    are verified by exact Hamming distance (per-band xor + bit_count
+    summed, native integer ops). Pigeonhole-lossless for hamming <= 7
+    (8 bands, any width), so the tau = 3 threshold loses nothing.
+
+    Why 256 bits and not the round-12 56 (measured, SCALE.md round 13):
+    a 7-bit band key has 128 possible values, so at 500 K docs every
+    band bucket held ~3 900 docs and the "band-keyed equi-join, never
+    all-pairs" claim collapsed — 9.4 BILLION candidate pairs. Band-key
+    cardinality must exceed the corpus size; widening bands shrinks
+    buckets without weakening the pigeonhole bound — the same
+    cardinality lesson as the text MinHash R=2→3 cliff. Pytest pins the
+    signature against a pure-Python reference and the blocking against
+    the brute-force pair set.
 
     On the synthetic testdata this returns ZERO rows and that is the
     correct answer: the corpus's near-dups are token SHUFFLES, which
-    restructure the byte blocks (measured min pairwise hamming = 8);
-    payload-level near-dups (bit flips, adjacent swaps) land at
-    hamming <= 2 and are found — pinned on constructed families in
-    tests/test_multimodal.py."""
-    from vat_etl_spark.operators.multimodal import (
-        PHASH_BANDS,
-        perceptual_hash,
-    )
-
+    restructure the byte blocks; payload-level near-dups (bit flips,
+    adjacent swaps) land within tau and are found — pinned on
+    constructed families in tests/test_multimodal.py."""
     docs = _t(spark, sf_dir, "documents")
     return _phash_near_dup_pairs(attach_payload(docs))
 
@@ -401,47 +409,44 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _phash_near_dup_pairs(mm: DataFrame, tau: int = 3) -> DataFrame:
     """Shared detection core: signature extraction → band-keyed equi-join →
     exact Hamming verification. (doc_a, doc_b, hamming), doc_a < doc_b."""
-    from vat_etl_spark.operators.multimodal import (
-        PHASH_BANDS,
-        perceptual_hash,
-    )
+    from vat_etl_spark.operators.multimodal import perceptual_hash
 
-    sigs = perceptual_hash(mm).select("doc_id", "phash")
+    sigs = perceptual_hash(mm).select("doc_id", "bands")
     # carry the signature THROUGH the band explode so the band join yields
     # sig_a/sig_b directly: re-deriving them via two extra joins back to
     # sigs re-ran the corpus-sized mapInPandas byte pass up to 4x (only
     # one of the four subtrees got exchange reuse — measured); this shape
     # evaluates it twice and AQE typically reuses one of those
-    bands = sigs.select(
+    exploded = sigs.select(
         "doc_id",
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(k).alias("k"),
-                        F.shiftright("phash", 7 * k)
-                        .bitwiseAND(F.lit(0x7F))
-                        .alias("v"),
-                    )
-                    for k in range(PHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
+        "bands",
+        F.posexplode("bands").alias("band_no", "band_key"),
     )
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"), F.col("phash").alias("sig_a"), "band"
+    a = exploded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("bands").alias("sig_a"),
+        "band_no",
+        "band_key",
     )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"), F.col("phash").alias("sig_b"), "band"
+    b = exploded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("bands").alias("sig_b"),
+        "band_no",
+        "band_key",
+    )
+    hamming = F.aggregate(
+        F.zip_with(
+            F.col("sig_a"),
+            F.col("sig_b"),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
     )
     return (
-        a.join(b, "band")
+        a.join(b, ["band_no", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a", "doc_b",
-            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias("hamming"),
-        )
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= tau)
         .distinct()
     )
