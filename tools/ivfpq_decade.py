@@ -41,7 +41,10 @@ PQ_K = 256       # codes per subspace
 K_COARSE = 1024  # coarse cells (≈ sqrt(N) at the top scale)
 N_QUERIES = 20
 TOPK = 10
-SHORTLIST = 100
+SHORTLISTS = [100, 1000]  # exact-re-rank depth: the recall knob once the
+# IVF cut stops being the loss (at 5 M, ~1 200 same-cluster points per
+# query sit inside one coarse cell — ADC at M=8 cannot rank 10 true
+# neighbors into a 100-row shortlist from ~3 000 cell-mates)
 NPROBES = [1, 4, 16]
 SAMPLE = 100_000
 SEED = 20260816
@@ -251,7 +254,7 @@ def main() -> None:
             "k_coarse": K_COARSE,
             "pq_m": M,
             "pq_k": PQ_K,
-            "shortlist": SHORTLIST,
+            "shortlists": SHORTLISTS,
             "probes": {},
         }
         # per-query LUTs (numpy; N_QUERIES x M x PQ_K doubles = tiny)
@@ -278,7 +281,9 @@ def main() -> None:
             - 2 * qm @ ct.T
             + (ct**2).sum(1)[None, :]
         )
-        for nprobe in NPROBES:
+        for nprobe, SHORTLIST in [
+            (np_, sl) for np_ in NPROBES for sl in SHORTLISTS
+        ]:
             t0 = time.time()
             probe_rows = [
                 (int(qids[qi]), int(c))
@@ -340,14 +345,14 @@ def main() -> None:
             n_cand = cand.count()
             wall = round(time.time() - t0, 1)
             recall = round(len(got & truth) / len(truth), 4)
-            row["probes"][f"nprobe_{nprobe}"] = {
+            row["probes"][f"nprobe_{nprobe}_sl_{SHORTLIST}"] = {
                 "probe_wall": wall,
                 "recall_at_10": recall,
                 "candidates": n_cand,
                 "cut_factor": round(n * len(qids) / max(1, n_cand), 1),
             }
-            print(f"n={n} nprobe={nprobe}: wall={wall}s recall={recall} "
-                  f"cands={n_cand}", flush=True)
+            print(f"n={n} nprobe={nprobe} sl={SHORTLIST}: wall={wall}s "
+                  f"recall={recall} cands={n_cand}", flush=True)
         results[str(n)] = row
 
     if len(scales) == 2:
@@ -358,10 +363,10 @@ def main() -> None:
             )
             if a["build_wall"] > 0
             else None,
-            "probe_nprobe_4": round(
+            "probe_nprobe_4_sl_1000": round(
                 math.log10(
-                    b["probes"]["nprobe_4"]["probe_wall"]
-                    / max(0.1, a["probes"]["nprobe_4"]["probe_wall"])
+                    b["probes"]["nprobe_4_sl_1000"]["probe_wall"]
+                    / max(0.1, a["probes"]["nprobe_4_sl_1000"]["probe_wall"])
                 ),
                 2,
             ),

@@ -1055,7 +1055,17 @@ def ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine-Voronoi while ADC/truth are L2; on this corpus the mix costs
     nothing measurable, and a production store would build the coarse
     quantizer in the search metric). SCALE.md records the
-    candidate-reduction factor."""
+    candidate-reduction factor.
+
+    Decade-scale sizing law (round-13, tools/ivfpq_decade.py at
+    500 K→5 M vectors): the `shortlist` re-rank depth must scale with
+    expected cell occupancy n/K, not stay a constant — at 5 M with
+    K=1024, a 100-row shortlist gave a FLAT 0.36 recall across nprobe
+    1→16 (the true neighbors were in the candidates; ADC at M=8 could
+    not rank them into 100 rows from ~3 000 cell-mates), while 1000
+    restored 0.945-0.995 at no measurable wall cost. Flat-in-nprobe
+    recall is the diagnostic: it separates re-rank-depth loss from
+    IVF-cut loss."""
     k, nprobe, shortlist = 10, 3, 30
     em = _t(spark, sf_dir, "embeddings")
     # serve-only: the IVF assignment / PQ codes / codebook come from the
