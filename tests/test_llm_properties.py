@@ -58,18 +58,24 @@ def test_phash_matches_python_on_arbitrary_bytes(spark, payloads):
     df = spark.createDataFrame(
         [(i, bytearray(b)) for i, b in enumerate(payloads)], schema
     )
-    got = {r.doc_id: r.phash for r in perceptual_hash(df).collect()}
+    got = {r.doc_id: list(r.bands) for r in perceptual_hash(df).collect()}
 
-    def ref(b: bytes) -> int:
-        n, sig = len(b), 0
+    def ref(b: bytes) -> list[int]:
+        from vat_etl_spark.operators.multimodal import (
+            PHASH_BAND_BITS,
+            PHASH_BANDS,
+        )
+
+        n = len(b)
+        bands = [0] * PHASH_BANDS
         if not n:
-            return 0
+            return bands
         total = sum(b)
         for i in range(PHASH_BITS):
             lo, hi = i * n // PHASH_BITS, (i + 1) * n // PHASH_BITS
             if hi > lo and sum(b[lo:hi]) * n >= total * (hi - lo):
-                sig |= 1 << i
-        return sig
+                bands[i // PHASH_BAND_BITS] |= 1 << (i % PHASH_BAND_BITS)
+        return bands
 
     for i, b in enumerate(payloads):
         assert got[i] == ref(b), b
