@@ -545,12 +545,16 @@ def test_corpus_key_index_compaction_preserves_dedup(spark, sf_smoke, tmp_path):
     after = {r.content_key for r in spark.read.parquet(f"{out}/key_index").collect()}
     assert after == before and n == len(before)
 
-    # second cycle purges the marked dirs and re-consolidates
+    # second cycle purges the marked dirs and does NOT re-fold the lone
+    # consolidated partition (round 13: a refold copied the whole index
+    # into a new partition while the marked original lingered a full
+    # grace cycle, doubling every admit's scan — purge-only is the
+    # correct steady state)
     n2 = compact_key_index(spark, out, grace_seconds=0.0)
     idx_dirs2 = {
         p.name for p in pathlib.Path(f"{out}/key_index").iterdir() if p.is_dir()
     }
-    assert idx_dirs2 == {"epoch=-1", "epoch=-2"} and n2 == len(before)
+    assert idx_dirs2 == {"epoch=-1"} and n2 == 0
     after2 = {r.content_key for r in spark.read.parquet(f"{out}/key_index").collect()}
     assert after2 == before
 

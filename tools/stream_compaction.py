@@ -15,7 +15,7 @@ delta (4 batches, ids offset clear of the original corpus) through
 admit_*_batch against each copy, timing every batch. Same data, same
 code, only the index layout differs.
 
-Prints one JSON line; writes artifacts/STREAM_COMPACTION_r12.json.
+Prints one JSON line; writes artifacts/STREAM_COMPACTION_r13.json.
 Requires a prior tools/stream_throughput.py run (state under
 /tmp/stream_tp). Usage: python tools/stream_compaction.py
 """
@@ -51,11 +51,23 @@ def main() -> None:
     if not os.path.isdir(f"{delta_dir}/documents.parquet"):
         generate(delta_dir, 100_000, seed=13, n_files=4, gopherable=True)
     spark = get_spark("stream-compaction")
+
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS s"
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    _probe()
     parts = sorted(
         pathlib.Path(f"{delta_dir}/documents.parquet").glob("part-*.parquet")
     )
     doc = {"delta_docs": 100_000, "delta_batches": len(parts), "gates": {}}
+    only = os.environ.get("COMPACTION_GATES")
     for gate, (idx_name, admit_name, compact_name) in _GATES.items():
+        if only and gate not in only.split(","):
+            continue
         src_idx = f"{src_state}/out_{gate}/{idx_name}"
         if not os.path.isdir(src_idx):
             print(f"skip {gate}: no state at {src_idx} (run stream_throughput)")
@@ -64,6 +76,7 @@ def main() -> None:
         compact = getattr(C, compact_name)
         res = {}
         for variant in ("fragmented", "compacted"):
+            res.setdefault("probes", {})[variant] = _probe()
             out = f"/tmp/stream_tp/cmp_{gate}_{variant}"
             shutil.rmtree(out, ignore_errors=True)
             os.makedirs(out)
@@ -93,7 +106,11 @@ def main() -> None:
         )
         doc["gates"][gate] = res
         print(json.dumps({gate: res["speedup_median"]}), flush=True)
-    out_json = os.path.join(repo, "artifacts", "STREAM_COMPACTION_r12.json")
+    out_json = (
+        sys.argv[1]
+        if len(sys.argv) > 1
+        else os.path.join(repo, "artifacts", "STREAM_COMPACTION_r13.json")
+    )
     with open(out_json, "w") as f:
         json.dump(doc, f, indent=1, sort_keys=True)
     print(json.dumps({"gates_measured": sorted(doc["gates"])}))
