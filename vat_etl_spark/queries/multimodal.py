@@ -397,6 +397,14 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature against a pure-Python reference and the blocking against
     the brute-force pair set.
 
+    Round 14: band buckets are CAPPED at signature grain
+    (_PHASH_BUCKET_CAP — see the constant's comment for the measured
+    r13 candidate-quadratic curve this closes and the pigeonhole recall
+    bound under the cap), with identical-signature clusters collapsed to
+    one banding representative first so exact-dup clusters can never trip
+    it. Dormant at oracle scale (pytest), active-regime recall measured
+    in tools/phash_capstress.py.
+
     On the synthetic testdata this returns ZERO rows and that is the
     correct answer: the corpus's near-dups are token SHUFFLES, which
     restructure the byte blocks; payload-level near-dups (bit flips,
@@ -406,49 +414,158 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _phash_near_dup_pairs(attach_payload(docs))
 
 
-def _phash_near_dup_pairs(mm: DataFrame, tau: int = 3) -> DataFrame:
-    """Shared detection core: signature extraction → band-keyed equi-join →
-    exact Hamming verification. (doc_a, doc_b, hamming), doc_a < doc_b."""
+# Hot-bucket guard for the pHash band join, at SIGNATURE grain (distinct
+# 256-bit signatures per (band_no, band_key) bucket). MULTIMODAL_DECADE_r13
+# measured the uncapped band join's candidate volume growing 1.03 M →
+# 103 M pairs for 10× docs (exponent ≈2.0/decade — per-bucket-quadratic,
+# the same curve that killed ml.feature's OR-bands at 500 K and the 8×2
+# MinHash scheme at 5 M); one more decade would be ~10 B candidates. Same
+# treatment as the text path (_MHB_BUCKET_CAP, dedup.py): count-window on
+# the band shuffle, identical-signature clusters collapsed to one
+# representative FIRST so an exact-dup cluster occupies one bucket slot and
+# can never trip the cap (its member pairs — all hamming 0 — are emitted
+# directly). Recall bound under the cap: a pair at hamming ≤ tau=3 shares
+# ≥ 8−3 = 5 of its 8 band words (pigeonhole), so it is lost only if ALL of
+# its ≥5 shared buckets are over cap — measured on a hot-bucket corpus with
+# planted variants in tools/phash_capstress.py. Dormant at oracle scale
+# (pytest-pinned), so the sf0.01/0.1 oracle twins stay exact.
+_PHASH_BUCKET_CAP = 1000
+
+
+def _phash_sig_groups(mm: DataFrame):
+    """(sigs, grp): the persisted (doc_id, bands) signature frame and its
+    signature-grain group table (bands, srep, gsz) — one row per DISTINCT
+    256-bit signature, electing the min-doc_id member as the banding
+    representative. The group key IS the signature (8×32-bit band words,
+    64 bytes — narrow enough to shuffle directly; no hash-key indirection
+    needed, unlike the text path's 45-column frame). The mapInPandas byte
+    pass runs once into the persist; every downstream consumer (rep
+    election, band join, membership expansion) reads the cache."""
     from vat_etl_spark.operators.multimodal import perceptual_hash
 
-    sigs = perceptual_hash(mm).select("doc_id", "bands")
-    # carry the signature THROUGH the band explode so the band join yields
-    # sig_a/sig_b directly: re-deriving them via two extra joins back to
-    # sigs re-ran the corpus-sized mapInPandas byte pass up to 4x (only
-    # one of the four subtrees got exchange reuse — measured); this shape
-    # evaluates it twice and AQE typically reuses one of those
-    exploded = sigs.select(
-        "doc_id",
-        "bands",
-        F.posexplode("bands").alias("band_no", "band_key"),
+    sigs = perceptual_hash(mm).select("doc_id", "bands").persist()
+    grp = sigs.groupBy("bands").agg(
+        F.min("doc_id").alias("srep"), F.count("*").alias("gsz")
     )
-    a = exploded.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("bands").alias("sig_a"),
-        "band_no",
-        "band_key",
-    )
-    b = exploded.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("bands").alias("sig_b"),
-        "band_no",
-        "band_key",
-    )
-    hamming = F.aggregate(
+    return sigs, grp
+
+
+def _phash_hamming(sig_a, sig_b):
+    """Exact Hamming distance between two band-word arrays: per-band
+    xor + popcount, summed — native integer ops, long result."""
+    return F.aggregate(
         F.zip_with(
-            F.col("sig_a"),
-            F.col("sig_b"),
+            sig_a,
+            sig_b,
             lambda x, y: F.bit_count(x.bitwiseXOR(y)).cast("long"),
         ),
         F.lit(0).cast("long"),
         lambda acc, v: acc + v,
     )
+
+
+def _phash_banded_reps(grp: DataFrame) -> DataFrame:
+    """(srep, bands, band_no, band_key) band membership of the
+    signature-grain representatives, bucket-capped: one count-window over
+    the (band_no, band_key) shuffle drops >_PHASH_BUCKET_CAP buckets in the
+    same stage, and the persisted post-filter frame feeds both self-join
+    sides already hash-partitioned on the band key."""
+    from pyspark.sql import Window as W
+
+    exploded = grp.select(
+        "srep", "bands", F.posexplode("bands").alias("band_no", "band_key")
+    )
+    return (
+        exploded.withColumn(
+            "bc", F.count("*").over(W.partitionBy("band_no", "band_key"))
+        )
+        .filter(F.col("bc") <= _PHASH_BUCKET_CAP)
+        .drop("bc")
+        .persist()
+    )
+
+
+def _phash_rep_cands(grp: DataFrame, tau: int) -> DataFrame:
+    """(ra, rb, hamming): Hamming-verified near-dup pairs at the
+    signature-representative grain — bucket-capped band-keyed equi-join,
+    never all-pairs, exact per-band xor+popcount verify on candidates
+    only. Signatures ride THROUGH the band explode so the join yields
+    sig_a/sig_b directly (re-deriving them via joins back to the sig
+    frame re-ran the corpus-sized byte pass up to 4× pre-persist;
+    post-persist it would still be two extra shuffles)."""
+    kept = _phash_banded_reps(grp)
+    a = kept.select(
+        F.col("srep").alias("ra"),
+        F.col("bands").alias("sig_a"),
+        "band_no",
+        "band_key",
+    )
+    b = kept.select(
+        F.col("srep").alias("rb"),
+        F.col("bands").alias("sig_b"),
+        "band_no",
+        "band_key",
+    )
     return (
         a.join(b, ["band_no", "band_key"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+        .filter(F.col("ra") < F.col("rb"))
+        .select(
+            "ra", "rb", _phash_hamming(F.col("sig_a"), F.col("sig_b")).alias("hamming")
+        )
         .filter(F.col("hamming") <= tau)
         .distinct()
+    )
+
+
+def _phash_near_dup_pairs(mm: DataFrame, tau: int = 3) -> DataFrame:
+    """Shared detection core: signature extraction → signature-grain
+    collapse → bucket-capped band-keyed equi-join → exact Hamming
+    verification → membership expansion. (doc_a, doc_b, hamming),
+    doc_a < doc_b.
+
+    Round-14 structure (verdict-r13 task 1): docs are first collapsed to
+    one representative per DISTINCT signature (identical-sig docs share
+    all 8 band words, so a >CAP exact-dup cluster would otherwise blow
+    every one of its buckets at once and silently lose all its pairs —
+    the same failure the text path fixed in round 12); only
+    representatives are banded; the cap counts distinct signatures per
+    bucket; within-group pairs (hamming 0 ≤ tau by construction) are
+    emitted directly, output-volume-bound; representative pairs expand
+    back through the doc→rep membership map restricted to gsz>1 groups —
+    EMPTY on dup-free corpora, so the expansion joins are LEFT joins
+    against a frame AQE sizes at ~0 bytes and broadcasts; singleton reps
+    expand to themselves via coalesce. Cross-group members share their
+    group's signature, so the rep pair's verified hamming is exact for
+    every expanded doc pair. doc→rep is functional: each doc pair appears
+    exactly once, no post-expansion distinct needed."""
+    sigs, grp = _phash_sig_groups(mm)
+    rep_cands = _phash_rep_cands(grp, tau)
+    dup = (
+        sigs.join(grp.filter(F.col("gsz") > 1).select("bands", "srep"), "bands")
+        .select("srep", "doc_id")
+        .persist()
+    )
+    ma = dup.select(F.col("srep").alias("ra"), F.col("doc_id").alias("da"))
+    mb = dup.select(F.col("srep").alias("rb"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_cands.join(ma, "ra", "left")
+        .withColumn("da", F.coalesce("da", "ra"))
+        .join(mb, "rb", "left")
+        .withColumn("db", F.coalesce("db", "rb"))
+    )
+    within = ma.join(
+        mb, (F.col("ra") == F.col("rb")) & (F.col("da") < F.col("db"))
+    )
+    return cross.select(
+        F.least("da", "db").alias("doc_a"),
+        F.greatest("da", "db").alias("doc_b"),
+        "hamming",
+    ).unionByName(
+        within.select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.lit(0).cast("long").alias("hamming"),
+        )
     )
 
 
