@@ -415,14 +415,17 @@ def test_phash_bucket_cap_dormant_at_oracle_scale(spark, sf_smoke):
     from vat_etl_spark.operators.multimodal import attach_payload
     from vat_etl_spark.queries.multimodal import (
         _PHASH_BUCKET_CAP,
+        _phash_band_explode,
         _phash_sig_groups,
     )
     from vat_etl_spark.sources.catalog import read_table
 
     docs = read_table(spark, sf_smoke, "documents")
     _, grp = _phash_sig_groups(attach_payload(docs))
+    # the PRODUCTION join-band explode (fused 64-bit keys at tau=3), so a
+    # band-layout change reaches this pin automatically
     max_bucket = (
-        grp.select(F.posexplode("bands").alias("band_no", "band_key"))
+        _phash_band_explode(grp, tau=3)
         .groupBy("band_no", "band_key")
         .count()
         .agg(F.max("count"))

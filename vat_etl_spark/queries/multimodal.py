@@ -397,13 +397,16 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     signature against a pure-Python reference and the blocking against
     the brute-force pair set.
 
-    Round 14: band buckets are CAPPED at signature grain
-    (_PHASH_BUCKET_CAP — see the constant's comment for the measured
-    r13 candidate-quadratic curve this closes and the pigeonhole recall
-    bound under the cap), with identical-signature clusters collapsed to
-    one banding representative first so exact-dup clusters can never trip
-    it. Dormant at oracle scale (pytest), active-regime recall measured
-    in tools/phash_capstress.py.
+    Round 14 (verdict-r13 task 1 — the measured candidate-quadratic
+    curve): the JOIN blocks on 4 fused 64-bit keys (_PHASH_JOIN_FUSED —
+    squares the per-band collision probability; candidates 103 M → 26 K
+    at 5 M docs, exponent 2.0 → 1.27/decade, still pigeonhole-lossless
+    at tau=3), and join buckets are CAPPED at signature grain
+    (_PHASH_BUCKET_CAP) with identical-signature clusters collapsed to
+    one banding representative first so exact-dup clusters can never
+    trip the cap. Cap dormant at oracle scale (pytest) and on the 5 M
+    decade corpus; active-regime recall measured on a boilerplate-padded
+    corpus in tools/phash_capstress.py.
 
     On the synthetic testdata this returns ZERO rows and that is the
     correct answer: the corpus's near-dups are token SHUFFLES, which
@@ -415,21 +418,36 @@ def multimodal_dedup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Hot-bucket guard for the pHash band join, at SIGNATURE grain (distinct
-# 256-bit signatures per (band_no, band_key) bucket). MULTIMODAL_DECADE_r13
-# measured the uncapped band join's candidate volume growing 1.03 M →
-# 103 M pairs for 10× docs (exponent ≈2.0/decade — per-bucket-quadratic,
-# the same curve that killed ml.feature's OR-bands at 500 K and the 8×2
-# MinHash scheme at 5 M); one more decade would be ~10 B candidates. Same
-# treatment as the text path (_MHB_BUCKET_CAP, dedup.py): count-window on
-# the band shuffle, identical-signature clusters collapsed to one
-# representative FIRST so an exact-dup cluster occupies one bucket slot and
-# can never trip the cap (its member pairs — all hamming 0 — are emitted
-# directly). Recall bound under the cap: a pair at hamming ≤ tau=3 shares
-# ≥ 8−3 = 5 of its 8 band words (pigeonhole), so it is lost only if ALL of
-# its ≥5 shared buckets are over cap — measured on a hot-bucket corpus with
-# planted variants in tools/phash_capstress.py. Dormant at oracle scale
-# (pytest-pinned), so the sf0.01/0.1 oracle twins stay exact.
+# 256-bit signatures per (band_no, band_key) bucket). Same treatment as the
+# text path (_MHB_BUCKET_CAP, dedup.py): count-window on the band shuffle,
+# identical-signature clusters collapsed to one representative FIRST so an
+# exact-dup cluster occupies one bucket slot and can never trip the cap
+# (its member pairs — all hamming 0 — are emitted directly). Recall bound
+# under the cap: a pair at hamming ≤ tau can lose at most tau of its
+# join bands to flipped bits (pigeonhole), so with k join bands it is lost
+# only if ALL of its ≥ k−tau clean buckets are over cap — measured in the
+# ACTIVE-cap regime on a boilerplate-padded corpus with planted variants in
+# tools/phash_capstress.py. Dormant at oracle scale (pytest-pinned), so
+# the sf0.01/0.1 oracle twins stay exact.
 _PHASH_BUCKET_CAP = 1000
+
+# JOIN granularity (round 14, verdict-r13 task 1): candidates are blocked
+# on FUSED 64-bit keys (adjacent 32-bit signature words packed into one
+# long → 4 join bands) instead of the signature's 8×32-bit words.
+# MULTIMODAL_DECADE_r13 measured the 32-bit join's candidate volume
+# growing 1.03 M → 103 M pairs for 10× docs (exponent ≈2.0/decade) — and
+# the mass was NOT in a few cappable hot buckets but spread across
+# thousands of mid-size ones (cap=50 still left 68 M pairs), because
+# 32-bit band words of block-average signatures are heavily non-uniform.
+# Fusing pairs of words squares the per-band collision probability:
+# measured 1 413 candidates at 500 K and 26 239 at 5 M (exponent 1.27,
+# ~4 000× fewer at 5 M), while the pigeonhole guarantee still covers the
+# contract (tau ≤ 3 flipped bits hit at most 3 of the 4 fused bands → at
+# least one clean 64-bit match). The SIGNATURE stays 8×32 words — the
+# DuckDB twin's banding/Hamming replay and every recorded hash are
+# unchanged; only Spark's join key fuses. For 3 < tau ≤ 7 the join falls
+# back to the 8×32 grain (lossless ≤ 7).
+_PHASH_JOIN_FUSED = 4
 
 
 def _phash_sig_groups(mm: DataFrame):
@@ -464,19 +482,41 @@ def _phash_hamming(sig_a, sig_b):
     )
 
 
-def _phash_banded_reps(grp: DataFrame) -> DataFrame:
-    """(srep, bands, band_no, band_key) band membership of the
-    signature-grain representatives, bucket-capped: one count-window over
-    the (band_no, band_key) shuffle drops >_PHASH_BUCKET_CAP buckets in the
-    same stage, and the persisted post-filter frame feeds both self-join
-    sides already hash-partitioned on the band key."""
+def _phash_band_explode(grp: DataFrame, tau: int) -> DataFrame:
+    """(srep, bands, band_no, band_key): join-band membership of the
+    signature-grain representatives. tau ≤ 3 → _PHASH_JOIN_FUSED fused
+    64-bit keys (see the constant's comment for the measured candidate
+    cliff this closes); 3 < tau ≤ 7 → the signature's 8×32-bit words
+    (pigeonhole-lossless ≤ 7). shiftleft|or packing is bijective on the
+    unsigned-32 word pair, so a fused-key equality IS a 64-bit signature
+    slice equality."""
+    if tau <= 3:
+        expr = (
+            f"transform(sequence(0, {_PHASH_JOIN_FUSED - 1}), "
+            "i -> struct(i AS band_no, "
+            "shiftleft(bands[2*i], 32) | bands[2*i+1] AS band_key))"
+        )
+        return grp.select(
+            "srep", "bands", F.explode(F.expr(expr)).alias("s")
+        ).select("srep", "bands", "s.band_no", "s.band_key")
+    if tau <= 7:
+        return grp.select(
+            "srep", "bands", F.posexplode("bands").alias("band_no", "band_key")
+        )
+    raise ValueError(f"tau={tau} exceeds the 8-band pigeonhole bound (7)")
+
+
+def _phash_banded_reps(grp: DataFrame, tau: int) -> DataFrame:
+    """Join-band membership of the signature-grain representatives,
+    bucket-capped: one count-window over the (band_no, band_key) shuffle
+    drops >_PHASH_BUCKET_CAP buckets in the same stage, and the persisted
+    post-filter frame feeds both self-join sides already hash-partitioned
+    on the band key."""
     from pyspark.sql import Window as W
 
-    exploded = grp.select(
-        "srep", "bands", F.posexplode("bands").alias("band_no", "band_key")
-    )
     return (
-        exploded.withColumn(
+        _phash_band_explode(grp, tau)
+        .withColumn(
             "bc", F.count("*").over(W.partitionBy("band_no", "band_key"))
         )
         .filter(F.col("bc") <= _PHASH_BUCKET_CAP)
@@ -493,7 +533,7 @@ def _phash_rep_cands(grp: DataFrame, tau: int) -> DataFrame:
     sig_a/sig_b directly (re-deriving them via joins back to the sig
     frame re-ran the corpus-sized byte pass up to 4× pre-persist;
     post-persist it would still be two extra shuffles)."""
-    kept = _phash_banded_reps(grp)
+    kept = _phash_banded_reps(grp, tau)
     a = kept.select(
         F.col("srep").alias("ra"),
         F.col("bands").alias("sig_a"),
