@@ -115,9 +115,13 @@ _SUPERSEDED_MARKER = "_SUPERSEDED"
 # pmod(lk, B). Collision bound, same argument as the exact-twin content
 # key: two DISTINCT lines colliding on both 64-bit hashes ≈ n²/2^129 —
 # ~4e-15 at 10^12 index lines; a collision removes one innocent line
-# from one document. The hashed keys cut the per-batch anti-join's
-# shuffle width and the persistent state ~20× vs raw line text (the
-# measured 84.9 MB at 500 K docs was 20× the other gates), and the
+# from one document. The hashed keys cut the per-ROW key payload ~20×
+# (16 bytes vs ~300-byte avg line text — the width the per-batch
+# anti-join shuffles on) and the persistent index 2.0× on disk
+# (84.9 → 41.9 MB at 500 K docs, STREAM_THROUGHPUT_r12 vs r13 —
+# src_epoch/bucket columns and parquet overhead dominate at this line
+# length); the drift-free same-session A/B measured the gate 1.26×
+# faster over 10 epochs (LINE_GATE_AB_r13). The
 # bucket layout gives maintenance a per-bucket unit of work (and a
 # storage-partitioned join path on a real cluster). 16 buckets: enough
 # for per-bucket maintenance grain while keeping per-epoch files
@@ -340,6 +344,16 @@ def admit_lines_batch(batch: DataFrame, out_dir: str, epoch_id: int) -> None:
             .option("ignoreMissingFiles", "true")
             .parquet(idx_path)
         )
+        # explicit layout check (round 14, ADVICE-r13): a pre-r13 index
+        # stored raw line text; resuming over one would otherwise die
+        # mid-batch with an opaque unresolved-column AnalysisException
+        if "lk" not in idx.columns or "lk2" not in idx.columns:
+            raise ValueError(
+                f"legacy line_index layout at {idx_path} (columns "
+                f"{idx.columns}): pre-r13 indexes stored raw line text; "
+                "rebuild the index (delete line_index/ and replay, or "
+                "re-ingest) — the hashed lk/lk2 layout is required"
+            )
         # replay exclusion on DATA-column provenance (coalesced with the
         # partition epoch): compact_line_index may have folded this
         # epoch's lines into a consolidated negative-epoch partition, and
