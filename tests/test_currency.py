@@ -76,20 +76,21 @@ def test_pandas_udf_agrees_with_native_expr(spark):
 
 
 def test_registered_pandas_udf_currency_matches_native(spark, sf_smoke):
-    """Binds the registered `pandas_udf_currency` query: the Arrow-batched
-    UDF must agree with the native currency_to_aed expression on every
-    supplier row. The registered domain is 'AED %.2f' (rate 1.0 — round-10
-    change: at non-unit rates a 2-dp balance can land on an exact
-    half-cent tie where float-faithful UDF rounding and exact-decimal
-    rendering genuinely disagree, so the cross-engine gate runs on the
-    identity-rounding domain); the non-unit-rate path is additionally
-    pinned here on the USD spelling, EXCLUDING exact half-cent ties —
-    the documented divergence points."""
+    """Binds the registered `pandas_udf_currency` query: since round 14
+    the registered UDF is the exact_decimal variant on a MIXED currency
+    domain (symbol rotates with s_suppkey across AED/USD/EUR/GBP), so it
+    must agree with the native exact-decimal expression
+    (currency_to_aed_exact) on EVERY row — including half-cent ties.
+    The float-faithful verbatim variant keeps its own pin below on the
+    USD spelling, EXCLUDING the ties — the documented PARITY boundary."""
     from pyspark.sql import functions as F
 
-    from vat_etl_spark.functions.currency import currency_to_aed
+    from vat_etl_spark.functions.currency import (
+        currency_to_aed,
+        currency_to_aed_exact,
+    )
     from vat_etl_spark.queries import QUERIES
-    from vat_etl_spark.queries.functions_lib import make_currency_pandas_udf
+    from vat_etl_spark.queries.functions_lib import _UDF_CCY, make_currency_pandas_udf
     from vat_etl_spark.sources.catalog import read_table
 
     got = {
@@ -97,11 +98,15 @@ def test_registered_pandas_udf_currency_matches_native(spark, sf_smoke):
         for r in QUERIES["pandas_udf_currency"](spark, sf_smoke).collect()
     }
     supplier = read_table(spark, sf_smoke, "supplier")
-    raw_aed = F.concat(F.lit("AED "), F.format_string("%.2f", F.col("s_acctbal")))
+    sym = F.element_at(
+        F.array(*[F.lit(s) for s in _UDF_CCY]),
+        (F.pmod(F.col("s_suppkey"), F.lit(4)) + 1).cast("int"),
+    )
+    raw_mixed = F.concat(sym, F.format_string("%.2f", F.col("s_acctbal")))
     want = {
         r.s_suppkey: r.aed
         for r in supplier.select(
-            "s_suppkey", F.round(currency_to_aed(raw_aed), 2).alias("aed")
+            "s_suppkey", currency_to_aed_exact(raw_mixed).alias("aed")
         ).collect()
     }
     assert set(got) == set(want) and len(got) > 0

@@ -281,12 +281,29 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Pandas-UDF escape hatch --------------------------------------------------
 
-def make_currency_pandas_udf():
+def make_currency_pandas_udf(exact_decimal: bool = False):
     """The engine's user-facing UDF escape hatch: the reference's own
     currency parser (fianl2.py:18-40) as an Arrow-vectorized pandas_udf.
     The hot path uses the native expression (functions.currency) — this
     exists to demonstrate and test the slow-path contract (10-100x faster
-    than row-at-a-time Python UDFs, still slower than native exprs)."""
+    than row-at-a-time Python UDFs, still slower than native exprs).
+
+    Two semantics, selected by ``exact_decimal`` (round 14, verdict-r13
+    task 5):
+
+    - ``False`` (reference-verbatim): binary-float multiply + Python's
+      ``round`` — faithfully reproduces fianl2.py:40 including its
+      half-cent-tie behavior. NOT cross-engine pinnable at non-unit-rate
+      ties (5323.50 × 3.67 = 19537.2450 exactly: the float product is
+      …24499…, Python rounds DOWN; any exact-decimal rendering rounds
+      half-up) — pytest-pinned against the native float expression.
+    - ``True`` (engine-exact): the Python-decimal mirror of
+      :func:`functions.currency.currency_to_aed_exact` — parse the
+      cleaned string straight into DECIMAL(18,4) (quantize HALF_UP, the
+      Spark/DuckDB string→decimal cast rule), multiply by the
+      DECIMAL(10,4) rate, round(2) HALF_UP, emit double. Bit-matches the
+      exact-decimal SQL rendering at ANY rate — this is the variant the
+      registered mixed-currency oracle query runs."""
     import re
 
     import pandas as pd
@@ -294,37 +311,76 @@ def make_currency_pandas_udf():
 
     from vat_etl_spark.functions.currency import CURRENCY_RATES
 
-    # no type annotations: `from __future__ import annotations` stringifies
-    # them, which pyspark's hint resolver can't evaluate here
-    @pandas_udf("double")
-    def currency_aed(values):
+    def _clean(text):
+        cleaned = re.sub(r"[^\d\.\-\(\)]", "", text)
+        if cleaned.startswith("(") and cleaned.endswith(")"):
+            cleaned = "-" + cleaned[1:-1]
+        return cleaned
+
+    def _rate_sym(text):
+        for sym, r in CURRENCY_RATES.items():
+            if sym in text:
+                return r
+        return 1.0
+
+    if exact_decimal:
+        from decimal import ROUND_HALF_UP, Decimal, InvalidOperation, localcontext
+
+        Q4, Q2 = Decimal("0.0001"), Decimal("0.01")
+
         def one(v):
             if v is None or (isinstance(v, float) and v != v):
                 return 0.0
             text = str(v).strip()
-            rate = 1.0
-            for sym, r in CURRENCY_RATES.items():
-                if sym in text:
-                    rate = r
-                    break
-            cleaned = re.sub(r"[^\d\.\-\(\)]", "", text)
-            if cleaned.startswith("(") and cleaned.endswith(")"):
-                cleaned = "-" + cleaned[1:-1]
+            rate = Decimal(str(_rate_sym(text))).quantize(Q4)
+            with localcontext() as ctx:
+                ctx.prec = 38
+                try:
+                    num = Decimal(_clean(text)).quantize(Q4, rounding=ROUND_HALF_UP)
+                except (InvalidOperation, ValueError):
+                    num = Decimal(0)
+                if abs(num) >= Decimal(10) ** 14:
+                    num = Decimal(0)  # DECIMAL(18,4) overflow → try_cast NULL
+                return float((num * rate).quantize(Q2, rounding=ROUND_HALF_UP))
+
+    else:
+
+        def one(v):
+            if v is None or (isinstance(v, float) and v != v):
+                return 0.0
+            text = str(v).strip()
             try:
-                num = float(cleaned)
+                num = float(_clean(text))
             except ValueError:
                 num = 0.0
-            return round(num * rate, 2)
+            return round(num * _rate_sym(text), 2)
 
+    # no type annotations: `from __future__ import annotations` stringifies
+    # them, which pyspark's hint resolver can't evaluate here
+    @pandas_udf("double")
+    def currency_aed(values):
         return values.map(one)
 
     return currency_aed
 
 
+# deterministic MIXED-currency domain: the symbol rotates with the row key,
+# so the oracle exercises rates 1.0 / 3.67 / 3.98 / 4.62 — including the
+# half-cent-tie rows the float-faithful variant could not pin (round 10)
+_UDF_CCY = ["AED ", "USD ", "EUR ", "GBP "]
+
+
 def _pandas_udf_currency_sql() -> str:
     from vat_etl_spark.functions.currency import currency_to_aed_exact_sql
 
-    raw = "'AED ' || printf('%.2f', s_acctbal)"
+    sym = (
+        "CASE (s_suppkey % 4) "
+        + " ".join(
+            f"WHEN {i} THEN '{s}'" for i, s in enumerate(_UDF_CCY)
+        )
+        + " END"
+    )
+    raw = f"({sym}) || printf('%.2f', s_acctbal)"
     return (
         f"SELECT s_suppkey, {raw} AS raw, "
         f"{currency_to_aed_exact_sql(raw)} AS aed FROM supplier"
@@ -333,27 +389,30 @@ def _pandas_udf_currency_sql() -> str:
 
 @query("pandas_udf_currency", oracle=_pandas_udf_currency_sql())
 def pandas_udf_currency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched pandas_udf running the reference UDF verbatim-semantics.
-    Hash-verified against the exact-decimal SQL rendering (the same
-    contract the oracle-green `currency_parse` uses) on the 'AED %.2f'
-    domain, where the rate is 1.0 and Python's float round(x, 2) is the
-    identity on an already-2-decimal double — so the Arrow path must
-    bit-match the DECIMAL(18,4) oracle at ANY scale. The domain is AED
-    (not USD) ON PURPOSE, found by the round-10 sf0.1 full-oracle sweep:
-    with rate 3.67 a 2-dp balance can land on an exact half-cent tie
-    (5323.50 × 3.67 = 19537.2450), where the reference's float round
-    (the double is ...24499…, rounds down — the semantics this UDF
-    faithfully reproduces) and ANY exact-decimal rendering (half-up,
-    19537.25) genuinely disagree — float-faithful UDF semantics at
-    non-unit rates are NOT cross-engine pinnable at ties, and pretending
-    otherwise would make the gate data-dependent. The non-unit-rate
-    conversion itself is oracle-pinned by `currency_parse`, whose native
-    expression uses the exact-decimal semantics on both sides. pytest
-    additionally pins golden-case agreement with the native expression
-    (tests/test_currency.py)."""
+    """Arrow-batched pandas_udf escape hatch, hash-verified on a MIXED
+    currency domain (symbol rotates with s_suppkey across AED/USD/EUR/GBP
+    — rates 1.0/3.67/3.98/4.62) against the exact-decimal SQL rendering
+    (the same contract the oracle-green `currency_parse` uses).
+
+    Round-14 widening (verdict-r13 task 5; the r10-r13 gate ran rate-1.0
+    AED only): the registered UDF is the ``exact_decimal`` variant of
+    make_currency_pandas_udf — the Python-decimal mirror of
+    currency_to_aed_exact (DECIMAL(18,4) parse, DECIMAL multiply, HALF_UP
+    round(2)) — so it bit-matches the oracle at ANY rate, INCLUDING the
+    exact half-cent ties (5323.50 × 3.67 = 19537.2450) where the
+    reference's float round genuinely diverges from every exact-decimal
+    rendering. The float-faithful reference-verbatim variant
+    (exact_decimal=False) remains the compat demo, pytest-pinned against
+    the native float expression with ties excluded
+    (tests/test_currency.py) — that divergence is the documented PARITY
+    boundary; this registered query no longer sits on it."""
     supplier = _t(spark, sf_dir, "supplier")
-    udf = make_currency_pandas_udf()
-    raw = F.concat(F.lit("AED "), F.format_string("%.2f", F.col("s_acctbal")))
+    udf = make_currency_pandas_udf(exact_decimal=True)
+    sym = F.element_at(
+        F.array(*[F.lit(s) for s in _UDF_CCY]),
+        (F.pmod(F.col("s_suppkey"), F.lit(4)) + 1).cast("int"),
+    )
+    raw = F.concat(sym, F.format_string("%.2f", F.col("s_acctbal")))
     return supplier.select("s_suppkey", raw.alias("raw"), udf(raw).alias("aed"))
 
 
