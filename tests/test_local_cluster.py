@@ -100,3 +100,26 @@ def test_oracle_parity_on_local_cluster(sf_smoke):
     tail = "\n".join((proc.stdout + proc.stderr).splitlines()[-25:])
     assert proc.returncode == 0, tail
     assert "CLUSTER-PARITY-GREEN" in proc.stdout, tail
+
+
+def test_release_engine_caches_unpersists_lazy_query_caches(spark, sf_smoke):
+    """ADVICE-r13 helper: registered lazy queries persist internal frames
+    that accumulate across invocations; release_engine_caches must drop
+    them all (CacheManager + straggler RDDs) and the query must still
+    re-run correctly afterwards (caches rebuild lazily)."""
+    from vat_etl_spark.queries import QUERIES
+    from vat_etl_spark.session import release_engine_caches
+
+    before = {
+        tuple(sorted(r))
+        for r in QUERIES["dedup_minhash_banded"](spark, sf_smoke).collect()
+    }
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() > 0
+    release_engine_caches(spark)
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == 0
+    after = {
+        tuple(sorted(r))
+        for r in QUERIES["dedup_minhash_banded"](spark, sf_smoke).collect()
+    }
+    assert after == before and len(after) > 0
+    release_engine_caches(spark)

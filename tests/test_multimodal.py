@@ -432,3 +432,50 @@ def test_phash_bucket_cap_dormant_at_oracle_scale(spark, sf_smoke):
         .collect()[0][0]
     )
     assert max_bucket <= _PHASH_BUCKET_CAP // 4, max_bucket
+
+
+def test_phash_fallback_band_grain_for_tau_above_3(spark):
+    """tau in (3, 7] must fall back to the 8x32-bit join grain (the fused
+    4x64 grain is only pigeonhole-lossless to hamming 3): detection at
+    tau=5 must equal brute force over the reference signatures, and
+    tau > 7 must refuse (beyond the 8-band pigeonhole bound)."""
+    import pytest as _pytest
+
+    import vat_etl_spark.queries.multimodal as M
+    from vat_etl_spark.operators.multimodal import attach_payload
+
+    rng_texts = [
+        ("base doc " + "abcdefgh" * 40 + str(i), i) for i in range(12)
+    ]
+    rows = [(i, t) for (t, i) in rng_texts]
+    # near-dup family: perturb a few bytes of doc 0's text so pairs land
+    # at a spread of hammings including some in (3, 7]
+    base = rows[0][1]
+    for k in range(1, 6):
+        chars = list(base)
+        for j in range(k):
+            pos = 30 + 37 * j
+            chars[pos] = chr(ord(chars[pos]) ^ 16)
+        rows.append((100 + k, "".join(chars)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in M._phash_near_dup_pairs(attach_payload(docs), tau=5).collect()
+    }
+    sigs = {
+        r.doc_id: list(r.bands)
+        for r in __import__(
+            "vat_etl_spark.operators.multimodal", fromlist=["perceptual_hash"]
+        ).perceptual_hash(attach_payload(docs)).collect()
+    }
+    ids = sorted(sigs)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = sum(bin(x ^ y).count("1") for x, y in zip(sigs[a], sigs[b]))
+            if h <= 5:
+                brute[(a, b)] = h
+    assert got == brute
+    assert any(h > 3 for h in brute.values()), "family must exercise tau>3"
+    with _pytest.raises(ValueError):
+        M._phash_band_explode(docs.limit(0), tau=8)

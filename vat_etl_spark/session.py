@@ -46,3 +46,25 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_engine_caches(spark: SparkSession) -> int:
+    """Unpersist every DataFrame cache the engine has accumulated
+    (ADVICE-r13: registered queries return LAZY plans, so their internal
+    ``persist()`` layers — banded-dedup slim/kept/dup frames, pHash
+    signature frames, ANN serve inputs — cannot be unpersisted inside the
+    query function and accumulate across invocations in a long-lived
+    session until LRU pressure). Call after a caller's terminal action
+    when memory matters more than re-invocation speed: the SQL
+    CacheManager drops every cached plan (``spark.catalog.clearCache``),
+    then any straggler persisted RDDs are unpersisted directly. Safe at
+    any point — caches rebuild lazily on next use; returns the number of
+    persistent RDDs released."""
+    sc = spark.sparkContext
+    spark.catalog.clearCache()
+    jrdds = sc._jsc.getPersistentRDDs()
+    n = jrdds.size()
+    it = jrdds.values().iterator()
+    while it.hasNext():
+        it.next().unpersist(False)
+    return n
