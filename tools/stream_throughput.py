@@ -126,7 +126,7 @@ def main() -> None:
     out_json = (
         sys.argv[4]
         if len(sys.argv) > 4
-        else os.path.join(repo, "artifacts", "STREAM_THROUGHPUT_r13.json")
+        else os.path.join(repo, "artifacts", "STREAM_THROUGHPUT_r14.json")
     )
     corpus = f"/tmp/stream_tp/corpus_n{n_docs}_e{n_epochs}"
     if not os.path.exists(f"{corpus}/documents.parquet"):
