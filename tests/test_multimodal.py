@@ -444,18 +444,19 @@ def test_phash_fallback_band_grain_for_tau_above_3(spark):
     import vat_etl_spark.queries.multimodal as M
     from vat_etl_spark.operators.multimodal import attach_payload
 
-    rng_texts = [
-        ("base doc " + "abcdefgh" * 40 + str(i), i) for i in range(12)
-    ]
-    rows = [(i, t) for (t, i) in rng_texts]
-    # near-dup family: perturb a few bytes of doc 0's text so pairs land
-    # at a spread of hammings including some in (3, 7]
-    base = rows[0][1]
+    # 256-byte payloads = one byte per signature block, with a large
+    # byte-mean margin (spaces 32 / 'z' 122 vs global mean ~77), so
+    # flipping k distinct suffix bytes to '0' (48, below the mean) moves
+    # EXACTLY k signature bits — a deterministic hamming-k family with
+    # no global-mean cascade (repeating-pattern bases sit knife-edge on
+    # the mean and cascade under any perturbation; measured)
+    base = " " * 128 + "z" * 128
+    rows = [(0, base)]
+    rows += [(i, " " * 128 + "y" * (120 + i) + "z" * (8 - i)) for i in range(1, 8)]
     for k in range(1, 6):
         chars = list(base)
         for j in range(k):
-            pos = 30 + 37 * j
-            chars[pos] = chr(ord(chars[pos]) ^ 16)
+            chars[140 + 17 * j] = "0"
         rows.append((100 + k, "".join(chars)))
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {

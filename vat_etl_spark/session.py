@@ -62,9 +62,8 @@ def release_engine_caches(spark: SparkSession) -> int:
     persistent RDDs released."""
     sc = spark.sparkContext
     spark.catalog.clearCache()
-    jrdds = sc._jsc.getPersistentRDDs()
-    n = jrdds.size()
-    it = jrdds.values().iterator()
-    while it.hasNext():
-        it.next().unpersist(False)
+    jrdds = sc._jsc.getPersistentRDDs()  # py4j JavaMap
+    n = len(jrdds)
+    for jrdd in list(jrdds.values()):
+        jrdd.unpersist(False)
     return n
