@@ -95,7 +95,19 @@ def main() -> None:
     spark = get_spark("oracle-sweep")
     t0 = time.time()
     results = run_all(spark, sf_dir)
-    windows, window_violations = window_inventory(spark, sf_dir)
+    # window inventory at the SMALLEST sf: the optimizedPlan is pre-AQE
+    # and SF-independent, but query CONSTRUCTION executes any
+    # driver-coordinated folds (ANN builds, BPE/k-means/LM training
+    # loops, eager localCheckpoints) — at sf0.1 that second pass measured
+    # >45 min; at sf0.001 it is ~3 min. Engine caches from the sweep are
+    # released first so the pass starts cold and bounded.
+    from vat_etl_spark.session import release_engine_caches
+
+    release_engine_caches(spark)
+    inv_sf = os.environ.get("VAT_ETL_WININV_SF", "/root/testdata/sf0.001")
+    if not os.path.isdir(inv_sf):
+        inv_sf = sf_dir
+    windows, window_violations = window_inventory(spark, inv_sf)
     doc = {
         "sf_dir": sf_dir,
         "wall_sec": round(time.time() - t0, 1),
