@@ -570,3 +570,18 @@ def test_collocation_pmi_plan_shape(spark, sf_smoke):
     assert "TakeOrderedAndProject" in plan
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert analyzed.count("ResolvedHint") == 2  # n_uni + n_bi 1-row totals
+
+
+def test_phash_banded_join_is_equi_join_never_allpairs(spark, sf_smoke):
+    """The pHash near-dup detector's candidate stage must compile to a
+    band-keyed EQUI-join — never a cartesian/broadcast-nested-loop
+    all-pairs (the degenerate shape banding exists to avoid). The ra<rb
+    ordering and Hamming threshold must ride the equi-join as post-join
+    filters, not become the join condition."""
+    from vat_etl_spark.plans import formatted_plan
+    from vat_etl_spark.queries import QUERIES
+
+    plan = formatted_plan(QUERIES["multimodal_dedup_phash"](spark, sf_smoke))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "band_no" in plan and "band_key" in plan

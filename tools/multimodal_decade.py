@@ -33,8 +33,11 @@ from pyspark.sql import functions as F  # noqa: E402
 
 
 def _phash_candidates(spark, sf_dir: str):
-    """The band-join candidate stream of _phash_near_dup_pairs, split out
-    for volume accounting (same band layout, pre-Hamming filter)."""
+    """HISTORICAL r13 accounting: the 32-bit-grain uncapped band-join
+    candidate stream as it stood in round 13. Production moved to fused
+    4x64-bit capped join bands in round 14 (queries/multimodal.py) —
+    tools/multimodal_decade_r14.py measures THAT; this harness is kept
+    for reproducing the r13 artifact's numbers only."""
     from vat_etl_spark.operators.multimodal import (
         attach_payload,
         perceptual_hash,
