@@ -47,6 +47,14 @@ _UNPARTITIONED_WINDOW_ALLOWLIST = {
     "retrieval_eval_metrics": (3, "LIMIT-bounded ranks (10/50 rows)"),
 }
 
+# Cache-state-dependent entries: ts_cusum_drift's day-grain windows are
+# usually hidden behind the cache_latest substitution (tests/test_plans.py
+# documents both states and checks the calendar bound whenever visible);
+# the sweep accepts any count up to the cap and never flags absence.
+_UNPARTITIONED_WINDOW_OPTIONAL = {
+    "ts_cusum_drift": (2, "day-grain CUSUM walk (calendar; cache-dependent)"),
+}
+
 
 def _unpartitioned_windows(df) -> int:
     """Count Window nodes with an empty partitionSpec in the OPTIMIZED
@@ -71,11 +79,16 @@ def window_inventory(spark, sf_dir: str) -> tuple[dict, list[str]]:
         c = _unpartitioned_windows(fn(spark, sf_dir))
         if c:
             found[name] = c
+    def _ok(name: str, c: int) -> bool:
+        if name in _UNPARTITIONED_WINDOW_OPTIONAL:
+            return c <= _UNPARTITIONED_WINDOW_OPTIONAL[name][0]
+        return c == _UNPARTITIONED_WINDOW_ALLOWLIST.get(name, (0,))[0]
+
     violations = [
         f"{name}: {c} unpartitioned windows, allowlisted "
         f"{_UNPARTITIONED_WINDOW_ALLOWLIST.get(name, (0, 'NOT LISTED'))}"
         for name, c in sorted(found.items())
-        if c != _UNPARTITIONED_WINDOW_ALLOWLIST.get(name, (0,))[0]
+        if not _ok(name, c)
     ] + [
         f"{name}: allowlisted ({c}, {why!r}) but plan has none — stale entry"
         for name, (c, why) in sorted(_UNPARTITIONED_WINDOW_ALLOWLIST.items())
