@@ -76,6 +76,12 @@ BENCH_QUERIES = [
     # interpolated-LM scoring: bigram/continuation count tables joined back
     # to the token stream with exact integer-micros arithmetic.
     "text_kneser_ney_bigram",
+    # round-14 addition: the multimodal family's first bench presence —
+    # Arrow mapInPandas signature pass + signature-grain collapse + fused
+    # 64-bit band equi-join + exact Hamming verify; the only benched
+    # mapInPandas hot path, and the plan this round's fused-band change
+    # rewired (SCALE.md round-14), so regressions land in the gate.
+    "multimodal_dedup_phash",
 ]
 
 # Queries whose REAL cost includes driver-coordinated phases (model-sized
