@@ -142,6 +142,16 @@ def main() -> None:
     from vat_etl_spark.sources.catalog import read_table
 
     spark = get_spark("phash-capstress")
+
+    def _probe() -> float:
+        t0 = time.time()
+        spark.range(0, 200_000_000, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS s"
+        ).collect()
+        return round(time.time() - t0, 3)
+
+    _probe()
+    cpu_probe = min(_probe() for _ in range(3))
     docs = read_table(spark, corpus, "documents")
     mm = attach_payload(docs)
 
@@ -226,6 +236,7 @@ def main() -> None:
         round(len(planted_found & truth) / len(truth), 4) if truth else None
     )
     out = {
+        "cpu_probe_sec": cpu_probe,
         "n_docs": docs.count(),
         "n_planted_variants": n_planted,
         "n_truth_pairs": len(truth),
