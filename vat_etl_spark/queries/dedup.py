@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from vat_etl_spark.functions.localrel import local_rows_df
 from vat_etl_spark.queries import QUERIES, query
 from vat_etl_spark.queries.text import tokens_expr
 from vat_etl_spark.sources.catalog import read_table as _t
@@ -1657,7 +1658,8 @@ def dedup_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_hit = truth.join(cand, ["doc_a", "doc_b"]).count()
         recall = (n_hit / n_truth) if n_truth else 1.0
         out.append((gen, n_truth, n_cand, n_hit, float(recall)))
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         out,
         "generator string, n_truth_pairs long, n_candidates long,"
         " n_hits long, recall double",
@@ -2061,7 +2063,8 @@ def dedup_phonetic_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_truth = int(n_truth_cross + n_truth_same)
     n_hit = int(hits_cross + hits_same)
     recall = (n_hit / n_truth) if n_truth else 1.0
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(n_truth, int(n_cand), n_hit, float(recall))],
         "n_truth_pairs long, n_candidates long, n_hits long, recall double",
     )
@@ -2145,7 +2148,8 @@ def agg_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         and abs(d["intersection_est"] - d["exact_intersection"])
         <= slack(d["exact_clickers"]) + slack(d["exact_purchasers"]) + slack(d["exact_union"])
     )
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [
             (
                 d["exact_clickers"],

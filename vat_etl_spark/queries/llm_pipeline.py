@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
+from vat_etl_spark.functions.localrel import local_rows_df
 from vat_etl_spark.queries import QUERIES, query
 from vat_etl_spark.queries.text import STOPWORDS, tokens_expr
 from vat_etl_spark.sources.catalog import read_table as _t
@@ -977,14 +978,24 @@ def build_corpus(
     card.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/dataset_card")
     stage_walls["dataset_card"] = round(_time.perf_counter() - _t0, 2)
     keys = ("docs_written", "train_docs", "val_docs", "test_docs", "chars_written")
-    spark.createDataFrame(
+    # metadata rows as JVM local relations (functions/localrel.py): the
+    # pickled-RDD spelling cost 5.7/5.6 s PER WRITE here — half the
+    # composed build's wall — because coalesce(1) iterated 32 empty
+    # Python-backed partitions serially (OPTIMIZATION_r14.md, guide §4)
+    _t0 = _time.perf_counter()
+    local_rows_df(
+        spark,
         [tuple(m[k] for k in keys)],
         "docs_written long, train_docs long, val_docs long, test_docs long, chars_written long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/build_metrics")
-    spark.createDataFrame(
+    stage_walls["build_metrics_write"] = round(_time.perf_counter() - _t0, 2)
+    _t0 = _time.perf_counter()
+    local_rows_df(
+        spark,
         [(i, s, docs, chars) for i, (s, docs, chars) in enumerate(funnel)],
         "stage_no long, stage string, docs long, chars long",
     ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/funnel")
+    stage_walls["funnel_write"] = round(_time.perf_counter() - _t0, 2)
     splits = shards = 0
     _t0 = _time.perf_counter()
     if m["docs_written"]:
@@ -2203,8 +2214,8 @@ def text_bpe_merges(
     finally:
         for df in cached:
             df.unpersist()
-    return spark.createDataFrame(
-        merges, "rank long, left string, right string, pair_count long"
+    return local_rows_df(
+        spark, merges, "rank long, left string, right string, pair_count long"
     )
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from vat_etl_spark.functions.localrel import local_rows_df
 from vat_etl_spark.queries import query
 from vat_etl_spark.sources.catalog import read_table as _t
 
@@ -429,7 +430,8 @@ def dq_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     observed.write.format("noop").mode("overwrite").save()
     m = obs.get
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(m["n_rows"], m["null_priorities"], m["nonpositive_prices"], m["max_price"])],
         "n_rows long, null_priorities long, nonpositive_prices long, max_price double",
     )

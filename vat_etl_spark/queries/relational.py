@@ -27,6 +27,7 @@ from vat_etl_spark.functions.numeric import (
     hsum_merge,
     hsum_partial,
 )
+from vat_etl_spark.functions.localrel import local_rows_df
 from vat_etl_spark.functions.ranks import two_pass_ntile, two_pass_rank
 from vat_etl_spark.queries import query
 from vat_etl_spark.sources.catalog import read_table as _t
@@ -249,7 +250,8 @@ def join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi (range) join against a tiny broadcast bands dim — the
     broadcast-nested-loop pattern for interval lookups."""
     li = _t(spark, sf_dir, "lineitem")
-    bands = li.sparkSession.createDataFrame(
+    bands = local_rows_df(
+        li.sparkSession,
         [("small", 0.0, 15.0), ("medium", 15.0, 30.0),
          ("large", 30.0, 45.0), ("jumbo", 45.0, 1e9)],
         "band string, lo double, hi double",
@@ -1939,7 +1941,8 @@ def agg_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for (pk, exact, est, n_total) in out
     ]
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         rows,
         "partkey int, exact_count long, n_total long, "
         "est_ge_exact boolean, est_within_eps boolean",

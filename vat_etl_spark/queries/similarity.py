@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from vat_etl_spark.functions.localrel import local_rows_df
 from vat_etl_spark.queries import QUERIES, query
 from vat_etl_spark.queries.dedup import cosine_expr, _dbl
 from vat_etl_spark.sources.catalog import read_table as _t
@@ -607,7 +608,8 @@ def ann_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cand = cands.select("qid", "vec_id").distinct().count()
     n_hit = truth.join(approx_topk, ["qid", "nid"]).count()
     recall = (n_hit / n_truth) if n_truth else 1.0
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(n_truth, n_cand, n_hit, float(recall))],
         "n_truth long, n_candidates long, n_hits long, recall_at_5 double",
     )
@@ -1792,7 +1794,10 @@ def _meta_n_vec(spark: SparkSession, path: str) -> int | None:
 
 
 def _write_meta(spark: SparkSession, path: str, n_vec: int, fp: int) -> None:
-    spark.createDataFrame(
+    # JVM local relation: coalesce(1) over a pickled-RDD frame serializes
+    # 32 Python-worker handshakes into one task (functions/localrel.py)
+    local_rows_df(
+        spark,
         [(n_vec, fp, _NND_K, _NND_ROUNDS, _IDX_VERSION)],
         "n_vec long, fp long, k int, rounds int, version int",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")

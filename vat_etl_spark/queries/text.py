@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
+from vat_etl_spark.functions.localrel import local_rows_df
 from vat_etl_spark.functions.numeric import davg, davg_sql, dsum, dsum_sql
 from vat_etl_spark.queries import QUERIES, query
 from vat_etl_spark.sources.catalog import read_table as _t
@@ -1115,7 +1116,10 @@ def retrieval_prf_rm3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     )
     exp_ws = [r.w for r in exp_rows]
-    terms = spark.createDataFrame(
+    # JVM local relation (functions/localrel.py): the pickled-RDD
+    # spelling re-ran Python workers on every pass of this benched query
+    terms = local_rows_df(
+        spark,
         [(t, i, 1.0) for i, t in enumerate(_BM25_TERMS)]
         + [(w, 2 + j + 1, lam) for j, w in enumerate(exp_ws)],
         "w string, term_rank long, wgt double",
