@@ -1543,6 +1543,17 @@ def _graph_serve(
     qs = em.where(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("qid"), F.col("ev").alias("qv")
     )
+    # every hop's AQE-materialized stages re-scanned the graph and
+    # embedding parquet (2 scans × hops + the per-hop query-vector read):
+    # persist the three reused tables for THIS call — the first hop
+    # populates the cache, later hops read blocks instead of re-decoding
+    # parquet. cache_latest (not a bare persist) so repeated invocations
+    # hold ONE live copy; each call re-materializes from parquet, so no
+    # state survives a pass (measured: steady hop 0.45 → 0.31 s,
+    # OPTIMIZATION_r14.md; guide §2.4/§5)
+    from vat_etl_spark.functions.caching import cache_latest
+
+    g, dst, qs = cache_latest("_graph_serve_tables", g, dst, qs)
 
     def score(cand: DataFrame) -> DataFrame:
         return (
