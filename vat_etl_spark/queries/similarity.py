@@ -1536,8 +1536,15 @@ def _graph_serve(
     em = _t(spark, sf_dir, "embeddings").select(
         "vec_id", _dbl(F.col("embedding")).alias("ev")
     )
-    graph, n_vec = load_graph_index(spark, sf_dir, serve=True)
-    nodes = load_graph_nodes(spark, sf_dir)
+    # one freshness check per serve call: load_graph_index AND
+    # load_graph_nodes each re-ran build_graph_index's corpus
+    # count+fingerprint scan — the second is pure duplicate work
+    # (~0.3 s/pass at sf0.1), so resolve the index path once and read
+    # the three artifacts directly
+    path = build_graph_index(spark, sf_dir)
+    graph = spark.read.parquet(f"{path}/edges_serve")
+    n_vec = _meta_n_vec(spark, path)
+    nodes = spark.read.parquet(f"{path}/nodes")
     g = graph.select("v", "n")
     dst = em.select(F.col("vec_id").alias("node"), F.col("ev").alias("dv"))
     qs = em.where(F.col("vec_id") < n_queries).select(
