@@ -56,3 +56,21 @@ def test_empty_rows_falls_back_but_stays_correct(spark):
     df = local_rows_df(spark, [], ddl)
     assert df.schema == spark.createDataFrame([], ddl).schema
     assert df.count() == 0
+
+
+def test_mistyped_values_raise_like_createdataframe(spark):
+    """createDataFrame rejects mistyped scalars loudly; the Arrow path
+    would silently cast-truncate (0.97 -> 0 in a long column). Pin the
+    loud failure (r14 review finding)."""
+    import pytest
+
+    for rows, ddl in [
+        ([(0.97,)], "n_hits long"),  # float into integral: truncation risk
+        ([(1,)], "recall double"),  # int into double: old path raised
+        ([(1,)], "ok boolean"),  # int into boolean: Arrow would cast
+        ([(True,)], "n long"),  # bool is not a count
+        ([(7,)], "name string"),
+        ([(1, 2, 3)], "a long, b long"),  # arity mismatch
+    ]:
+        with pytest.raises(TypeError):
+            local_rows_df(spark, rows, ddl)

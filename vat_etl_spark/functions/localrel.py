@@ -19,28 +19,93 @@ guide §4):
 JVM (`spark.sql.execution.arrow.pyspark.enabled` is on in session.py), so
 downstream actions never touch a Python worker. Same (rows, DDL schema)
 contract as ``createDataFrame`` — drop-in at every call site, identical
-data, types pinned by the caller's DDL. Falls back to plain
-``createDataFrame`` if the Arrow/pandas path is unavailable (exotic
-types), so callers never have to care.
+data, types pinned by the caller's DDL.
+
+Two drop-in-strictness details (r14 review findings):
+
+- ``createDataFrame`` REJECTS mistyped values ("LongType can not accept
+  object 0.97") where the pandas→Arrow path would silently cast-truncate
+  (the unsafe Arrow cast). ``_check_types`` reproduces the loud failure
+  for the scalar types the call sites use, so a float sneaking into a
+  long column raises instead of writing a truncated metric.
+- The Arrow path falling over must not SILENTLY revive the slow pickled
+  path the helper exists to kill: the fallback logs a warning.
 """
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import StructType
+from pyspark.sql.types import (
+    BooleanType,
+    ByteType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    ShortType,
+    StringType,
+    StructType,
+)
+
+_LOG = logging.getLogger(__name__)
+
+_INTEGRAL = (ByteType, ShortType, IntegerType, LongType)
+_FRACTIONAL = (FloatType, DoubleType)
+
+
+def _check_types(rows: list[tuple], schema: StructType) -> None:
+    """Raise the same way createDataFrame would on mistyped scalars —
+    rows are metadata-sized by contract, so the O(rows × fields) pass is
+    free. Types outside the audited set are left to Spark."""
+    for row in rows:
+        if len(row) != len(schema.fields):
+            raise TypeError(
+                f"row has {len(row)} values for {len(schema.fields)} fields"
+            )
+        for v, f in zip(row, schema.fields):
+            if v is None:
+                continue
+            t = f.dataType
+            if isinstance(t, BooleanType) and not isinstance(v, bool):
+                raise TypeError(f"{t} can not accept object {v!r} ({f.name})")
+            if isinstance(t, _INTEGRAL) and (
+                isinstance(v, bool) or not isinstance(v, int)
+            ):
+                raise TypeError(f"{t} can not accept object {v!r} ({f.name})")
+            if isinstance(t, _FRACTIONAL) and not isinstance(v, float):
+                raise TypeError(f"{t} can not accept object {v!r} ({f.name})")
+            if isinstance(t, StringType) and not isinstance(v, str):
+                raise TypeError(f"{t} can not accept object {v!r} ({f.name})")
 
 
 def local_rows_df(
     spark: SparkSession, rows: Iterable[tuple], ddl_schema: str
 ) -> DataFrame:
-    rows = list(rows)
+    rows = [tuple(r) for r in rows]
+    schema = StructType.fromDDL(ddl_schema)
+    if not rows:
+        # empty relations are cold-path; the Arrow batch path rejects
+        # them, and a 0-row pickled RDD costs nothing to execute
+        return spark.createDataFrame(rows, schema)
+    _check_types(rows, schema)
     try:
         import pandas as pd
 
-        names = [f.name for f in StructType.fromDDL(ddl_schema).fields]
-        pdf = pd.DataFrame.from_records(rows, columns=names)
-        return spark.createDataFrame(pdf, schema=ddl_schema)
+        pdf = pd.DataFrame.from_records(
+            rows, columns=[f.name for f in schema.fields]
+        )
+        return spark.createDataFrame(pdf, schema=schema)
     except Exception:
-        return spark.createDataFrame(rows, ddl_schema)
+        # the slow path still produces correct results — but it must not
+        # return silently, or the Python-worker write pathology creeps
+        # back with no signal
+        _LOG.warning(
+            "local_rows_df: Arrow local-relation path failed for schema "
+            "%r — falling back to the pickled-RDD createDataFrame path",
+            ddl_schema,
+            exc_info=True,
+        )
+        return spark.createDataFrame(rows, schema)

@@ -854,223 +854,229 @@ def build_corpus(
         return out, round(_time.perf_counter() - t0, 2)
 
     pool = ThreadPoolExecutor(max_workers=2)
-    prefetch: dict[str, object] = {}
-    if "perplexity" in stages:
-        if lm_dir:
-            _lm = kn_load_lm(spark, lm_dir)
-            prefetch["perplexity"] = pool.submit(
-                _bg, lambda: kn_ppl_kept_fixed(spark, d, _lm)
-            )
-        else:
-            prefetch["perplexity"] = pool.submit(
+    # review finding (r14): without try/finally an exception between
+    # prefetch submission and consumption leaked running pool threads
+    # and their eager checkpoint blocks; cancel_futures drops queued
+    # work (running jobs finish and are GC-reclaimed with the futures)
+    try:
+        prefetch: dict[str, object] = {}
+        if "perplexity" in stages:
+            if lm_dir:
+                _lm = kn_load_lm(spark, lm_dir)
+                prefetch["perplexity"] = pool.submit(
+                    _bg, lambda: kn_ppl_kept_fixed(spark, d, _lm)
+                )
+            else:
+                prefetch["perplexity"] = pool.submit(
+                    _bg,
+                    lambda: QUERIES["pipeline_perplexity_buckets"](spark, sf_dir)
+                    .filter(F.col("kept"))
+                    .select("doc_id"),
+                )
+        if "exact_dedup" in stages:
+            prefetch["exact_dedup"] = pool.submit(
                 _bg,
-                lambda: QUERIES["pipeline_perplexity_buckets"](spark, sf_dir)
-                .filter(F.col("kept"))
+                lambda: QUERIES["pipeline_cross_source_dedup"](spark, sf_dir)
                 .select("doc_id"),
             )
-    if "exact_dedup" in stages:
-        prefetch["exact_dedup"] = pool.submit(
-            _bg,
-            lambda: QUERIES["pipeline_cross_source_dedup"](spark, sf_dir)
-            .select("doc_id"),
+        prefetch["dataset_card"] = pool.submit(
+            _bg, lambda: QUERIES["pipeline_dataset_card"](spark, sf_dir)
         )
-    prefetch["dataset_card"] = pool.submit(
-        _bg, lambda: QUERIES["pipeline_dataset_card"](spark, sf_dir)
-    )
 
-    def _stage(df: DataFrame, name: str) -> DataFrame:
-        obs = Observation(f"corpus_{name}")
-        t0 = _time.perf_counter()
-        # LOCALCHECKPOINT, not persist (round-11 profiling): the eager
-        # checkpoint materializes the boundary (firing the Observation
-        # exactly once) AND physically truncates the lineage, so every
-        # downstream job starts from the checkpointed blocks. The old
-        # persist() chain nested each stage's full plan inside the next,
-        # and past ~5 stages downstream jobs stopped matching the cache
-        # and silently recomputed the WHOLE funnel from parquet — measured
-        # at sf0.1: the post-funnel sig-index/shard writes cost 12-15 s
-        # each over 121 rows; with the lineage cut they are sub-second
-        # (the same per-round discipline kmeans/pagerank already use).
-        out = df.observe(
+        def _stage(df: DataFrame, name: str) -> DataFrame:
+            obs = Observation(f"corpus_{name}")
+            t0 = _time.perf_counter()
+            # LOCALCHECKPOINT, not persist (round-11 profiling): the eager
+            # checkpoint materializes the boundary (firing the Observation
+            # exactly once) AND physically truncates the lineage, so every
+            # downstream job starts from the checkpointed blocks. The old
+            # persist() chain nested each stage's full plan inside the next,
+            # and past ~5 stages downstream jobs stopped matching the cache
+            # and silently recomputed the WHOLE funnel from parquet — measured
+            # at sf0.1: the post-funnel sig-index/shard writes cost 12-15 s
+            # each over 121 rows; with the lineage cut they are sub-second
+            # (the same per-round discipline kmeans/pagerank already use).
+            out = df.observe(
+                obs,
+                F.count(F.lit(1)).alias("docs"),
+                F.sum(F.length("text").cast("long")).alias("chars"),
+            ).localCheckpoint(eager=True)
+            # wall to MATERIALIZE this stage from the previous boundary —
+            # makes a funnel regression attributable to a stage instead of
+            # one opaque end-to-end number (bench's most expensive entry)
+            stage_walls[name] = round(_time.perf_counter() - t0, 2)
+            m = {k: int(v or 0) for k, v in obs.get.items()}
+            funnel.append((name, m["docs"], m["chars"]))
+            return out
+
+        cur = _stage(d, "raw")
+        if "gopher" in stages:
+            keep = quality_flags(cur).filter(F.col("passes")).select("doc_id")
+            cur = _stage(cur.join(keep, "doc_id"), "gopher")
+        if "classifier" in stages:
+            keep = (
+                classifier_label_plan(cur)
+                .filter(F.col("label") == "keep")
+                .select("doc_id")
+            )
+            cur = _stage(cur.join(keep, "doc_id"), "classifier")
+        if "perplexity" in stages:
+            # keep set prefetched above. lm_dir = CCNet's actual shape
+            # (verdict-r11 task 1): the LM and its bucket thresholds were
+            # estimated ONCE from a reference corpus (kn_write_lm) — this
+            # build only SCORES against the persisted tables: three keyed
+            # joins + a broadcast threshold CASE, no per-build LM
+            # re-estimation. Self-LM fallback: the LM and its thresholds
+            # come from the FULL input corpus (the reference distribution),
+            # re-derived this build via the registered oracle-backed bucket
+            # assignment.
+            keep, bg = prefetch["perplexity"].result()
+            stage_walls["perplexity_prefetch"] = bg
+            cur = _stage(cur.join(keep, "doc_id"), "perplexity")
+        if "exact_dedup" in stages:
+            keep, bg = prefetch["exact_dedup"].result()
+            stage_walls["exact_dedup_prefetch"] = bg
+            cur = _stage(cur.join(keep, "doc_id"), "exact_dedup")
+        if "line_dedup" in stages:
+            cleaned = line_dedup_plan(cur).select(
+                "doc_id", F.col("cleaned_text").alias("text")
+            )
+            cur = _stage(
+                cur.drop("text").join(cleaned, "doc_id")
+                .where(F.trim(F.col("text")) != ""),
+                "line_dedup",
+            )
+        if "span_removal" in stages:
+            cleaned = span_removal_plan(cur).select(
+                "doc_id", F.col("cleaned_text").alias("text")
+            )
+            cur = _stage(
+                cur.drop("text").join(cleaned, "doc_id")
+                .where(F.trim(F.col("text")) != ""),
+                "span_removal",
+            )
+        if base_keys is not None:
+            # cross-build exact dedup: drop docs whose FINAL content key is
+            # already in the base corpus (same key expression the base's
+            # shards carry, so the anti-join is key-exact across epochs)
+            keyed = cur.withColumn(
+                "content_key",
+                F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 2)),
+            )
+            cur = _stage(
+                keyed.join(base_keys, "content_key", "left_anti").drop(
+                    "content_key"
+                ),
+                "base_dedup",
+            )
+        if "neardup" in stages:
+            # keep-first within the surviving corpus; an incremental build
+            # also rejects arrivals near the BASE corpus via its persisted
+            # signature index — exactly the streaming gate's protocol
+            cur = _stage(neardup_admit_plan(cur, base_sigs), "neardup")
+            # persist the admitted signatures as the corpus's near-dup index —
+            # the exact `existing_sigs` input of the streaming admission gate
+            # (streaming/corpus.py) and of the next incremental build (base ∪
+            # new), so batch-built corpora and continuous ingest share one
+            # gate state
+            sig_index = cur.select("simhash").distinct()
+            if base_sigs is not None:
+                sig_index = sig_index.union(base_sigs).distinct()
+            _t0 = _time.perf_counter()
+            sig_index.write.mode("overwrite").parquet(
+                f"{out_dir}/neardup_sig_index"
+            )
+            stage_walls["sig_index_write"] = round(_time.perf_counter() - _t0, 2)
+            cur = cur.drop("simhash")
+
+        kept = with_content_split(cur).drop("bucket").withColumn(
+            "shard",
+            (((F.col("doc_id") % 2147483648) * 2654435761) % n_shards).cast("long"),
+        )
+        # observability rides the write itself (dq_observe_metrics pattern):
+        # the final counters come from the pass that writes the shards — zero
+        # extra scans — and are persisted next to the card so a nightly 100 TB
+        # build self-reports without a verification re-read
+        obs = Observation("corpus_build")
+        observed = kept.observe(
             obs,
-            F.count(F.lit(1)).alias("docs"),
-            F.sum(F.length("text").cast("long")).alias("chars"),
-        ).localCheckpoint(eager=True)
-        # wall to MATERIALIZE this stage from the previous boundary —
-        # makes a funnel regression attributable to a stage instead of
-        # one opaque end-to-end number (bench's most expensive entry)
-        stage_walls[name] = round(_time.perf_counter() - t0, 2)
-        m = {k: int(v or 0) for k, v in obs.get.items()}
-        funnel.append((name, m["docs"], m["chars"]))
-        return out
-
-    cur = _stage(d, "raw")
-    if "gopher" in stages:
-        keep = quality_flags(cur).filter(F.col("passes")).select("doc_id")
-        cur = _stage(cur.join(keep, "doc_id"), "gopher")
-    if "classifier" in stages:
-        keep = (
-            classifier_label_plan(cur)
-            .filter(F.col("label") == "keep")
-            .select("doc_id")
+            F.count(F.lit(1)).alias("docs_written"),
+            F.sum((F.col("split") == "train").cast("long")).alias("train_docs"),
+            F.sum((F.col("split") == "val").cast("long")).alias("val_docs"),
+            F.sum((F.col("split") == "test").cast("long")).alias("test_docs"),
+            F.sum(F.length("text").cast("long")).alias("chars_written"),
         )
-        cur = _stage(cur.join(keep, "doc_id"), "classifier")
-    if "perplexity" in stages:
-        # keep set prefetched above. lm_dir = CCNet's actual shape
-        # (verdict-r11 task 1): the LM and its bucket thresholds were
-        # estimated ONCE from a reference corpus (kn_write_lm) — this
-        # build only SCORES against the persisted tables: three keyed
-        # joins + a broadcast threshold CASE, no per-build LM
-        # re-estimation. Self-LM fallback: the LM and its thresholds
-        # come from the FULL input corpus (the reference distribution),
-        # re-derived this build via the registered oracle-backed bucket
-        # assignment.
-        keep, bg = prefetch["perplexity"].result()
-        stage_walls["perplexity_prefetch"] = bg
-        cur = _stage(cur.join(keep, "doc_id"), "perplexity")
-    if "exact_dedup" in stages:
-        keep, bg = prefetch["exact_dedup"].result()
-        stage_walls["exact_dedup_prefetch"] = bg
-        cur = _stage(cur.join(keep, "doc_id"), "exact_dedup")
-    if "line_dedup" in stages:
-        cleaned = line_dedup_plan(cur).select(
-            "doc_id", F.col("cleaned_text").alias("text")
-        )
-        cur = _stage(
-            cur.drop("text").join(cleaned, "doc_id")
-            .where(F.trim(F.col("text")) != ""),
-            "line_dedup",
-        )
-    if "span_removal" in stages:
-        cleaned = span_removal_plan(cur).select(
-            "doc_id", F.col("cleaned_text").alias("text")
-        )
-        cur = _stage(
-            cur.drop("text").join(cleaned, "doc_id")
-            .where(F.trim(F.col("text")) != ""),
-            "span_removal",
-        )
-    if base_keys is not None:
-        # cross-build exact dedup: drop docs whose FINAL content key is
-        # already in the base corpus (same key expression the base's
-        # shards carry, so the anti-join is key-exact across epochs)
-        keyed = cur.withColumn(
-            "content_key",
-            F.concat_ws(" ", F.slice(tokens_expr(F.col("text")), 1, 2)),
-        )
-        cur = _stage(
-            keyed.join(base_keys, "content_key", "left_anti").drop(
-                "content_key"
-            ),
-            "base_dedup",
-        )
-    if "neardup" in stages:
-        # keep-first within the surviving corpus; an incremental build
-        # also rejects arrivals near the BASE corpus via its persisted
-        # signature index — exactly the streaming gate's protocol
-        cur = _stage(neardup_admit_plan(cur, base_sigs), "neardup")
-        # persist the admitted signatures as the corpus's near-dup index —
-        # the exact `existing_sigs` input of the streaming admission gate
-        # (streaming/corpus.py) and of the next incremental build (base ∪
-        # new), so batch-built corpora and continuous ingest share one
-        # gate state
-        sig_index = cur.select("simhash").distinct()
-        if base_sigs is not None:
-            sig_index = sig_index.union(base_sigs).distinct()
         _t0 = _time.perf_counter()
-        sig_index.write.mode("overwrite").parquet(
-            f"{out_dir}/neardup_sig_index"
+        observed.write.mode("overwrite").partitionBy("split", "shard").parquet(
+            f"{out_dir}/shards"
         )
-        stage_walls["sig_index_write"] = round(_time.perf_counter() - _t0, 2)
-        cur = cur.drop("simhash")
-
-    kept = with_content_split(cur).drop("bucket").withColumn(
-        "shard",
-        (((F.col("doc_id") % 2147483648) * 2654435761) % n_shards).cast("long"),
-    )
-    # observability rides the write itself (dq_observe_metrics pattern):
-    # the final counters come from the pass that writes the shards — zero
-    # extra scans — and are persisted next to the card so a nightly 100 TB
-    # build self-reports without a verification re-read
-    obs = Observation("corpus_build")
-    observed = kept.observe(
-        obs,
-        F.count(F.lit(1)).alias("docs_written"),
-        F.sum((F.col("split") == "train").cast("long")).alias("train_docs"),
-        F.sum((F.col("split") == "val").cast("long")).alias("val_docs"),
-        F.sum((F.col("split") == "test").cast("long")).alias("test_docs"),
-        F.sum(F.length("text").cast("long")).alias("chars_written"),
-    )
-    _t0 = _time.perf_counter()
-    observed.write.mode("overwrite").partitionBy("split", "shard").parquet(
-        f"{out_dir}/shards"
-    )
-    stage_walls["shard_write"] = round(_time.perf_counter() - _t0, 2)
-    # observed sums over ZERO rows are null (only count is 0) — a corpus
-    # where nothing passes the gate must report zeros, not crash
-    m = {k: int(v or 0) for k, v in obs.get.items()}
-    _t0 = _time.perf_counter()
-    card, bg = prefetch["dataset_card"].result()
-    stage_walls["dataset_card_prefetch"] = bg
-    pool.shutdown(wait=True)
-    card.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/dataset_card")
-    stage_walls["dataset_card"] = round(_time.perf_counter() - _t0, 2)
-    keys = ("docs_written", "train_docs", "val_docs", "test_docs", "chars_written")
-    # metadata rows as JVM local relations (functions/localrel.py): the
-    # pickled-RDD spelling cost 5.7/5.6 s PER WRITE here — half the
-    # composed build's wall — because coalesce(1) iterated 32 empty
-    # Python-backed partitions serially (OPTIMIZATION_r14.md, guide §4)
-    _t0 = _time.perf_counter()
-    local_rows_df(
-        spark,
-        [tuple(m[k] for k in keys)],
-        "docs_written long, train_docs long, val_docs long, test_docs long, chars_written long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/build_metrics")
-    stage_walls["build_metrics_write"] = round(_time.perf_counter() - _t0, 2)
-    _t0 = _time.perf_counter()
-    local_rows_df(
-        spark,
-        [(i, s, docs, chars) for i, (s, docs, chars) in enumerate(funnel)],
-        "stage_no long, stage string, docs long, chars long",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/funnel")
-    stage_walls["funnel_write"] = round(_time.perf_counter() - _t0, 2)
-    splits = shards = 0
-    _t0 = _time.perf_counter()
-    if m["docs_written"]:
-        written = spark.read.parquet(f"{out_dir}/shards")
-        # one fused aggregate instead of two distinct().count() jobs —
-        # split/shard are non-null partition columns, so countDistinct
-        # is exactly the distinct-count the two jobs computed
-        srow = written.agg(
-            F.countDistinct("split").alias("n_splits"),
-            F.countDistinct("split", "shard").alias("n_shards"),
-        ).first()
-        splits, shards = srow["n_splits"], srow["n_shards"]
-        # the extended dataset card: what was actually WRITTEN, per
-        # (lang, split) — doc/char/token budget of the release
-        written.groupBy("lang", "split").agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.countDistinct("content_key").alias("n_keys"),
-            F.sum(F.size(tokens_expr(F.col("text"))).cast("long")).alias(
-                "n_tokens"
-            ),
-        ).coalesce(1).write.mode("overwrite").parquet(
-            f"{out_dir}/dataset_card_by_split"
-        )
-    stage_walls["card_by_split"] = round(_time.perf_counter() - _t0, 2)
-    # checkpointed stage blocks are freed by the ContextCleaner once the
-    # local references drop at return
-    return {
-        "docs_written": m["docs_written"],
-        "splits": splits,
-        "shards": shards,
-        "train_docs": m["train_docs"],
-        "val_docs": m["val_docs"],
-        "test_docs": m["test_docs"],
-        "chars_written": m["chars_written"],
-        "funnel": {s: docs for s, docs, _ in funnel},
-        "stage_walls": stage_walls,
-    }
+        stage_walls["shard_write"] = round(_time.perf_counter() - _t0, 2)
+        # observed sums over ZERO rows are null (only count is 0) — a corpus
+        # where nothing passes the gate must report zeros, not crash
+        m = {k: int(v or 0) for k, v in obs.get.items()}
+        _t0 = _time.perf_counter()
+        card, bg = prefetch["dataset_card"].result()
+        stage_walls["dataset_card_prefetch"] = bg
+        card.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/dataset_card")
+        stage_walls["dataset_card"] = round(_time.perf_counter() - _t0, 2)
+        keys = ("docs_written", "train_docs", "val_docs", "test_docs", "chars_written")
+        # metadata rows as JVM local relations (functions/localrel.py): the
+        # pickled-RDD spelling cost 5.7/5.6 s PER WRITE here — half the
+        # composed build's wall — because coalesce(1) iterated 32 empty
+        # Python-backed partitions serially (OPTIMIZATION_r14.md, guide §4)
+        _t0 = _time.perf_counter()
+        local_rows_df(
+            spark,
+            [tuple(m[k] for k in keys)],
+            "docs_written long, train_docs long, val_docs long, test_docs long, chars_written long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/build_metrics")
+        stage_walls["build_metrics_write"] = round(_time.perf_counter() - _t0, 2)
+        _t0 = _time.perf_counter()
+        local_rows_df(
+            spark,
+            [(i, s, docs, chars) for i, (s, docs, chars) in enumerate(funnel)],
+            "stage_no long, stage string, docs long, chars long",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/funnel")
+        stage_walls["funnel_write"] = round(_time.perf_counter() - _t0, 2)
+        splits = shards = 0
+        _t0 = _time.perf_counter()
+        if m["docs_written"]:
+            written = spark.read.parquet(f"{out_dir}/shards")
+            # one fused aggregate instead of two distinct().count() jobs —
+            # split/shard are non-null partition columns, so countDistinct
+            # is exactly the distinct-count the two jobs computed
+            srow = written.agg(
+                F.countDistinct("split").alias("n_splits"),
+                F.countDistinct("split", "shard").alias("n_shards"),
+            ).first()
+            splits, shards = srow["n_splits"], srow["n_shards"]
+            # the extended dataset card: what was actually WRITTEN, per
+            # (lang, split) — doc/char/token budget of the release
+            written.groupBy("lang", "split").agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("content_key").alias("n_keys"),
+                F.sum(F.size(tokens_expr(F.col("text"))).cast("long")).alias(
+                    "n_tokens"
+                ),
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{out_dir}/dataset_card_by_split"
+            )
+        stage_walls["card_by_split"] = round(_time.perf_counter() - _t0, 2)
+        # checkpointed stage blocks are freed by the ContextCleaner once the
+        # local references drop at return
+        return {
+            "docs_written": m["docs_written"],
+            "splits": splits,
+            "shards": shards,
+            "train_docs": m["train_docs"],
+            "val_docs": m["val_docs"],
+            "test_docs": m["test_docs"],
+            "chars_written": m["chars_written"],
+            "funnel": {s: docs for s, docs, _ in funnel},
+            "stage_walls": stage_walls,
+        }
+    finally:
+        pool.shutdown(wait=False, cancel_futures=True)
 
 
 # --- no-split greedy packing (capacity-reset recurrence) ----------------------

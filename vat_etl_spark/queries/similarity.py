@@ -1544,6 +1544,12 @@ def _graph_serve(
     path = build_graph_index(spark, sf_dir)
     graph = spark.read.parquet(f"{path}/edges_serve")
     n_vec = _meta_n_vec(spark, path)
+    if n_vec is None:
+        # _meta_n_vec degrades to None on an unreadable meta — right
+        # after build_graph_index validated/wrote it that means storage
+        # trouble, and silently seeding pmod(hash, NULL) would serve
+        # garbage; fail loudly instead (r14 review finding)
+        raise RuntimeError(f"graph index meta unreadable at {path}/meta")
     nodes = spark.read.parquet(f"{path}/nodes")
     g = graph.select("v", "n")
     dst = em.select(F.col("vec_id").alias("node"), F.col("ev").alias("dv"))
