@@ -982,11 +982,18 @@ def build_corpus(
             sig_index = cur.select("simhash").distinct()
             if base_sigs is not None:
                 sig_index = sig_index.union(base_sigs).distinct()
-            _t0 = _time.perf_counter()
-            sig_index.write.mode("overwrite").parquet(
-                f"{out_dir}/neardup_sig_index"
-            )
-            stage_walls["sig_index_write"] = round(_time.perf_counter() - _t0, 2)
+            # the sig index derives from the (checkpointed) admitted
+            # frame and nothing downstream reads it back in this build —
+            # write it on the pool, overlapped with the shard write
+            # (guide §2.6); joined below so failures still surface here
+            def _sig_write(df=sig_index):
+                t0 = _time.perf_counter()
+                df.write.mode("overwrite").parquet(
+                    f"{out_dir}/neardup_sig_index"
+                )
+                return round(_time.perf_counter() - t0, 2)
+
+            sig_write_fut = pool.submit(_sig_write)
             cur = cur.drop("simhash")
 
         kept = with_content_split(cur).drop("bucket").withColumn(
@@ -997,6 +1004,20 @@ def build_corpus(
         # the final counters come from the pass that writes the shards — zero
         # extra scans — and are persisted next to the card so a nightly 100 TB
         # build self-reports without a verification re-read
+        # resolve the card prefetch on the MAIN thread (pool tasks must
+        # never wait on pool futures), then overlap its write with the
+        # shard write below
+        card, bg = prefetch["dataset_card"].result()
+        stage_walls["dataset_card_prefetch"] = bg
+
+        def _card_write(df=card):
+            t0 = _time.perf_counter()
+            df.coalesce(1).write.mode("overwrite").parquet(
+                f"{out_dir}/dataset_card"
+            )
+            return round(_time.perf_counter() - t0, 2)
+
+        card_write_fut = pool.submit(_card_write)
         obs = Observation("corpus_build")
         observed = kept.observe(
             obs,
@@ -1014,11 +1035,12 @@ def build_corpus(
         # observed sums over ZERO rows are null (only count is 0) — a corpus
         # where nothing passes the gate must report zeros, not crash
         m = {k: int(v or 0) for k, v in obs.get.items()}
-        _t0 = _time.perf_counter()
-        card, bg = prefetch["dataset_card"].result()
-        stage_walls["dataset_card_prefetch"] = bg
-        card.coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/dataset_card")
-        stage_walls["dataset_card"] = round(_time.perf_counter() - _t0, 2)
+        # join the overlapped writes: walls record the writes' own cost
+        # (they ran concurrently with the shard write), and .result()
+        # re-raises any background write failure here
+        if "neardup" in stages:
+            stage_walls["sig_index_write"] = sig_write_fut.result()
+        stage_walls["dataset_card"] = card_write_fut.result()
         keys = ("docs_written", "train_docs", "val_docs", "test_docs", "chars_written")
         # metadata rows as JVM local relations (functions/localrel.py): the
         # pickled-RDD spelling cost 5.7/5.6 s PER WRITE here — half the
