@@ -843,7 +843,7 @@ def build_corpus(
     # executor capacity the tiny funnel stages leave idle. Funnel
     # membership, counts and outputs are bit-identical — the SAME frames
     # join in at the SAME stage boundaries; only the wall moves
-    # (measured: self-LM build 16.0 -> ~12.5 s, OPTIMIZATION_r14.md).
+    # (measured: self-LM build 16.0 -> 6.5 s at sf0.1, OPTIMIZATION_r14.md).
     # Each prefetched frame is an eager localCheckpoint, so the join
     # consumes checkpointed blocks exactly as _stage boundaries do.
     from concurrent.futures import ThreadPoolExecutor
