@@ -1,7 +1,11 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+compact JSON line on stdout: {"metric": ..., "value": total_sec,
+"unit": "sec", "queries": {name: sec}, "sf": ...}. Per-query min/max
+spread and the regression gate go to ONE stderr line ("BENCH_DIAG {...}")
+so the stdout contract line stays well under tail-capture limits
+(verdict-r14 item 1: the r13 line, grown by the spread block, was
+truncated mid-line by the driver's tail capture and parsed as null).
 
 Each query executes end-to-end into a noop sink (full pipeline, no driver
 collect). The set covers every subsystem: VAT flagship, wide agg, multi-way
@@ -293,22 +297,35 @@ def main() -> None:
     # logic is unchanged.
     subtotal_fast = round(sum(timings[n] for n in BENCH_QUERIES), 3)
     subtotal_slow = round(sum(timings[n] for n in MULTI_JOB_BENCH), 3)
+    # Round-15 measurement fix (verdict-r14 item 1): the r13 driver
+    # artifact had parsed=null because the one-line JSON — grown to ~4 KB
+    # by the per-query spread block — outran the driver's tail capture
+    # and was truncated mid-line, silencing the whole round-over-round
+    # PERF comparison. The contract line (metric/value/unit/queries/
+    # subtotals/probe/passes/sf) is now printed COMPACT on stdout (~1.2 KB
+    # for 26 queries) and is the ONLY stdout line; the diagnostics
+    # (spread, regression gate) move to ONE stderr line so any tail/line
+    # capture of stdout sees a complete, parseable contract object. No
+    # query key is removed or renamed; the timed regions are unchanged.
+    contract = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "subtotal_fast_tier": subtotal_fast,
+        "subtotal_slow_tier": subtotal_slow,
+        "cpu_probe_sec": _CPU_PROBE,
+        "passes": n_passes,
+        "sf": sf,
+    }
+    print(json.dumps(contract, separators=(",", ":")))
+    diag = {
+        "spread": spread,
+        "regressions": find_regressions(timings, samples),
+    }
     print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "subtotal_fast_tier": subtotal_fast,
-                "subtotal_slow_tier": subtotal_slow,
-                "cpu_probe_sec": _CPU_PROBE,
-                "passes": n_passes,
-                "sf": sf,
-                "regressions": find_regressions(timings, samples),
-            }
-        )
+        "BENCH_DIAG " + json.dumps(diag, separators=(",", ":")),
+        file=sys.stderr,
     )
 
 
@@ -337,7 +354,13 @@ def find_regressions(
     for path in sorted(glob.glob(os.path.join(here, "artifacts", "BENCH_r*.json"))):
         try:
             with open(path) as f:
-                prior = json.load(f).get("parsed") or {}
+                d = json.load(f)
+            # driver artifacts wrap the contract under "parsed"; local
+            # artifacts saved since r11 ARE the raw contract object. The
+            # gate read only the wrapped shape, so r11-r14 priors were
+            # silently skipped and the bar came from stale r02-r10 walls
+            # (r15 measurement fix — accept both shapes).
+            prior = d.get("parsed") or (d if "metric" in d else {})
         except (OSError, json.JSONDecodeError):
             continue
         # priors from a different scale factor are not comparable: queries

@@ -18,6 +18,7 @@ production values (13-grams, 50-100k word bounds) are parameters.
 from __future__ import annotations
 
 import heapq
+import threading as _threading
 import time as _time
 
 import pandas as pd
@@ -31,6 +32,28 @@ from vat_etl_spark.queries.text import STOPWORDS, tokens_expr
 from vat_etl_spark.sources.catalog import read_table as _t
 
 _NTOK_SQL = r"len(regexp_split_to_array(trim(text), '\s+'))"
+
+# Shared background pool for build_corpus's overlapped Spark jobs
+# (guide §2.6). Module-level and reused on purpose (ADVICE-r14): under
+# py4j pinned-thread mode (the Spark 4 default) a per-build
+# ThreadPoolExecutor neither inherits the caller's job tags nor reliably
+# reclaims its JVM peer threads at teardown, so repeated builds in one
+# session accumulate JVM threads. Two workers: enough to back-fill the
+# sequential funnel's idle executors, not enough to fight them.
+_BG_POOL = None
+_BG_POOL_LOCK = _threading.Lock()
+
+
+def _bg_pool():
+    global _BG_POOL
+    from concurrent.futures import ThreadPoolExecutor
+
+    with _BG_POOL_LOCK:
+        if _BG_POOL is None:
+            _BG_POOL = ThreadPoolExecutor(
+                max_workers=2, thread_name_prefix="corpus_bg"
+            )
+    return _BG_POOL
 
 
 def _ngrams(toks, n: int):
@@ -846,40 +869,52 @@ def build_corpus(
     # (measured: self-LM build 16.0 -> 6.5 s at sf0.1, OPTIMIZATION_r14.md).
     # Each prefetched frame is an eager localCheckpoint, so the join
     # consumes checkpointed blocks exactly as _stage boundaries do.
-    from concurrent.futures import ThreadPoolExecutor
 
     def _bg(build):
         t0 = _time.perf_counter()
         out = build().localCheckpoint(eager=True)
         return out, round(_time.perf_counter() - t0, 2)
 
-    pool = ThreadPoolExecutor(max_workers=2)
+    # ADVICE-r14: the pool is MODULE-LEVEL and reused across builds —
+    # under py4j pinned-thread mode (Spark 4 default) per-build pools
+    # leave their JVM peer threads behind on teardown, so repeated
+    # builds in a long session accumulate JVM threads. Per-build state
+    # is the futures list, joined in the finally below.
+    pool = _bg_pool()
+    futs: list = []
+
+    def _submit(fn, *a):
+        f = pool.submit(fn, *a)
+        futs.append(f)
+        return f
+
     # review finding (r14): without try/finally an exception between
     # prefetch submission and consumption leaked running pool threads
-    # and their eager checkpoint blocks; cancel_futures drops queued
-    # work (running jobs finish and are GC-reclaimed with the futures)
+    # and their eager checkpoint blocks. ADVICE-r14: the error path must
+    # also JOIN in-flight background writes (not abandon them mid-write
+    # mutating out_dir after the build raised) and surface their errors.
     try:
         prefetch: dict[str, object] = {}
         if "perplexity" in stages:
             if lm_dir:
                 _lm = kn_load_lm(spark, lm_dir)
-                prefetch["perplexity"] = pool.submit(
+                prefetch["perplexity"] = _submit(
                     _bg, lambda: kn_ppl_kept_fixed(spark, d, _lm)
                 )
             else:
-                prefetch["perplexity"] = pool.submit(
+                prefetch["perplexity"] = _submit(
                     _bg,
                     lambda: QUERIES["pipeline_perplexity_buckets"](spark, sf_dir)
                     .filter(F.col("kept"))
                     .select("doc_id"),
                 )
         if "exact_dedup" in stages:
-            prefetch["exact_dedup"] = pool.submit(
+            prefetch["exact_dedup"] = _submit(
                 _bg,
                 lambda: QUERIES["pipeline_cross_source_dedup"](spark, sf_dir)
                 .select("doc_id"),
             )
-        prefetch["dataset_card"] = pool.submit(
+        prefetch["dataset_card"] = _submit(
             _bg, lambda: QUERIES["pipeline_dataset_card"](spark, sf_dir)
         )
 
@@ -993,7 +1028,7 @@ def build_corpus(
                 )
                 return round(_time.perf_counter() - t0, 2)
 
-            sig_write_fut = pool.submit(_sig_write)
+            sig_write_fut = _submit(_sig_write)
             cur = cur.drop("simhash")
 
         kept = with_content_split(cur).drop("bucket").withColumn(
@@ -1017,7 +1052,7 @@ def build_corpus(
             )
             return round(_time.perf_counter() - t0, 2)
 
-        card_write_fut = pool.submit(_card_write)
+        card_write_fut = _submit(_card_write)
         obs = Observation("corpus_build")
         observed = kept.observe(
             obs,
@@ -1098,7 +1133,25 @@ def build_corpus(
             "stage_walls": stage_walls,
         }
     finally:
-        pool.shutdown(wait=False, cancel_futures=True)
+        # Join this build's background work before returning/raising:
+        # cancel() drops queued futures; in-flight ones are WAITED on so
+        # build failure leaves out_dir quiescent (no background write
+        # still mutating it), and their own failures are surfaced — as a
+        # logged secondary on the error path, since the primary exception
+        # is already propagating (ADVICE-r14). On the success path every
+        # future was already consumed, so the joins return instantly.
+        for f in futs:
+            if f.cancel():
+                continue
+            try:
+                f.result()
+            except Exception:
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "build_corpus: background job failed during cleanup",
+                    exc_info=True,
+                )
 
 
 # --- no-split greedy packing (capacity-reset recurrence) ----------------------

@@ -37,6 +37,12 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # ADVICE-r14: Spark's own silent Arrow→pickle degradation would
+        # reinstate the Python-worker LocalRelation pathology localrel.py
+        # exists to kill, without tripping that helper's loud fallback.
+        # With fallback disabled, an Arrow-incompatible type raises inside
+        # local_rows_df's try and takes ITS logged fallback path instead.
+        .config("spark.sql.execution.arrow.pyspark.fallback.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
