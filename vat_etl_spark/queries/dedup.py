@@ -507,8 +507,9 @@ def _banded_minhash_candidates(docsets: DataFrame) -> DataFrame:
     exploded rows map-side, so the shuffle is one {NH}-long row per doc.
 
     Skew guard: buckets holding more than {CAP} distinct signatures are
-    dropped (a count-window over the band-key shuffle since round 13 —
-    the filter rides the shuffle the self-join needs anyway). A bucket
+    dropped (a partial-aggregated count + anti-join since round 15 — no
+    task ever buffers a bucket, so a degenerate bucket cannot become a
+    straggler before its rows are dropped). A bucket
     that large means the band's {R}-hash key
     has degenerated on hot shingles and carries ~no pair information;
     its members keep their other B−1 band chances. Without the cap the
@@ -690,22 +691,28 @@ def _banded_minhash_candidates_ids(hashed: DataFrame) -> DataFrame:
     # (cache registration + TableCacheQueryStage jobs + the deepened
     # cached-plan DAG serialized into every task). Same for dup below.
     banded = _band_membership(reps, id_col="srep")
-    # bucket cap as ONE count-window over the band-key shuffle (round 13;
-    # replaces a count-aggregate + driver-collected broadcast anti-join):
-    # the banded stream shuffles by bk exactly once, the filter drops
-    # >CAP buckets in the same stage, and the persisted post-filter
-    # frame feeds both self-join sides already hash-partitioned on bk —
-    # the r12 spelling shuffled the banded stream for the hot-key count
-    # AND for each join side, plus a driver broadcast job. Same keep
-    # predicate (count <= CAP ⟺ not count > CAP), pairs identical.
-    kept = (
-        banded.withColumn(
-            "bc", F.count("*").over(W.partitionBy("bk"))
-        )
-        .filter(F.col("bc") <= _MHB_BUCKET_CAP)
-        .drop("bc")
-        .persist()
+    # bucket cap as a partial-aggregated count + anti-join (round 15,
+    # guide §2.5; replaces the round-13 count-window): the window spelling
+    # buffered EVERY row of a band bucket in one task's window buffer —
+    # exactly the degenerate-skew bucket the cap exists to neutralise
+    # became a single straggler/OOM task before its rows could be
+    # dropped. groupBy does map-side partial aggregation, so no task ever
+    # holds more than one (bk, partial-count) row per bucket; the hot
+    # list is structurally ≤ rows/CAP entries, so AQE broadcasts the
+    # anti-join when it is small (the normal case: EMPTY at oracle scale)
+    # and falls back to an SMJ anti-join — which AQE skew-join CAN split,
+    # unlike a window — if a pathological corpus makes it big. The hot
+    # bucket's rows are dropped BEFORE the self-join's bk shuffle, so the
+    # degenerate bucket never lands in any downstream task either. Same
+    # keep predicate (count <= CAP ⟺ not count > CAP), pairs identical —
+    # pinned by the cap-override pytest and tools/mhb_capstress.py.
+    hot = (
+        banded.groupBy("bk")
+        .count()
+        .filter(F.col("count") > _MHB_BUCKET_CAP)
+        .select("bk")
     )
+    kept = banded.join(hot, "bk", "left_anti").persist()
     rep_cands = (
         kept.alias("a")
         .join(

@@ -1401,19 +1401,34 @@ def span_removal_plan(d: DataFrame) -> DataFrame:
     where it runs over the docs that SURVIVED the upstream filters (span
     duplication is a property of the current corpus, not the raw feed).
     Returns one row per input doc with ``cleaned_text``."""
+    from vat_etl_spark.functions.caching import cache_latest
+
     w = _SPAN_W
     toked = d.select("doc_id", tokens_expr(F.col("text")).alias("t"))
+    # round 15 (guide §2.4/§5, same intra-call pattern as _graph_serve):
+    # the tokenized frame feeds THREE consumers — the dup-span aggregate,
+    # the hits join probe, and the final join-back — and each one
+    # re-scanned the corpus parquet and re-ran the regexp tokenizer.
+    # cache_latest bounds it to one live copy; every call re-materializes.
+    (toked,) = cache_latest("span_removal_toked", toked)
+    # round 15 (guide §2.3): the two span-keyed shuffles (dup aggregate,
+    # hits join) carried the w-token span STRING (~6w bytes/row at token
+    # grain); xxhash64 narrows the key to 8 bytes. Same collision budget
+    # as dedup's _hashed_sets (~n²/2⁶⁵ over distinct spans — zero
+    # observed at every oracle SF, where results stay hash-identical).
     g = toked.select(
         "doc_id",
         F.posexplode(_ngrams(F.col("t"), w)).alias("i0", "g"),
-    ).select("doc_id", (F.col("i0") + 1).alias("i"), "g")
+    ).select(
+        "doc_id", (F.col("i0") + 1).alias("i"), F.xxhash64("g").alias("gh")
+    )
     dup = (
-        g.groupBy("g")
+        g.groupBy("gh")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("g")
+        .select("gh")
     )
-    hits = g.join(dup, "g").select("doc_id", "i")
+    hits = g.join(dup, "gh").select("doc_id", "i")
     win = W.partitionBy("doc_id").orderBy("i")
     brk = hits.select(
         "doc_id", "i",

@@ -508,21 +508,24 @@ def _phash_band_explode(grp: DataFrame, tau: int) -> DataFrame:
 
 def _phash_banded_reps(grp: DataFrame, tau: int) -> DataFrame:
     """Join-band membership of the signature-grain representatives,
-    bucket-capped: one count-window over the (band_no, band_key) shuffle
-    drops >_PHASH_BUCKET_CAP buckets in the same stage, and the persisted
-    post-filter frame feeds both self-join sides already hash-partitioned
-    on the band key."""
-    from pyspark.sql import Window as W
-
-    return (
-        _phash_band_explode(grp, tau)
-        .withColumn(
-            "bc", F.count("*").over(W.partitionBy("band_no", "band_key"))
-        )
-        .filter(F.col("bc") <= _PHASH_BUCKET_CAP)
-        .drop("bc")
-        .persist()
+    bucket-capped skew-safely (round 15, guide §2.5): a partial-aggregated
+    groupBy count finds >_PHASH_BUCKET_CAP buckets (no task ever buffers a
+    bucket — the round-14 count-window held every row of a degenerate
+    bucket in ONE task's window buffer, turning the exact skew the cap
+    exists to neutralise into a straggler), and a left-anti join against
+    that structurally tiny hot list (≤ rows/CAP entries; EMPTY at oracle
+    scale, AQE-broadcast when small, AQE-skew-splittable SMJ when not)
+    drops the hot buckets BEFORE the self-join's band-key shuffle. Same
+    keep predicate (count <= CAP ⟺ not count > CAP), pairs identical —
+    pinned by the cap-override pytest and tools/phash_capstress.py."""
+    banded = _phash_band_explode(grp, tau)
+    hot = (
+        banded.groupBy("band_no", "band_key")
+        .count()
+        .filter(F.col("count") > _PHASH_BUCKET_CAP)
+        .select("band_no", "band_key")
     )
+    return banded.join(hot, ["band_no", "band_key"], "left_anti").persist()
 
 
 def _phash_rep_cands(grp: DataFrame, tau: int) -> DataFrame:
