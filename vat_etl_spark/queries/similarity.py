@@ -1569,6 +1569,13 @@ def _graph_serve(
     g, dst, qs = cache_latest("_graph_serve_tables", g, dst, qs)
 
     def score(cand: DataFrame) -> DataFrame:
+        # NO static broadcast hint on cand (round-15 negative result,
+        # OPTIMIZATION_r15.md): cand is absolutely bounded
+        # (≤ queries·beam·deg) so broadcasting it into the dst join is
+        # tempting scale insurance, but the hint forces a per-hop
+        # broadcast-build job and measured +0.5 s/call at sf0.1
+        # (interleaved A/B), while at scale AQE already converts this
+        # join from the materialized frontier exchange's runtime size.
         return (
             cand.join(qs, "qid")
             .join(dst, "node")
@@ -1581,7 +1588,7 @@ def _graph_serve(
 
     if entry == "hubs":
         visited = _hub_entry_frame(dst, qs, hub_rate).localCheckpoint(
-            eager=False
+            eager=True
         )
     else:
         seed_nodes = (
@@ -1592,8 +1599,22 @@ def _graph_serve(
             )
             .withColumnRenamed("n", "node")
         )
-        visited = score(seed_nodes).localCheckpoint(eager=False)
+        visited = score(seed_nodes).localCheckpoint(eager=True)
     wq = W.partitionBy("qid").orderBy(F.desc("sim"), "node")
+    # Round-15 hop-loop shape (guide §1.2; per-hop profile and the
+    # interleaved A/B in OPTIMIZATION_r15.md): checkpoints are EAGER and
+    # the loop exits at the fixed point. visited_{h+1} = visited_h ∪
+    # score(frontier(visited_h)) is a deterministic function of
+    # visited_h, and new rows are disjoint from visited (the anti-join),
+    # so an unchanged count means visited is EXACTLY unchanged and every
+    # later hop is a no-op — the audit preset converges in 6-7 of its 10
+    # budgeted hops on the bench corpus, and a converged hop costs the
+    # same ~0.3 s of scheduler/AQE rounds as a productive one. Results
+    # bit-identical by construction (fixed point), serve fingerprint
+    # re-checked in OPTIMIZATION_r15.md. The count-per-hop rides the
+    # eager checkpoint's cached blocks (~30 ms); interleaved A/B:
+    # lazy 4.31 s vs eager+exit 3.77 s median at sf0.1.
+    n_prev = visited.count()
     for _ in range(hops):
         bm = (
             visited.withColumn("rk", F.row_number().over(wq))
@@ -1607,8 +1628,12 @@ def _graph_serve(
             .join(visited.select("qid", "node"), ["qid", "node"], "left_anti")
         )
         visited = visited.unionByName(score(frontier)).localCheckpoint(
-            eager=False
+            eager=True
         )
+        n_now = visited.count()
+        if n_now == n_prev:
+            break
+        n_prev = n_now
 
     topk = (
         visited.withColumn("rk", F.row_number().over(wq))
