@@ -2041,24 +2041,27 @@ def text_bigram_fluency(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigger than the vocab — the text_rarity_score OOM lesson applies
     doubly); AQE broadcasts when small and skew-splits hot stopword heads
     otherwise. The head counts are derived by RE-AGGREGATING the
-    distinct-bigram count table (w1 is a function of g, so grouping by
-    (g, w1) costs the same as by g, and summing cg per w1 over bigram
-    TYPES equals counting the raw stream per head) — the raw bigram
-    stream is scanned once for counting and once for scoring, never
-    three times, and both count tables attach through ONE stream-sized
-    join on g."""
+    distinct-bigram count table (summing cg per w1 over bigram TYPES
+    equals counting the raw stream per head) — the raw bigram stream is
+    scanned once for counting and once for scoring, never three times,
+    and both count tables attach through ONE stream-sized join.
+
+    Round 15 (guide §2.3; the round-12 _kn_hashed_bigrams treatment
+    text_kneser_ney_bigram already had, applied to the one bigram query
+    that still shuffled strings): every shuffle and join keys on the
+    (w1, w2) 64-bit xxhash64 token-id pair instead of the concatenated
+    bigram string — fixed-width shuffle rows, one hash per token map-side
+    instead of 3 string ops per bigram, no UTF8String sort-merge
+    comparisons. Whitespace tokenization makes g ↔ (w1, w2) a bijection
+    and token↔id holds up to the xxhash64 collision bound (~V²/2⁶⁵);
+    the DuckDB oracle, which keys on the STRINGS, re-proves exact
+    equality at both pinned SFs."""
     d = _t(spark, sf_dir, "documents")
-    toked = d.select("doc_id", tokens_expr(F.col("text")).alias("t"))
-    bi = toked.select(
-        "doc_id",
-        F.explode(_ngrams(F.col("t"), 2)).alias("g"),
-    )
-    c2 = bi.groupBy(
-        "g", F.split_part(F.col("g"), F.lit(" "), F.lit(1)).alias("w1")
-    ).agg(F.count("*").alias("cg"))
+    bi = _kn_hashed_bigrams(d)
+    c2 = bi.groupBy("w1", "w2").agg(F.count("*").alias("cg"))
     c1 = c2.groupBy("w1").agg(F.sum("cg").alias("cw"))
-    counts = c2.join(c1, "w1").select("g", "cg", "cw")
-    scored = bi.join(counts, "g").select(
+    counts = c2.join(c1, "w1")
+    scored = bi.join(counts, ["w1", "w2"]).select(
         "doc_id", F.expr("(1000000 * cg) div cw").alias("pts")
     )
     return scored.groupBy("doc_id").agg(
