@@ -1077,24 +1077,35 @@ def build_corpus(
             stage_walls["sig_index_write"] = sig_write_fut.result()
         stage_walls["dataset_card"] = card_write_fut.result()
         keys = ("docs_written", "train_docs", "val_docs", "test_docs", "chars_written")
+
         # metadata rows as JVM local relations (functions/localrel.py): the
         # pickled-RDD spelling cost 5.7/5.6 s PER WRITE here — half the
         # composed build's wall — because coalesce(1) iterated 32 empty
-        # Python-backed partitions serially (OPTIMIZATION_r14.md, guide §4)
-        _t0 = _time.perf_counter()
-        local_rows_df(
-            spark,
-            [tuple(m[k] for k in keys)],
-            "docs_written long, train_docs long, val_docs long, test_docs long, chars_written long",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/build_metrics")
-        stage_walls["build_metrics_write"] = round(_time.perf_counter() - _t0, 2)
-        _t0 = _time.perf_counter()
-        local_rows_df(
-            spark,
-            [(i, s, docs, chars) for i, (s, docs, chars) in enumerate(funnel)],
-            "stage_no long, stage string, docs long, chars long",
-        ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/funnel")
-        stage_walls["funnel_write"] = round(_time.perf_counter() - _t0, 2)
+        # Python-backed partitions serially (OPTIMIZATION_r14.md, guide §4).
+        # Round 15 (guide §2.6): the metrics/funnel writes and the
+        # n_splits/n_shards count depend only on state already in hand
+        # (m, funnel, the committed shards dir), so they run on the pool
+        # OVERLAPPED with the card_by_split read-back chain instead of as
+        # four sequential driver-blocked jobs; their futures join below
+        # (and in the finally on the error path), so every failure still
+        # surfaces here.
+        def _meta_writes():
+            t0 = _time.perf_counter()
+            local_rows_df(
+                spark,
+                [tuple(m[k] for k in keys)],
+                "docs_written long, train_docs long, val_docs long, test_docs long, chars_written long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{out_dir}/build_metrics"
+            )
+            local_rows_df(
+                spark,
+                [(i, s, docs, chars) for i, (s, docs, chars) in enumerate(funnel)],
+                "stage_no long, stage string, docs long, chars long",
+            ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/funnel")
+            return round(_time.perf_counter() - t0, 2)
+
+        meta_fut = _submit(_meta_writes)
         splits = shards = 0
         _t0 = _time.perf_counter()
         if m["docs_written"]:
@@ -1102,11 +1113,12 @@ def build_corpus(
             # one fused aggregate instead of two distinct().count() jobs —
             # split/shard are non-null partition columns, so countDistinct
             # is exactly the distinct-count the two jobs computed
-            srow = written.agg(
-                F.countDistinct("split").alias("n_splits"),
-                F.countDistinct("split", "shard").alias("n_shards"),
-            ).first()
-            splits, shards = srow["n_splits"], srow["n_shards"]
+            count_fut = _submit(
+                lambda: written.agg(
+                    F.countDistinct("split").alias("n_splits"),
+                    F.countDistinct("split", "shard").alias("n_shards"),
+                ).first()
+            )
             # the extended dataset card: what was actually WRITTEN, per
             # (lang, split) — doc/char/token budget of the release
             written.groupBy("lang", "split").agg(
@@ -1118,7 +1130,10 @@ def build_corpus(
             ).coalesce(1).write.mode("overwrite").parquet(
                 f"{out_dir}/dataset_card_by_split"
             )
+            srow = count_fut.result()
+            splits, shards = srow["n_splits"], srow["n_shards"]
         stage_walls["card_by_split"] = round(_time.perf_counter() - _t0, 2)
+        stage_walls["meta_writes"] = meta_fut.result()
         # checkpointed stage blocks are freed by the ContextCleaner once the
         # local references drop at return
         return {
