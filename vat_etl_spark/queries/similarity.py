@@ -1533,40 +1533,51 @@ def _graph_serve(
     grows by at most beam·deg per hop so the anti-join stays
     query-bounded; lineage cut per hop. Seeds scatter over the persisted
     rank table (v6) so they land on actual ids on any id space."""
-    em = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", _dbl(F.col("embedding")).alias("ev")
-    )
-    # one freshness check per serve call: load_graph_index AND
-    # load_graph_nodes each re-ran build_graph_index's corpus
-    # count+fingerprint scan — the second is pure duplicate work
-    # (~0.3 s/pass at sf0.1), so resolve the index path once and read
-    # the three artifacts directly
-    path = build_graph_index(spark, sf_dir)
-    graph = spark.read.parquet(f"{path}/edges_serve")
-    n_vec = _meta_n_vec(spark, path)
-    if n_vec is None:
-        # _meta_n_vec degrades to None on an unreadable meta — right
-        # after build_graph_index validated/wrote it that means storage
-        # trouble, and silently seeding pmod(hash, NULL) would serve
-        # garbage; fail loudly instead (r14 review finding)
-        raise RuntimeError(f"graph index meta unreadable at {path}/meta")
-    nodes = spark.read.parquet(f"{path}/nodes")
-    g = graph.select("v", "n")
-    dst = em.select(F.col("vec_id").alias("node"), F.col("ev").alias("dv"))
-    qs = em.where(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("qid"), F.col("ev").alias("qv")
-    )
-    # every hop's AQE-materialized stages re-scanned the graph and
-    # embedding parquet (2 scans × hops + the per-hop query-vector read):
-    # persist the three reused tables for THIS call — the first hop
-    # populates the cache, later hops read blocks instead of re-decoding
-    # parquet. cache_latest (not a bare persist) so repeated invocations
-    # hold ONE live copy; each call re-materializes from parquet, so no
-    # state survives a pass (measured: steady hop 0.45 → 0.31 s,
-    # OPTIMIZATION_r14.md; guide §2.4/§5)
+    from pyspark.sql import Observation
+
     from vat_etl_spark.functions.caching import cache_latest
 
-    g, dst, qs = cache_latest("_graph_serve_tables", g, dst, qs)
+    # Per-call table cache (r14, guide §2.4/§5): every hop's
+    # AQE-materialized stages re-scanned the graph and embedding parquet;
+    # the three reused tables persist for THIS call (cache_latest bounds
+    # it to one live copy; each call re-materializes — no state survives
+    # a pass). Round 15: the index FRESHNESS fingerprint now rides the
+    # embedding cache's materialization scan as an Observation instead of
+    # build_graph_index running a dedicated corpus count+fingerprint agg
+    # per serve call — at 100 TB that dedicated pass is a full corpus
+    # scan per call; here it was ~0.2 s/pass. Same (count, bit_xor of
+    # xxhash64(vec_id, embedding)) fingerprint over the same raw scan,
+    # same comparison against meta (see _corpus_sig), so the same-count
+    # content-drift guarantee is unchanged — the fingerprint is computed
+    # on the very rows this call will serve from.
+    raw = _t(spark, sf_dir, "embeddings")
+    obs = Observation()
+    dst = raw.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.bit_xor(F.xxhash64("vec_id", "embedding")), F.lit(0)
+        ).alias("fp"),
+    ).select(
+        F.col("vec_id").alias("node"), _dbl(F.col("embedding")).alias("dv")
+    )
+    qs = raw.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), _dbl(F.col("embedding")).alias("qv")
+    )
+    dst, qs = cache_latest("_graph_serve_emb", dst, qs)
+    dst.count()  # materialize the cache; fires the fingerprint observation
+    sig = (int(obs.get["n"] or 0), int(obs.get["fp"] or 0))
+    path = f"{_index_root(sf_dir)}/nnd_graph"
+    if _meta_sig(spark, path) != sig:
+        # absent/stale/unreadable meta all land here: (re)build validates
+        # and records this sig, so serve can never read a stale graph
+        # (the r14 fail-loud guard is subsumed — n_vec comes from the
+        # live observation, never from a possibly-corrupt meta)
+        build_graph_index(spark, sf_dir, sig=sig)
+    n_vec = sig[0]
+    graph = spark.read.parquet(f"{path}/edges_serve")
+    nodes = spark.read.parquet(f"{path}/nodes")
+    (g,) = cache_latest("_graph_serve_graph", graph.select("v", "n"))
 
     def score(cand: DataFrame) -> DataFrame:
         # NO static broadcast hint on cand (round-15 negative result,
@@ -1853,17 +1864,24 @@ def _write_meta(spark: SparkSession, path: str, n_vec: int, fp: int) -> None:
 
 
 def build_graph_index(
-    spark: SparkSession, sf_dir: str, force: bool = False
+    spark: SparkSession, sf_dir: str, force: bool = False,
+    sig: tuple[int, int] | None = None,
 ) -> str:
     """Build & persist the NN-Descent graph (the batch half of graph ANN):
     the descended (v, n, sim) edge list, hash-partitioned and sorted on
     the serve-time join key ``v``. Idempotent: a fresh index (same corpus
     row count AND content fingerprint) is left untouched unless
-    ``force``."""
+    ``force``. ``sig``: a (row count, fingerprint) the CALLER already
+    computed over this corpus (round 15: _graph_serve rides the
+    fingerprint on its per-call cache materialization scan — guide
+    §2.4), accepted in place of a dedicated _corpus_sig scan; it feeds
+    the same freshness comparison and is what gets recorded in meta on a
+    rebuild, so a wrong caller value fails closed into a rebuild, never
+    into serving a stale index."""
     path = f"{_index_root(sf_dir)}/nnd_graph"
     raw = _t(spark, sf_dir, "embeddings")
     em = raw.select("vec_id", _dbl(F.col("embedding")).alias("ev"))
-    n_vec, fp = _corpus_sig(raw)
+    n_vec, fp = sig if sig is not None else _corpus_sig(raw)
     if not force and _meta_sig(spark, path) == (n_vec, fp):
         return path
     # contiguous 1-based rank ↔ vec_id bijection (range-partitioned
