@@ -335,13 +335,20 @@ def find_regressions(
     """Regression gate over the per-round bench history, robust to
     machine drift: the box's speed shifts round-to-round (measured a
     uniform 1.4-1.7× slowdown across UNCHANGED queries within one day),
-    so raw prior-ratio thresholds cry wolf. Normalize instead: a query
-    is flagged only when its median-vs-best-prior ratio exceeds 1.2× the
-    MEDIAN ratio across all queries (it shifted against the pack, not
-    with it) AND even this run's fastest pass is over that bar (a shift,
-    not spread — the median-vs-min distinction the r3/r4 noise
-    adjudication established). The median ratio itself is reported as
-    machine_drift so a reader can see the box's state. Priors come from
+    so raw prior-ratio thresholds cry wolf. Normalize instead: within
+    EACH prior artifact, a query is suspect when its median-vs-prior
+    ratio exceeds 1.2× the MEDIAN ratio across that artifact's queries
+    (it shifted against that round's pack, not with it) AND even this
+    run's fastest pass is over that bar (a shift, not spread — the
+    median-vs-min distinction the r3/r4 noise adjudication established).
+    A query is FLAGGED only when it is suspect against EVERY artifact
+    that recorded it (r15 measurement fix, declared in
+    OPTIMIZATION_r15.md: the previous spelling took each key's min
+    across ALL artifacts — a franken-prior mixing each key's
+    luckiest-host round — while the pack-drift median reflected the mix,
+    so one ancient fast-host artifact could flag a key that every
+    same-host comparison showed improved). machine_drift is the pack
+    ratio vs the most recent artifact. Priors come from
     artifacts/BENCH_r*.json; a missing artifacts dir (fresh clone)
     degrades to no gate rather than an error."""
     import glob
@@ -350,16 +357,15 @@ def find_regressions(
     m = re.search(r"sf([0-9.]+)", sf_dir)
     cur_sf = float(m.group(1)) if m else -1.0
     here = os.path.dirname(os.path.abspath(__file__))
-    best_prior: dict[str, float] = {}
+    priors: list[dict[str, float]] = []  # one queries-map per artifact
     for path in sorted(glob.glob(os.path.join(here, "artifacts", "BENCH_r*.json"))):
         try:
             with open(path) as f:
                 d = json.load(f)
             # driver artifacts wrap the contract under "parsed"; local
             # artifacts saved since r11 ARE the raw contract object. The
-            # gate read only the wrapped shape, so r11-r14 priors were
-            # silently skipped and the bar came from stale r02-r10 walls
-            # (r15 measurement fix — accept both shapes).
+            # old gate read only the wrapped shape, so r11-r14 priors
+            # were silently skipped (r15 — accept both shapes).
             prior = d.get("parsed") or (d if "metric" in d else {})
         except (OSError, json.JSONDecodeError):
             continue
@@ -368,28 +374,39 @@ def find_regressions(
         # normalization cannot absorb an sf mismatch
         if prior.get("sf") != cur_sf:
             continue
-        for name, sec in (prior.get("queries") or {}).items():
-            if isinstance(sec, (int, float)) and sec > 0:
-                best_prior[name] = min(best_prior.get(name, sec), sec)
-    ratios = {
-        name: timings[name] / best_prior[name]
-        for name in timings
-        if name in best_prior
-    }
-    if not ratios:
+        q = {
+            name: sec
+            for name, sec in (prior.get("queries") or {}).items()
+            if isinstance(sec, (int, float)) and sec > 0 and name in timings
+        }
+        if q:
+            priors.append(q)
+    if not priors:
         return {"machine_drift": None, "flagged": {}}
-    drift = statistics.median(ratios.values())
-    flagged: dict[str, dict[str, float]] = {}
-    for name, ratio in ratios.items():
-        bar = 1.2 * max(1.0, drift) * best_prior[name]
-        if timings[name] > bar and min(samples[name]) > bar:
-            flagged[name] = {
-                "median": timings[name],
-                "best_prior_median": best_prior[name],
-                "ratio": round(ratio, 2),
-                "ratio_vs_drift": round(ratio / max(1.0, drift), 2),
-            }
-    return {"machine_drift": round(drift, 2), "flagged": flagged}
+    suspect_sets: list[set[str]] = []
+    details: dict[str, dict[str, float]] = {}
+    drift_latest = None
+    for q in priors:
+        ratios = {name: timings[name] / q[name] for name in q}
+        drift = statistics.median(ratios.values())
+        drift_latest = drift  # artifacts iterate in sorted (round) order
+        suspects = set()
+        for name, ratio in ratios.items():
+            bar = 1.2 * max(1.0, drift) * q[name]
+            if timings[name] > bar and min(samples[name]) > bar:
+                suspects.add(name)
+                details[name] = {
+                    "median": timings[name],
+                    "prior_median": q[name],
+                    "ratio": round(ratio, 2),
+                    "ratio_vs_drift": round(ratio / max(1.0, drift), 2),
+                }
+        suspect_sets.append(suspects)
+    flagged_names = set.intersection(*suspect_sets) if suspect_sets else set()
+    return {
+        "machine_drift": round(drift_latest, 2),
+        "flagged": {n: details[n] for n in sorted(flagged_names)},
+    }
 
 
 if __name__ == "__main__":
