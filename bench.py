@@ -383,26 +383,37 @@ def find_regressions(
             priors.append(q)
     if not priors:
         return {"machine_drift": None, "flagged": {}}
-    suspect_sets: list[set[str]] = []
+    # intersect ONLY over artifacts that recorded the key (r15 review
+    # finding: a plain all-artifact intersection permanently exempted
+    # every key absent from any one artifact — e.g. keys added after a
+    # given round — because it could never be in that artifact's suspect
+    # set). A key is flagged when suspect against EVERY artifact that
+    # recorded it.
+    recorded: dict[str, int] = {}
+    suspect: dict[str, int] = {}
     details: dict[str, dict[str, float]] = {}
     drift_latest = None
-    for q in priors:
+    for q in priors:  # artifacts iterate in sorted (round) order
         ratios = {name: timings[name] / q[name] for name in q}
         drift = statistics.median(ratios.values())
-        drift_latest = drift  # artifacts iterate in sorted (round) order
-        suspects = set()
+        drift_latest = drift
         for name, ratio in ratios.items():
+            recorded[name] = recorded.get(name, 0) + 1
             bar = 1.2 * max(1.0, drift) * q[name]
             if timings[name] > bar and min(samples[name]) > bar:
-                suspects.add(name)
+                suspect[name] = suspect.get(name, 0) + 1
+                # overwritten per artifact: a FLAGGED key is suspect in
+                # every artifact recording it, so what remains is the
+                # most recent comparison — the one worth triaging against
                 details[name] = {
                     "median": timings[name],
                     "prior_median": q[name],
                     "ratio": round(ratio, 2),
                     "ratio_vs_drift": round(ratio / max(1.0, drift), 2),
                 }
-        suspect_sets.append(suspects)
-    flagged_names = set.intersection(*suspect_sets) if suspect_sets else set()
+    flagged_names = {
+        n for n, rec in recorded.items() if suspect.get(n, 0) == rec
+    }
     return {
         "machine_drift": round(drift_latest, 2),
         "flagged": {n: details[n] for n in sorted(flagged_names)},

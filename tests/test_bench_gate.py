@@ -44,6 +44,24 @@ def test_gate_flags_only_intersection(tmp_path, monkeypatch):
     assert out["machine_drift"] == 1.0
 
 
+def test_gate_flags_key_missing_from_some_artifacts(tmp_path, monkeypatch):
+    # a key recorded by only SOME artifacts must still be flaggable: the
+    # intersection runs over the artifacts that recorded it, not all
+    # artifacts (r15 review finding — a plain all-artifact intersection
+    # permanently exempted every key added after any recorded round)
+    p1 = _write(tmp_path, "BENCH_r01.json", {"y": 1.0, "z": 1.0, "w": 1.0})
+    p2 = _write(
+        tmp_path, "BENCH_r02.json", {"x": 1.0, "y": 1.0, "z": 1.0, "w": 1.0}
+    )
+    monkeypatch.setattr(glob, "glob", lambda pat: [p1, p2])
+    timings = {"x": 5.0, "y": 1.0, "z": 1.0, "w": 1.0}
+    samples = {k: [v, v, v] for k, v in timings.items()}
+    out = bench.find_regressions(timings, samples)
+    assert "x" in out["flagged"], out
+    # and its details come from the artifact that recorded it
+    assert out["flagged"]["x"]["prior_median"] == 1.0
+
+
 def test_gate_min_spread_shield(tmp_path, monkeypatch):
     # a slow MEDIAN whose fastest pass is under the bar is spread, not a
     # shift -> never flagged (the r3/r4 adjudication, carried over)

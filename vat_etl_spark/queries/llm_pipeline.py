@@ -982,7 +982,11 @@ def build_corpus(
                 "line_dedup",
             )
         if "span_removal" in stages:
-            cleaned = span_removal_plan(cur).select(
+            # distinct cache site from the registered query's (see
+            # span_removal_plan's cache_key contract)
+            cleaned = span_removal_plan(
+                cur, cache_key="span_removal_toked:corpus"
+            ).select(
                 "doc_id", F.col("cleaned_text").alias("text")
             )
             cur = _stage(
@@ -1409,13 +1413,23 @@ def pipeline_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_removal_plan(_docs_fanout(spark, sf_dir))
 
 
-def span_removal_plan(d: DataFrame) -> DataFrame:
+def span_removal_plan(
+    d: DataFrame, cache_key: str = "span_removal_toked"
+) -> DataFrame:
     """The span-removal plan over an arbitrary docs frame (needs
     ``doc_id``, ``text``) — the shared core of
     :func:`pipeline_span_removal` and the ``build_corpus`` funnel stage,
     where it runs over the docs that SURVIVED the upstream filters (span
     duplication is a property of the current corpus, not the raw feed).
-    Returns one row per input doc with ``cleaned_text``."""
+    Returns one row per input doc with ``cleaned_text``.
+
+    ``cache_key``: cache_latest site key for the tokenized frame. The
+    two call sites MUST use distinct keys (r15 review finding): with a
+    shared key, a build_corpus run between bench passes of the prepared
+    pipeline_span_removal plan rotated the key and silently unpersisted
+    the prepared plan's cache — later passes re-ran the corpus scan +
+    tokenizer for all three consumers, exactly the cost this cache
+    removes."""
     from vat_etl_spark.functions.caching import cache_latest
 
     w = _SPAN_W
@@ -1425,7 +1439,7 @@ def span_removal_plan(d: DataFrame) -> DataFrame:
     # the hits join probe, and the final join-back — and each one
     # re-scanned the corpus parquet and re-ran the regexp tokenizer.
     # cache_latest bounds it to one live copy; every call re-materializes.
-    (toked,) = cache_latest("span_removal_toked", toked)
+    (toked,) = cache_latest(cache_key, toked)
     # round 15 (guide §2.3): the two span-keyed shuffles (dup aggregate,
     # hits join) carried the w-token span STRING (~6w bytes/row at token
     # grain); xxhash64 narrows the key to 8 bytes. Same collision budget

@@ -137,7 +137,21 @@ def read_workbook(
             body = raw.iloc[header_row + 1 :].reset_index(drop=True)
             body.columns = canonical_rename(list(raw.iloc[header_row]))
             body = body.loc[:, ~body.columns.duplicated()]
-            sdf = spark.createDataFrame(body.astype(str).where(body.notna(), None))
+            # explicit all-string schema (r15 review finding): with
+            # arrow.pyspark.fallback pinned off in session.py, a
+            # conversion failure here would no longer degrade to the
+            # pickled path — it would raise into this loop's per-sheet
+            # except and SILENTLY skip the sheet. The frame is all
+            # str/None by construction, so handing Spark the schema
+            # outright removes the only inference step that could fail.
+            from pyspark.sql.types import StringType, StructField, StructType
+
+            sdf = spark.createDataFrame(
+                body.astype(str).where(body.notna(), None),
+                schema=StructType(
+                    [StructField(str(c), StringType()) for c in body.columns]
+                ),
+            )
             frames.append(
                 normalize_vat_sheet(sdf, sheet, compat=compat, as_of_year=as_of_year)
             )
